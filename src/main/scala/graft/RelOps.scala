@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational surface: scans/filters, joins, aggregations, windows, set ops,
+  * scalar functions (SURVEY.md §2.4). Pure DataFrame API — every plan is
+  * declarative so Catalyst does pushdown/pruning/join-selection; each query
+  * ends in a total-order ORDER BY and exact decimal arithmetic for float
+  * aggregates so the DuckDB oracle hash-matches (FIXTURES.md §C).
+  *
+  * Scale notes (100 TB): all aggregations are partial+final HashAggregate;
+  * joins pick broadcast for dims and sort-merge for fact-fact; windows
+  * partition by high-cardinality keys (never a global single-partition
+  * window except where the semantics demand a total order over a tiny
+  * aggregate result).
+  */
+object RelOps {
+  import Tables._
+
+  /** Exact, engine-portable sum of a double column: round each value to a
+    * fixed decimal scale, sum exactly, emit as double. Decimal addition is
+    * associative, so the result is independent of Spark's partial-agg order
+    * and identical to DuckDB's. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType))
+
+  // ---------------------------------------------------------------- scans
+
+  /** TPC-H Q1 shape: full-scan aggregate with partial/final hash agg. */
+  def qAggHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qAggHashSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 shape: selective filter + projection arithmetic, one-row agg.
+    * Predicates push to the parquet scan (PushedFilters). */
+  def qScanFilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val qScanFilterProjectSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** LIKE + IN predicates over part. */
+  def qFilterInLike(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_type").like("PRO%") &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  val qFilterInLikeSql: String =
+    """SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+      |FROM part
+      |WHERE p_type LIKE 'PRO%' AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Top-k by value: planner uses TakeOrderedAndProject (no full sort at
+    * scale — per-partition top-k then merge on driver). */
+  def qSortTopk(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val qSortTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Star join through two small dims — explicitly broadcast so the fact
+    * scan never shuffles. */
+  def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  val qJoinBroadcastSql: String =
+    """SELECT r_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Largest-pair join (orders ⋈ lineitem): shuffles both sides on the key
+    * → sort-merge join; at 100 TB this is the bucketing/CO-partition
+    * candidate. Top-10 revenue orders, fully tie-broken. */
+  def qJoinSortmerge(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qJoinSortmergeSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderstatus
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Left-semi join: customers with at least one 'F'-status order. */
+  def qJoinSemi(s: SparkSession, d: String): DataFrame = {
+    val f = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qJoinSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no 'P'-status order ("no orders at
+    * all" is empty at every sf — an empty result would be a vacuous
+    * correctness check). */
+  def qJoinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val qJoinAntiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hash" -> (qAggHash _),
+    "q_scan_filter_project" -> (qScanFilterProject _),
+    "q_filter_in_like" -> (qFilterInLike _),
+    "q_sort_topk" -> (qSortTopk _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_sortmerge" -> (qJoinSortmerge _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_hash" -> qAggHashSql,
+    "q_scan_filter_project" -> qScanFilterProjectSql,
+    "q_filter_in_like" -> qFilterInLikeSql,
+    "q_sort_topk" -> qSortTopkSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_sortmerge" -> qJoinSortmergeSql,
+    "q_join_semi" -> qJoinSemiSql,
+    "q_join_anti" -> qJoinAntiSql,
+  )
+}
