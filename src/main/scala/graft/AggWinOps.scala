@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Aggregation variants (distinct / approx / rollup / cube / grouping sets),
+  * window functions, set operations, and scalar function coverage
+  * (SURVEY.md §2.4). Determinism rules per FIXTURES.md §C: multi-dim group
+  * keys are coalesced to an 'ALL' sentinel so NULL-ordering differences
+  * between engines can't reorder rows; float aggregates go through exact
+  * decimal sums.
+  */
+object AggWinOps {
+  import Tables._
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  // --------------------------------------------------------- aggregations
+
+  /** Exact count-distinct per group (two-phase distinct aggregate). */
+  def qAggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val qAggDistinctSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL-sketch count-distinct (approx_count_distinct) sanity-gated against
+    * the exact count; emits only the pass/fail boolean so the oracle is
+    * engine-independent. At 100 TB the sketch is the only affordable form —
+    * it's a partial-aggregable fixed-size buffer, no shuffle of distincts. */
+  def qAggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(
+        (abs(col("approx").cast(DoubleType) - col("exact").cast(DoubleType)) /
+          col("exact").cast(DoubleType) <= 0.05).as("within_5pct"))
+
+  val qAggApproxDistinctSql: String = "SELECT TRUE AS within_5pct"
+
+  /** ROLLUP over the region→nation hierarchy. */
+  def qAggRollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val qAggRollupSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY COALESCE(r_name, 'ALL'), COALESCE(n_name, 'ALL')""".stripMargin
+
+  /** CUBE over two independent lineitem dimensions. */
+  def qAggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qAggCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY COALESCE(l_returnflag, 'ALL'), COALESCE(l_linestatus, 'ALL')""".stripMargin
+
+  /** Explicit GROUPING SETS over orders (status totals + priority totals in
+    * one pass — one shuffle, expanded map-side). */
+  def qAggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val qAggGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY COALESCE(o_orderstatus, 'ALL'), COALESCE(o_orderpriority, 'ALL')""".stripMargin
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-3 parts per brand by retail price (dense_rank keeps ties). */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc)
+    part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk
+      |  FROM part) t
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk, p_partkey""".stripMargin
+
+  /** Running revenue per customer over order history — cumulative frame,
+    * exact decimal so the running sum is engine-identical. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Day-over-day delta of daily event counts (lag). The single-partition
+    * window is over the *aggregated* daily series (≤ a few hundred rows at
+    * any sf), never the raw events. */
+  def qWindowLagLead(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("delta", col("n_events") - coalesce(col("prev_n"), lit(0L)))
+      .select(col("day"), col("n_events"), col("delta"))
+      .orderBy(col("day"))
+  }
+
+  val qWindowLagLeadSql: String =
+    """SELECT day, n_events,
+      |  n_events - COALESCE(LAG(n_events, 1) OVER (ORDER BY day), 0) AS delta
+      |FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |      FROM events GROUP BY 1) t
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- set ops
+
+  /** UNION ALL / INTERSECT / EXCEPT in one labeled result. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val withOrders = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val withP = orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val exceptSet = withOrders.except(withP)
+      .select(lit("except_p").as("op"), col("custkey"))
+    val intersectSet = withOrders.intersect(withP)
+      .select(lit("intersect_p").as("op"), col("custkey"))
+    exceptSet.union(intersectSet)
+      .orderBy(col("op"), col("custkey"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |     with_p AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+      |SELECT 'except_p' AS op, custkey FROM (SELECT custkey FROM with_orders EXCEPT SELECT custkey FROM with_p) a
+      |UNION ALL
+      |SELECT 'intersect_p' AS op, custkey FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM with_p) b
+      |ORDER BY op, custkey""".stripMargin
+
+  // ------------------------------------------------------- scalar functions
+
+  /** String + date + math scalar functions over orders, grouped monthly. */
+  def qScalarStringDate(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        concat(lit("P-"), upper(substring(col("o_orderpriority"), 1, 3))).as("prio_key"),
+        col("o_totalprice"))
+      .groupBy(col("month"), col("prio_key"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"), col("prio_key"))
+
+  val qScalarStringDateSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  'P-' || UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS prio_key,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** JSON extraction from events.props → bucketed aggregation. */
+  def qScalarJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("value"))
+      .select(expr("k div 10").as("k_bucket"), col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  val qScalarJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Array higher-order functions over the embedding vectors: per label,
+    * count + exact-decimal sum of L2 norms (element arithmetic forced to
+    * double on both engines before summation). */
+  def qScalarArray(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"),
+        size(col("embedding")).as("dim"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+          .as("l2_norm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max(col("dim")).as("max_dim"),
+        dsum(col("l2_norm"), 6).as("sum_norm"))
+      .orderBy(col("label"))
+
+  val qScalarArraySql: String =
+    """SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS max_dim,
+      |  CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+      |FROM (
+      |  SELECT label, len(embedding) AS dim,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2_norm
+      |  FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag_lead" -> (qWindowLagLead _),
+    "q_set_ops" -> (qSetOps _),
+    "q_scalar_string_date" -> (qScalarStringDate _),
+    "q_scalar_json" -> (qScalarJson _),
+    "q_scalar_array" -> (qScalarArray _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_distinct" -> qAggDistinctSql,
+    "q_agg_approx_distinct" -> qAggApproxDistinctSql,
+    "q_agg_rollup" -> qAggRollupSql,
+    "q_agg_cube" -> qAggCubeSql,
+    "q_agg_grouping_sets" -> qAggGroupingSetsSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_window_lag_lead" -> qWindowLagLeadSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_scalar_string_date" -> qScalarStringDateSql,
+    "q_scalar_json" -> qScalarJsonSql,
+    "q_scalar_array" -> qScalarArraySql,
+  )
+}
