@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The reference's own surface: TeraSort as a Spark-native pipeline
+  * (SURVEY.md §2.3 R1–R8).
+  *
+  *  - teragen  → deterministic record synthesis from `spark.range` with an
+  *    explicitly-written arithmetic hash (two LCGs mod a Mersenne prime) so
+  *    DuckDB reproduces every key bit-for-bit — no engine `hash()`/`rand()`.
+  *  - terasort → `orderBy(key)`: Catalyst plans Exchange(RangePartitioning)
+  *    (reservoir-sampled cut points — the reference's
+  *    TeraInputFormat.writePartitionFile idea, built into Spark) followed by
+  *    per-partition SortExec (Tungsten radix/prefix sort — the reference's
+  *    normalized-key OptimizedText idea, built into Spark).
+  *  - teravalidate → global monotonicity-violation count + order-independent
+  *    modular key checksum.
+  *
+  * The sort key is carried as BinaryType (unsigned byte-wise lexicographic —
+  * identical semantics to the 10-byte TeraSort key) derived from a
+  * zero-padded ASCII-digit string, so binary order == numeric order and the
+  * oracle can compare plain strings.
+  *
+  * Scale notes: key synthesis here keeps `a*i + b` within Long for the local
+  * row counts; at 10^12+ rows the same LCG must be applied to `i % p` with a
+  * per-block offset to stay in 63 bits. The sort itself is the scalable
+  * form: sampling + range exchange + external per-partition sort, no
+  * single-node merge anywhere.
+  */
+object SortOps {
+  import Tables._
+
+  /** Mersenne prime 2^31 - 1: modulus for the portable key LCGs. */
+  private val P = 2147483647L
+
+  /** Synthetic record count tracks the lineitem row count of the active
+    * scale factor, so the sort load scales with sf. */
+  private def recordCount(s: SparkSession, d: String): Long =
+    lineitem(s, d).count()
+
+  /** teragen: rows (key_str: 19 ASCII digits, payload: 32 ASCII digits, key:
+    * binary). Key = k1*P + k2 with two independent LCGs — injective in i, so
+    * keys are unique and the sorted order is total. */
+  private def genRecords(s: SparkSession, d: String): DataFrame =
+    s.range(recordCount(s, d))
+      .select(
+        expr(s"(1103515245 * id + 12345) % $P").as("k1"),
+        expr(s"(214013 * id + 2531011) % $P").as("k2"),
+        col("id"))
+      .select(
+        lpad(expr(s"k1 * $P + k2").cast(StringType), 19, "0").as("key_str"),
+        lpad(col("id").cast(StringType), 32, "0").as("payload"))
+
+  private val genRecordsSql: String =
+    """SELECT lpad(CAST(k1 * 2147483647 + k2 AS VARCHAR), 19, '0') AS key_str,
+      |       lpad(CAST(i AS VARCHAR), 32, '0') AS payload
+      |FROM (SELECT (1103515245 * i + 12345) % 2147483647 AS k1,
+      |             (214013 * i + 2531011) % 2147483647 AS k2, i
+      |      FROM (SELECT ROW_NUMBER() OVER () - 1 AS i
+      |            FROM lineitem) g)""".stripMargin
+
+  /** Global TeraSort: total order via range exchange + per-partition binary
+    * sort. The sort runs on the BinaryType key (TeraSort semantics); the
+    * projected output is the ASCII form of the same bytes. */
+  def qSortGlobal(s: SparkSession, d: String): DataFrame =
+    genRecords(s, d)
+      .withColumn("key", col("key_str").cast(BinaryType))
+      .orderBy(col("key"))
+      .select(col("key_str").as("key"), col("payload"))
+
+  val qSortGlobalSql: String =
+    s"""SELECT key_str AS key, payload FROM ($genRecordsSql) r
+       |ORDER BY key""".stripMargin
+
+  /** TeraValidate: (a) zero adjacent inversions over the fully sorted
+    * output, (b) order-independent modular checksum of all keys, (c) row
+    * count — the permutation + sortedness property pair.
+    *
+    * The adjacency check needs a total order; at cluster scale it becomes
+    * per-partition lag + a boundary join on partition edges (same
+    * semantics). Here it is expressed directly with a global-order lag
+    * window over the *already synthesized* records. */
+  def qSortValidate(s: SparkSession, d: String): DataFrame = {
+    val sorted = genRecords(s, d)
+      .withColumn("key", col("key_str").cast(BinaryType))
+    val w = Window.orderBy(col("key"))
+    sorted
+      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("prev_key") > col("key"), 1L).otherwise(0L)).as("violations"),
+        sum(expr("CAST(key_str AS BIGINT) % 1000003")).as("checksum"))
+  }
+
+  val qSortValidateSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  SUM(CASE WHEN prev_key > key_str THEN 1 ELSE 0 END) AS violations,
+       |  SUM(CAST(key_str AS BIGINT) % 1000003) AS checksum
+       |FROM (SELECT key_str, payload,
+       |        LAG(key_str, 1) OVER (ORDER BY key_str) AS prev_key
+       |      FROM ($genRecordsSql) r) t""".stripMargin
+
+  /** Range-partition inspection: repartitionByRange(8) on the binary key +
+    * sortWithinPartitions, then per-partition (count, min, max). Partition
+    * ids depend on Spark's sampled cut points, so there is no cross-engine
+    * oracle (driver records a rows-only check); `q_sort_validate` covers the
+    * correctness of the same machinery. Non-overlapping [min,max] ranges
+    * across partitions demonstrate the total order. */
+  def qSortRangePartition(s: SparkSession, d: String): DataFrame =
+    genRecords(s, d)
+      .withColumn("key", col("key_str").cast(BinaryType))
+      .repartitionByRange(8, col("key"))
+      .sortWithinPartitions(col("key"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("key_str")).as("min_key"),
+        max(col("key_str")).as("max_key"))
+      .orderBy(col("pid"))
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_global" -> (qSortGlobal _),
+    "q_sort_validate" -> (qSortValidate _),
+    "q_sort_range_partition" -> (qSortRangePartition _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sort_global" -> qSortGlobalSql,
+    "q_sort_validate" -> qSortValidateSql,
+    // q_sort_range_partition: intentionally no oracle (engine-specific pids)
+  )
+}
