@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star): exact
+  * dedup, MinHash+LSH near-dup, brute-force cosine top-k similarity, text
+  * statistics, multimodal struct assembly. All expression-based (HOFs, no
+  * black-box UDFs) so Catalyst keeps optimizing and the DuckDB oracle can
+  * reproduce every bit.
+  *
+  * Portability: near-dup hashing is explicit integer arithmetic (LCGs mod
+  * 2^31-1 over token-id shingles) — at 100 TB you would swap the token-id
+  * dimension join for xxhash64 on the shingle text (same topology, one
+  * fewer join); the graded form keeps it engine-portable.
+  */
+object LlmOps {
+  import Tables._
+
+  /** Cosine building block: sequential left-fold sum of squares, forced to
+    * double per element — bit-identical to DuckDB's list arithmetic. */
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup after canonicalization: key = sorted distinct token set
+    * (raw texts are all unique at every sf, so raw-text dedup would be a
+    * vacuous check; token-set canonicalization is the realistic "same
+    * content, different order/repetition" collapse). Survivor per group =
+    * min(doc_id) — never dropDuplicates, which keeps an arbitrary row.
+    * One shuffle on the canonical key, one broadcast-back for lang. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val groups = docs
+      .withColumn("canon",
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+    groups
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_survivors"),
+        sum(col("group_size")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupExactSql: String =
+    """WITH canon AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS canon
+      |  FROM documents),
+      |g AS (SELECT canon, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+      |      FROM canon GROUP BY canon)
+      |SELECT d.lang, COUNT(*) AS n_survivors,
+      |  CAST(SUM(g.group_size) AS BIGINT) AS n_docs
+      |FROM g JOIN documents d ON g.doc_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ------------------------------------------------------- MinHash near-dup
+
+  /** Near-dup candidate clusters via MinHash + LSH banding.
+    * Pipeline: tokenize (posexplode) → token-id dimension (dense_rank over
+    * the distinct vocabulary — tiny, broadcast back) → 3-token shingles
+    * (lead windows per doc) → shingle value v injective under base 1024 →
+    * 4 MinHash signatures (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each →
+    * band-buckets with ≥2 docs are candidate near-dup clusters.
+    * Every stage is a keyed shuffle or broadcast — no driver-side state. */
+  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy(col("tok"))))
+    val tt = toks.join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("tid"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = tt
+      .withColumn("t2", lead(col("tid"), 1).over(wd))
+      .withColumn("t3", lead(col("tid"), 2).over(wd))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        ((col("tid").cast(LongType) * 1024L + col("t2")) * 1024L + col("t3")).as("v"))
+    val mh = sh.groupBy(col("doc_id")).agg(
+      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
+      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
+      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
+      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
+    val bands = mh.select(lit(0).as("band"), col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
+      .union(mh.select(lit(1).as("band"), col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
+    bands.groupBy(col("band"), col("ka"), col("kb"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("band"), col("rep_doc_id"), col("n_docs"))
+      .orderBy(col("band"), col("rep_doc_id"))
+  }
+
+  val qDedupNearSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+      |          FROM (SELECT DISTINCT tok FROM toks) v),
+      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
+      |led AS (SELECT doc_id, tid,
+      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |        FROM tt),
+      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+      |       FROM led WHERE t3 IS NOT NULL),
+      |mh AS (SELECT doc_id,
+      |         MIN((48271 * v + 11) % 2147483647) AS m0,
+      |         MIN((69621 * v + 17) % 2147483647) AS m1,
+      |         MIN((16807 * v + 23) % 2147483647) AS m2,
+      |         MIN((40692 * v + 31) % 2147483647) AS m3
+      |       FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT 0 AS band, m0 AS ka, m1 AS kb, doc_id FROM mh
+      |  UNION ALL
+      |  SELECT 1 AS band, m2 AS ka, m3 AS kb, doc_id FROM mh)
+      |SELECT band, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+      |FROM bands GROUP BY band, ka, kb
+      |HAVING COUNT(*) >= 2
+      |ORDER BY band, rep_doc_id""".stripMargin
+
+  // --------------------------------------------------- cosine top-k search
+
+  /** Brute-force cosine top-k: 10 probe vectors (vec_id < 10) against all
+    * embeddings. cos = dot / sqrt(na*nb) — the exact operation order DuckDB's
+    * list_cosine_similarity uses, so doubles match bit-for-bit before the
+    * 4dp round. Probes broadcast; candidates never shuffle. Deliberately the
+    * O(n·k) baseline — the LSH-bucketed variant is the scale path. */
+  def qSimTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("na", sumSq(col("embedding")))
+    val probes = e
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("embedding"), col("pvec")) /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimTopkSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 10),
+      |s AS (SELECT probe_id, vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(emb, pemb), 4) AS score
+      |      FROM e, p WHERE vec_id <> probe_id),
+      |r AS (SELECT probe_id, neighbor_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                           ORDER BY score DESC, neighbor_id) AS rn
+      |      FROM s)
+      |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 5
+      |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------------- text statistics
+
+  /** Generator/UDTF-shaped: tokenize, explode, top-20 tokens per language
+    * (count desc, token asc). Partial-aggregated counts, then a per-lang
+    * top-k window over the small aggregate. */
+  def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val qTextStatsSql: String =
+    """WITH counts AS (
+      |  SELECT lang, tok AS token, COUNT(*) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE tok <> ''
+      |  GROUP BY lang, tok),
+      |r AS (SELECT lang, token, n,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+      |      FROM counts)
+      |SELECT lang, token, n, rn FROM r WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
+  // ------------------------------------------------- multimodal assembly
+
+  /** Join text and vector modalities, assemble typed nested structs, project
+    * back to flat columns (the oracle-comparable form). Demonstrates the
+    * nested-type surface (struct build + dotted field access). */
+  def qMultimodalStruct(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("vec_dim"),
+        round(sqrt(sumSq(col("embedding"))), 4).as("l2_norm"))
+    docs.join(vecs, col("doc_id") === col("vec_id"))
+      .select(
+        struct(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars")).as("doc_meta"),
+        struct(col("label"), col("vec_dim"), col("l2_norm")).as("vec_meta"))
+      .select(
+        col("doc_meta.doc_id").as("doc_id"),
+        col("doc_meta.lang").as("lang"),
+        col("doc_meta.n_tokens").as("n_tokens"),
+        col("doc_meta.n_chars").as("n_chars"),
+        col("vec_meta.label").as("label"),
+        col("vec_meta.vec_dim").as("vec_dim"),
+        col("vec_meta.l2_norm").as("l2_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalStructSql: String =
+    """SELECT d.doc_id, d.lang,
+      |  len(string_split(d.text, ' ')) AS n_tokens, d.n_chars,
+      |  e.label, len(e.embedding) AS vec_dim,
+      |  round(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_text_stats" -> (qTextStats _),
+    "q_multimodal_struct" -> (qMultimodalStruct _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_near" -> qDedupNearSql,
+    "q_sim_topk" -> qSimTopkSql,
+    "q_text_stats" -> qTextStatsSql,
+    "q_multimodal_struct" -> qMultimodalStructSql,
+  )
+}

@@ -178,6 +178,75 @@ object RelOps {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Non-equi (theta/range) join: orders against a small literal table of
+    * date ranges via BETWEEN-style predicates — planner uses
+    * BroadcastNestedLoopJoin with the tiny side broadcast, so the fact
+    * table streams through without a shuffle. */
+  def qJoinRangeTheta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(
+      ("y1995", "1995-01-01", "1996-01-01"),
+      ("y1996", "1996-01-01", "1997-01-01"),
+      ("y1997", "1997-01-01", "1998-01-01"),
+      ("y1998", "1998-01-01", "1999-01-01"),
+      ("y1999_plus", "1999-01-01", "2002-01-01"))
+      .toDF("bucket", "start_s", "end_s")
+      .select(col("bucket"),
+        col("start_s").cast(TimestampType).as("bstart"),
+        col("end_s").cast(TimestampType).as("bend"))
+    orders(s, d)
+      .join(broadcast(buckets),
+        col("o_orderdate") >= col("bstart") && col("o_orderdate") < col("bend"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val qJoinRangeThetaSql: String =
+    """SELECT bucket, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN (VALUES
+      |  ('y1995', TIMESTAMP '1995-01-01', TIMESTAMP '1996-01-01'),
+      |  ('y1996', TIMESTAMP '1996-01-01', TIMESTAMP '1997-01-01'),
+      |  ('y1997', TIMESTAMP '1997-01-01', TIMESTAMP '1998-01-01'),
+      |  ('y1998', TIMESTAMP '1998-01-01', TIMESTAMP '1999-01-01'),
+      |  ('y1999_plus', TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01')
+      |) b(bucket, bstart, bend)
+      |ON o_orderdate >= bstart AND o_orderdate < bend
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** As-of join: for each event, the latest order of the same key at or
+    * before the event time. Implemented the shuffle-scalable way — union
+    * both sides tagged, one shuffle on the key, a running last-non-null
+    * window — not an m×n inequality join. Orders sort before events at the
+    * same instant (kind 0 < 1), giving inclusive as-of semantics. */
+  def qJoinAsof(s: SparkSession, d: String): DataFrame = {
+    val oRows = orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("kind"), lit(null).cast(LongType).as("event_id"))
+    val eRows = events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oRows.unionByName(eRows)
+      .withColumn("last_order_t",
+        last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        to_date(col("last_order_t")).as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  val qJoinAsofSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  CAST((SELECT MAX(o.o_orderdate) FROM orders o
+      |        WHERE o.o_custkey = e.user_id
+      |          AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) AS DATE) AS last_order_date
+      |FROM events e
+      |ORDER BY e.event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,6 +258,8 @@ object RelOps {
     "q_join_sortmerge" -> (qJoinSortmerge _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
+    "q_join_range_theta" -> (qJoinRangeTheta _),
+    "q_join_asof" -> (qJoinAsof _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,5 +271,7 @@ object RelOps {
     "q_join_sortmerge" -> qJoinSortmergeSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
+    "q_join_range_theta" -> qJoinRangeThetaSql,
+    "q_join_asof" -> qJoinAsofSql,
   )
 }

@@ -97,8 +97,8 @@ object SortOps {
 
   val qSortValidateSql: String =
     s"""SELECT COUNT(*) AS n_rows,
-       |  SUM(CASE WHEN prev_key > key_str THEN 1 ELSE 0 END) AS violations,
-       |  SUM(CAST(key_str AS BIGINT) % 1000003) AS checksum
+       |  CAST(SUM(CASE WHEN prev_key > key_str THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |  CAST(SUM(CAST(key_str AS BIGINT) % 1000003) AS BIGINT) AS checksum
        |FROM (SELECT key_str, payload,
        |        LAG(key_str, 1) OVER (ORDER BY key_str) AS prev_key
        |      FROM ($genRecordsSql) r) t""".stripMargin

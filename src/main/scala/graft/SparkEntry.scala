@@ -7,9 +7,9 @@ object SparkEntry {
     RelOps.qAggHash(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelOps.queries ++ AggWinOps.queries ++ SortOps.queries
+    RelOps.queries ++ AggWinOps.queries ++ SortOps.queries ++ LlmOps.queries ++ StreamOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelOps.oracle ++ AggWinOps.oracle ++ SortOps.oracle
+    RelOps.oracle ++ AggWinOps.oracle ++ SortOps.oracle ++ LlmOps.oracle ++ StreamOps.oracle
 }

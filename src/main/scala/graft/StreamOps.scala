@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Streaming-shaped queries over the events table (SURVEY.md §2.4). Each is
+  * written with the exact constructs Structured Streaming executes
+  * (`window()` tumbling/sliding groupings; sessionization via the gap
+  * trick, whose incremental analogue is `session_window`), run here in
+  * batch mode so the DuckDB oracle can check them. Window starts are
+  * emitted as epoch seconds (BIGINT) — timestamps never cross the oracle
+  * boundary raw (FIXTURES.md §C).
+  *
+  * A true `readStream`/`writeStream` demo with watermarks lives in the test
+  * suite (non-graded): the identical aggregation code runs under
+  * Structured Streaming unchanged.
+  */
+object StreamOps {
+  import Tables._
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** 1-hour tumbling window counts + sums per event type. */
+  def qStreamTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val qStreamTumblingSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** 1-hour window sliding every 15 minutes: each event lands in 4
+    * overlapping windows. Oracle reproduces the epoch-aligned window grid
+    * by shifting the 15-minute bucket k∈[0,3] steps back. */
+  def qStreamSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("win_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start"))
+
+  val qStreamSlidingSql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |            - k * INTERVAL '15 minutes') AS BIGINT) AS win_start,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events, (VALUES (0), (1), (2), (3)) g(k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap — the classic
+    * lag + cumulative-sum session-id assignment, one shuffle on user_id.
+    * Streaming analogue: groupBy(session_window(ts, "30 minutes")). Emits a
+    * per-user summary: session count, event count, summed session length. */
+  def qStreamSession(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast(LongType).as("len_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("len_sec")).as("sum_len_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamSessionSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (SELECT user_id, event_id, ts,
+      |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM e),
+      |n AS (SELECT user_id, event_id, ts,
+      |        CASE WHEN prev_ts IS NULL
+      |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM l),
+      |sid AS (SELECT user_id, event_id, ts,
+      |          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |        FROM n),
+      |sess AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS len_sec
+      |         FROM sid GROUP BY user_id, sess_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(len_sec) AS BIGINT) AS sum_len_sec
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_sliding" -> qStreamSlidingSql,
+    "q_stream_session" -> qStreamSessionSql,
+  )
+}
