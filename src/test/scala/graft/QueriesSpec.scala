@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator invariants over sf0.001 — fast semantic checks that don't
+  * need the DuckDB oracle (which is the driver-side gate). */
+class QueriesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every declared query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_sort_topk returns exactly 100 rows in descending price order") {
+    val rows = RelOps.qSortTopk(spark, sf).collect()
+    assert(rows.length === 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("semi and anti joins partition customers against 'P'-order existence") {
+    val semiP = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    val antiP = RelOps.qJoinAnti(spark, sf).count()
+    assert(semiP + antiP === Tables.customer(spark, sf).count())
+  }
+
+  test("rollup row count = detail + region subtotals + grand total") {
+    val n = AggWinOps.qAggRollup(spark, sf).count()
+    val detail = Tables.nation(spark, sf).select(col("n_name")).distinct().count()
+    // regions with >=1 customer add one subtotal row each, +1 grand total
+    assert(n === detail + 5 + 1)
+  }
+
+  test("cube contains all four grouping combinations") {
+    val rows = AggWinOps.qAggCube(spark, sf).collect()
+    val combos = rows.map(r => (r.getString(0) == "ALL", r.getString(1) == "ALL")).distinct
+    assert(combos.length === 4)
+  }
+
+  test("window running total tops out at the customer's total order value") {
+    // output is ordered by (custkey, orderkey) while the frame runs over
+    // (orderdate, orderkey) — so check the cumulative endpoint, not
+    // monotonicity in output order
+    val maxRunning = AggWinOps.qWindowRunning(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    val totals = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(maxRunning.keySet === totals.keySet)
+    maxRunning.foreach { case (k, v) => assert(math.abs(v - totals(k)) < 1e-6, s"cust $k") }
+  }
+
+  test("as-of join emits one row per event with order date <= event day") {
+    val n = RelOps.qJoinAsof(spark, sf).count()
+    assert(n === Tables.events(spark, sf).count())
+  }
+
+  test("set ops: except + intersect partition the customers-with-orders set") {
+    val rows = AggWinOps.qSetOps(spark, sf).collect()
+    val byOp = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val withOrders = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(byOp.getOrElse("except_p", 0) + byOp.getOrElse("intersect_p", 0) === withOrders)
+  }
+
+  test("dedup_exact survivors never exceed docs per lang") {
+    LlmOps.qDedupExact(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), r.getString(0))
+    }
+  }
+
+  test("near-dup clusters all have >= 2 members") {
+    val rows = LlmOps.qDedupNear(spark, sf).collect()
+    assert(rows.nonEmpty, "near-dup must find candidate clusters in the synthetic corpus")
+    rows.foreach(r => assert(r.getLong(2) >= 2))
+  }
+
+  test("sim_topk: 5 neighbors per probe, scores in [-1,1] and descending") {
+    val rows = LlmOps.qSimTopk(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    byProbe.values.foreach { rs =>
+      assert(rs.length === 5)
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.forall(sc => sc >= -1.0001 && sc <= 1.0001))
+      assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      rs.foreach(r => assert(r.getLong(1) !== r.getLong(0), "self-match excluded"))
+    }
+  }
+
+  test("text_stats: at most 20 tokens per lang, counts descending") {
+    val rows = LlmOps.qTextStats(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(rs.length <= 20)
+      val ns = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("stream_session: per-user sessions cover all that user's events") {
+    val sess = StreamOps.qStreamSession(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess === direct)
+  }
+
+  test("stream_sliding: every event lands in exactly 4 windows") {
+    val total = StreamOps.qStreamSliding(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count() * 4)
+  }
+}

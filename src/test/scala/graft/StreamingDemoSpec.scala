@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Non-graded Structured Streaming demo (SURVEY.md §2.4 note): the same
+  * tumbling-window aggregation used by q_stream_tumbling, executed as a real
+  * readStream→writeStream query with a watermark, must agree with the batch
+  * result. Proves the streaming surface works, not just batch look-alikes.
+  */
+class StreamingDemoSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("tumbling-window aggregation agrees between batch and structured streaming") {
+    // Stage events (with the ns→µs-normalized ts) into a streamable dir.
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+
+    def tumble(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = tumble(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("tumbled")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("tumbled")
+      .select(unix_seconds(col("window.start")).as("w"), col("event_type"),
+        col("n"), col("sum_value").cast(StringType))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val exp = tumble(ev)
+      .select(unix_seconds(col("window.start")).as("w"), col("event_type"),
+        col("n"), col("sum_value").cast(StringType))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length > 0)
+    assert(got.sameElements(exp))
+  }
+}
