@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor and embedding near-dup operators plus the
+  * multimodal binary-column pipeline (BASELINE.json north star).
+  *
+  * LSH design: 8 signed random hyperplanes over the 64-dim embedding
+  * space. The hyperplanes are deterministic ±1 vectors generated from a
+  * fixed arithmetic formula and embedded as LITERALS into both the Spark
+  * plan and the oracle SQL — zero cross-engine arithmetic risk. Bit j of a
+  * vector's signature = (dot(v, plane_j) >= 0).
+  *
+  * Scale: signatures are computed in one scan (no shuffle); candidate
+  * generation is an equi-join on (band, sig) — the standard LSH topology
+  * that replaces the O(n²) all-pairs join at 100 TB.
+  */
+object AnnOps {
+  import Tables._
+
+  private val Dim = 64
+  private val Bits = 8
+
+  /** plane(j)(d) ∈ {-1.0, +1.0}, deterministic. */
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(Bits, Dim) { (j, dd) =>
+      if (((j * Dim + dd) * 48271 + 7) % 97 % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Spark: dot(embedding, plane_j) as a sequential left-fold — identical
+    * operation order to DuckDB's list arithmetic. */
+  private def planeDot(emb: Column, j: Int): Column =
+    aggregate(
+      zip_with(emb, array(planes(j).map(lit): _*), (x, h) => x.cast(DoubleType) * h),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB: same dot as a literal DOUBLE[] zip. */
+  private def planeDotSql(embExpr: String, j: Int): String = {
+    val lits = planes(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+    s"list_sum(list_transform(list_zip($embExpr, [$lits]::DOUBLE[]), x -> x[1] * x[2]))"
+  }
+
+  private def bitCol(emb: Column, j: Int): Column =
+    when(planeDot(emb, j) >= 0, lit(1L << j)).otherwise(lit(0L))
+
+  private def bitSql(embExpr: String, j: Int): String =
+    s"(CASE WHEN ${planeDotSql(embExpr, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, embedding, na, bucket, band sigs s0..s3). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("na", sumSq(col("embedding")))
+      .withColumn("bucket", (0 until Bits).map(j => bitCol(col("embedding"), j)).reduce(_ + _))
+    // 4 bands of 2 bits each: band b covers bits 2b, 2b+1
+    (0 until 4).foldLeft(base) { (df, b) =>
+      df.withColumn(s"s$b", (col("bucket") / lit(1L << (2 * b))).cast(LongType) % 4)
+    }
+  }
+
+  private val signaturesSqlCte: String = {
+    val bucket = (0 until Bits).map(j => bitSql("emb", j)).mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, emb,
+       |    list_sum(list_transform(emb, x -> x * x)) AS na,
+       |    $bucket AS bucket
+       |  FROM e),
+       |banded AS (
+       |  SELECT vec_id, emb, na, bucket,
+       |    ${(0 until 4).map(b => s"(bucket // ${1L << (2 * b)}) % 4 AS s$b").mkString(", ")}
+       |  FROM sigs)""".stripMargin
+  }
+
+  // ----------------------------------------------------------- ANN search
+
+  /** LSH-bucketed ANN: probes (vec_id < 10) only compare against vectors
+    * sharing their full 8-bit signature — the scale path that replaces
+    * q_sim_topk's brute force. Top-3 per probe by rounded cosine. */
+  def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val probes = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("bucket").as("pbucket"))
+    val scored = sigs.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("embedding"), col("pvec")) /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimAnnLshSql: String =
+    s"""WITH $signaturesSqlCte,
+       |p AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, bucket AS pbucket
+       |      FROM banded WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT probe_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2]))
+       |          / sqrt(c.na * p.pna), 4) AS score
+       |  FROM banded c JOIN p ON c.bucket = p.pbucket AND c.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                           ORDER BY score DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------ embedding near-dup
+
+  /** Embedding-cosine near-dup via banded LSH (4 bands × 2 bits): a pair
+    * is a candidate iff it collides in ≥1 band; candidates above cosine
+    * 0.35 are emitted. Candidate generation is 4 equi-joins + distinct —
+    * never an all-pairs cross join. */
+  def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d).select(
+      col("vec_id"), col("embedding"), col("na"),
+      col("s0"), col("s1"), col("s2"), col("s3"))
+    val bandRows = (0 until 4).map(b =>
+        sigs.select(lit(b).as("band"), col(s"s$b").as("sig"), col("vec_id")))
+      .reduce(_.union(_))
+    val pairs = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val ea = sigs.select(col("vec_id").as("va"), col("embedding").as("emb_a"), col("na").as("na_a"))
+    val eb = sigs.select(col("vec_id").as("vb"), col("embedding").as("emb_b"), col("na").as("na_b"))
+    pairs.join(ea, Seq("va")).join(eb, Seq("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          sqrt(col("na_a") * col("na_b")), 4).as("score"))
+      .filter(col("score") >= 0.35)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val qDedupEmbedSql: String =
+    s"""WITH $signaturesSqlCte,
+       |band_rows AS (
+       |  ${(0 until 4).map(b => s"SELECT $b AS band, s$b AS sig, vec_id FROM banded").mkString("\n  UNION ALL\n  ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM band_rows a JOIN band_rows b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT va, vb,
+       |    round(list_sum(list_transform(list_zip(ea.emb, eb.emb), x -> x[1] * x[2]))
+       |          / sqrt(ea.na * eb.na), 4) AS score
+       |  FROM pairs
+       |  JOIN banded ea ON ea.vec_id = va
+       |  JOIN banded eb ON eb.vec_id = vb)
+       |SELECT va, vb, score FROM scored WHERE score >= 0.35
+       |ORDER BY va, vb""".stripMargin
+
+  // ------------------------------------------- multimodal binary pipeline
+
+  /** Multimodal binary-column pipeline: text re-encoded as an opaque binary
+    * payload with typed metadata, "decoded" by a partition-batched stub.
+    * The decode stub (byte length, leading byte) stands in for a real
+    * image/audio codec — the codec libraries are absent here, so the stub
+    * is a deterministic fake — but the Spark plumbing is real: binary
+    * column, typed Dataset, mapPartitions batching, explicit result
+    * schema. The oracle reproduces the fake features relationally
+    * (texts are pure ASCII, so leading byte == ascii code). */
+  def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("lang"))
+      .as[(Long, Array[Byte], String)]
+    val decoded = payloads.mapPartitions { it =>
+      // partition-batched "decode": one imperative pass per batch, the
+      // shape a real codec invocation (or GPU batch) would take
+      it.map { case (id, bytes, lang) =>
+        (id, lang, bytes.length.toLong, (bytes.head & 0xff).toLong)
+      }
+    }.toDF("doc_id", "lang", "n_bytes", "first_byte")
+    decoded
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        min(col("first_byte")).as("min_first_byte"),
+        max(col("first_byte")).as("max_first_byte"))
+      .orderBy(col("lang"))
+  }
+
+  val qMultimodalBinarySql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+      |  CAST(MIN(ascii(text)) AS BIGINT) AS min_first_byte,
+      |  CAST(MAX(ascii(text)) AS BIGINT) AS max_first_byte
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_multimodal_binary" -> (qMultimodalBinary _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_ann_lsh" -> qSimAnnLshSql,
+    "q_dedup_embed" -> qDedupEmbedSql,
+    "q_multimodal_binary" -> qMultimodalBinarySql,
+  )
+}

@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Extended text-analysis operators for the training-data pipeline
+  * (BASELINE.json north star): language-ID, quality scoring, token
+  * counting, document fingerprinting, SimHash dedup. All portable
+  * arithmetic (no engine hash functions) so every query is
+  * DuckDB-oracle-checkable; at 100 TB the token-id dimension join would be
+  * replaced by xxhash64 with the same shuffle topology.
+  *
+  * Shared pipeline: tokenize (explode) → token-id dimension (dense_rank
+  * over the distinct vocabulary, tiny → broadcast) → per-doc aggregates.
+  */
+object TextOps {
+  import Tables._
+
+  private val P = 2147483647L
+
+  /** (doc_id, lang, pos, tok) token stream. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** Token-id dimension over the distinct vocabulary (1-based rank in
+    * token sort order — identical in DuckDB's DENSE_RANK). */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    toks(s, d).select(col("tok")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy(col("tok"))))
+
+  private def tokensWithId(s: SparkSession, d: String): DataFrame =
+    toks(s, d).join(broadcast(vocab(s, d)), Seq("tok"))
+
+  private val toksSqlCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+      |          FROM (SELECT DISTINCT tok FROM toks) v),
+      |tt AS (SELECT doc_id, lang, pos, tid FROM toks JOIN vocab USING (tok))""".stripMargin
+
+  // ---------------------------------------------------------- language ID
+
+  /** n-gram-heuristic-shaped language ID: each token votes for one of 5
+    * classes (tid mod 5); predicted class = argmax votes, ties to the
+    * smallest class. The corpus is synthetic (shared vocabulary across
+    * langs), so the *confusion matrix* against the labeled lang is the
+    * deliverable — it exercises the real plumbing: explode → vote →
+    * per-doc argmax → confusion rollup. */
+  def qTextLangid(s: SparkSession, d: String): DataFrame = {
+    val voteCols = (0 until 5).map(c =>
+      sum(when(col("tid") % 5 === c, 1L).otherwise(0L)).as(s"s$c"))
+    val votes = tokensWithId(s, d)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val m = greatest((0 until 5).map(c => col(s"s$c")): _*)
+    val predicted = (0 until 5).foldRight(lit(-1): Column) { (c, rest) =>
+      when(col(s"s$c") === m, c).otherwise(rest)
+    }
+    // foldRight gives CASE s0=m THEN 0 WHEN s1=m ... — first (smallest) wins
+    votes.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val qTextLangidSql: String =
+    s"""WITH $toksSqlCte,
+       |votes AS (
+       |  SELECT doc_id, lang,
+       |    ${(0 until 5).map(c => s"CAST(SUM(CASE WHEN tid % 5 = $c THEN 1 ELSE 0 END) AS BIGINT) AS s$c").mkString(",\n    ")}
+       |  FROM tt GROUP BY doc_id, lang),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE ${(0 until 5).map(c => s"WHEN s$c = GREATEST(s0, s1, s2, s3, s4) THEN $c").mkString(" ")}
+       |    END AS predicted
+       |  FROM votes)
+       |SELECT lang, predicted, COUNT(*) AS n_docs
+       |FROM pred GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+
+  // ------------------------------------------------------- quality scoring
+
+  /** Quality score per document from unique-token ratio, stopword ratio,
+    * and a length saturation term; reported as a per-(lang, decile-bucket)
+    * histogram with the average score. All ratios are single double
+    * divisions (deterministic); the score is rounded to 4dp before
+    * bucketing so both engines bucket identically. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val perDoc = toks(s, d)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("score", round(
+        lit(0.4) * (col("n_uniq").cast(DoubleType) / col("n_tok").cast(DoubleType)) +
+          lit(0.3) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok").cast(DoubleType)) +
+          lit(0.3) * least(lit(1.0), col("n_tok").cast(DoubleType) / lit(100.0)), 4))
+    perDoc
+      .withColumn("bucket", floor(col("score") * 10).cast(IntegerType))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(DecimalType(8, 4))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 4).as("avg_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val qTextQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id, lang,
+      |    round(0.4 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |        + 0.3 * (1.0 - CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |        + 0.3 * LEAST(1.0, CAST(COUNT(*) AS DOUBLE) / 100.0), 4) AS score
+      |  FROM toks GROUP BY doc_id, lang)
+      |SELECT lang, CAST(FLOOR(score * 10) AS INTEGER) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(score AS DECIMAL(8,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_score
+      |FROM per_doc GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
+  // -------------------------------------------------------- token counting
+
+  /** Token counting three ways per language: whitespace split, a BPE-ish
+    * regex tokenizer ([a-z]+ / digit runs), and raw characters. */
+  def qTextTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("re_tokens"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("re_tokens")).as("sum_re_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val qTextTokensSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_re_tokens,
+      |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------- doc fingerprinting
+
+  /** Content fingerprint per document: sum of distinct 3-token shingle
+    * values mod 2^31-1 (rolling-hash-family: order-sensitive through the
+    * shingles, repetition-insensitive through DISTINCT). Self-join-free;
+    * one shuffle per stage. */
+  def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokensWithId(s, d)
+      .withColumn("t2", lead(col("tid"), 1).over(wd))
+      .withColumn("t3", lead(col("tid"), 2).over(wd))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        ((col("tid").cast(LongType) * 1024L + col("t2")) * 1024L + col("t3")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg((sum_distinct(col("v")) % P).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextFingerprintSql: String =
+    s"""WITH $toksSqlCte,
+       |led AS (SELECT doc_id, tid,
+       |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |        FROM tt),
+       |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+       |       FROM led WHERE t3 IS NOT NULL)
+       |SELECT doc_id,
+       |  CAST(SUM(DISTINCT v) % 2147483647 AS BIGINT) AS fingerprint
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 12-bit SimHash near-dup buckets: per document, each token instance
+    * votes ±1 on every bit of its portable hash h = (48271·tid + 11) mod
+    * 4096; bit j of the signature is 1 iff the vote sum is positive.
+    * Buckets holding ≥2 docs are Hamming-distance-0 near-dup candidates.
+    * One explode + one grouped aggregate — fully shuffle-scalable. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val h = "(CAST(48271 AS BIGINT) * tid + 11) % 4096"
+    val bitSums = (0 until 12).map { j =>
+      sum(when(expr(s"(($h) div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val sig = (0 until 12).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tokensWithId(s, d)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sig)
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("simhash"))
+  }
+
+  val qDedupSimhashSql: String = {
+    val h = "(48271 * tid + 11) % 4096"
+    s"""WITH $toksSqlCte,
+       |bits AS (
+       |  SELECT doc_id,
+       |    ${(0 until 12).map(j => s"SUM(CASE WHEN (($h) // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
+       |  FROM tt GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 12).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |  FROM bits)
+       |SELECT simhash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+       |FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
+       |ORDER BY simhash""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+  )
+}
