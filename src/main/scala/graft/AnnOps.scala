@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorFunctions
+
 /** Approximate-nearest-neighbor and embedding near-dup operators plus the
   * multimodal binary-column pipeline (BASELINE.json north star).
   *
@@ -13,6 +15,11 @@ import org.apache.spark.sql.types._
   * fixed arithmetic formula and embedded as LITERALS into both the Spark
   * plan and the oracle SQL — zero cross-engine arithmetic risk. Bit j of a
   * vector's signature = (dot(v, plane_j) >= 0).
+  *
+  * Vector math runs on the custom codegen'd Catalyst expressions
+  * graft_dot / graft_norm_sq (graft.functions.VectorExpressions) — one
+  * fused loop inside whole-stage codegen instead of interpreted
+  * higher-order functions, with bit-identical results.
   *
   * Scale: signatures are computed in one scan (no shuffle); candidate
   * generation is an equi-join on (band, sig) — the standard LSH topology
@@ -30,12 +37,12 @@ object AnnOps {
       if (((j * Dim + dd) * 48271 + 7) % 97 % 2 == 0) 1.0 else -1.0
     }
 
-  /** Spark: dot(embedding, plane_j) as a sequential left-fold — identical
-    * operation order to DuckDB's list arithmetic. */
-  private def planeDot(emb: Column, j: Int): Column =
-    aggregate(
-      zip_with(emb, array(planes(j).map(lit): _*), (x, h) => x.cast(DoubleType) * h),
-      lit(0.0), (acc, x) => acc + x)
+  /** Spark: dot(emb, plane_j) through the codegen'd kernel, plane inlined
+    * as an array literal. */
+  private def planeDotExpr(embName: String, j: Int): String = {
+    val lits = planes(j).map(v => if (v > 0) "1.0D" else "-1.0D").mkString(",")
+    s"graft_dot($embName, array($lits))"
+  }
 
   /** DuckDB: same dot as a literal DOUBLE[] zip. */
   private def planeDotSql(embExpr: String, j: Int): String = {
@@ -43,29 +50,20 @@ object AnnOps {
     s"list_sum(list_transform(list_zip($embExpr, [$lits]::DOUBLE[]), x -> x[1] * x[2]))"
   }
 
-  private def bitCol(emb: Column, j: Int): Column =
-    when(planeDot(emb, j) >= 0, lit(1L << j)).otherwise(lit(0L))
+  private def bitCol(embName: String, j: Int): Column =
+    when(expr(planeDotExpr(embName, j)) >= 0, lit(1L << j)).otherwise(lit(0L))
 
   private def bitSql(embExpr: String, j: Int): String =
     s"(CASE WHEN ${planeDotSql(embExpr, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
 
-  private def sumSq(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** (vec_id, embedding, na, bucket, band sigs s0..s3). */
+  /** (vec_id, embedding, na, bucket): one scan, all 8 plane dots fused. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val base = embeddings(s, d)
+    VectorFunctions.register(s)
+    embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("na", sumSq(col("embedding")))
-      .withColumn("bucket", (0 until Bits).map(j => bitCol(col("embedding"), j)).reduce(_ + _))
-    // 4 bands of 2 bits each: band b covers bits 2b, 2b+1
-    (0 until 4).foldLeft(base) { (df, b) =>
-      df.withColumn(s"s$b", (col("bucket") / lit(1L << (2 * b))).cast(LongType) % 4)
-    }
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+      .withColumn("bucket",
+        (0 until Bits).map(j => bitCol("embedding", j)).reduce(_ + _))
   }
 
   private val signaturesSqlCte: String = {
@@ -95,7 +93,7 @@ object AnnOps {
     val scored = sigs.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("embedding"), col("pvec")) /
+        round(expr("graft_dot(embedding, pvec)") /
           sqrt(col("na") * col("pna")), 4).as("score"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -124,27 +122,28 @@ object AnnOps {
 
   /** Embedding-cosine near-dup via banded LSH (4 bands × 2 bits): a pair
     * is a candidate iff it collides in ≥1 band; candidates above cosine
-    * 0.35 are emitted. Candidate generation is 4 equi-joins + distinct —
-    * never an all-pairs cross join. */
+    * 0.35 are emitted. Band rows come from ONE signature computation via
+    * posexplode (not a 4-way union rescanning the pipeline); candidate
+    * generation is an equi-join + distinct — never an all-pairs cross
+    * join. */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(s, d).select(
-      col("vec_id"), col("embedding"), col("na"),
-      col("s0"), col("s1"), col("s2"), col("s3"))
-    val bandRows = (0 until 4).map(b =>
-        sigs.select(lit(b).as("band"), col(s"s$b").as("sig"), col("vec_id")))
-      .reduce(_.union(_))
+    val bandCols = (0 until 4).map(b =>
+      (col("bucket") / lit(1L << (2 * b))).cast(LongType) % 4)
+    val bandRows = signatures(s, d)
+      .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val pairs = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
-    val ea = sigs.select(col("vec_id").as("va"), col("embedding").as("emb_a"), col("na").as("na_a"))
-    val eb = sigs.select(col("vec_id").as("vb"), col("embedding").as("emb_b"), col("na").as("na_b"))
+    val ea = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("emb_a"))
+    val eb = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("emb_b"))
     pairs.join(ea, Seq("va")).join(eb, Seq("vb"))
       .select(col("va"), col("vb"),
-        round(dot(col("emb_a"), col("emb_b")) /
-          sqrt(col("na_a") * col("na_b")), 4).as("score"))
+        round(expr("graft_dot(emb_a, emb_b)") /
+          sqrt(expr("graft_norm_sq(emb_a)") * expr("graft_norm_sq(emb_b)")), 4)
+          .as("score"))
       .filter(col("score") >= 0.35)
       .orderBy(col("va"), col("vb"))
   }
