@@ -73,7 +73,9 @@ object LlmOps {
     * 4 MinHash signatures (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each →
     * band-buckets with ≥2 docs are candidate near-dup clusters.
     * Every stage is a keyed shuffle or broadcast — no driver-side state. */
-  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, v) 3-token shingle values — shared by the near-dup,
+    * fingerprint-style, and UDAF-sketch queries. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val vocab = toks.select(col("tok")).distinct()
@@ -81,12 +83,16 @@ object LlmOps {
     val tt = toks.join(broadcast(vocab), Seq("tok"))
       .select(col("doc_id"), col("pos"), col("tid"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = tt
+    tt
       .withColumn("t2", lead(col("tid"), 1).over(wd))
       .withColumn("t3", lead(col("tid"), 2).over(wd))
       .filter(col("t3").isNotNull)
       .select(col("doc_id"),
         ((col("tid").cast(LongType) * 1024L + col("t2")) * 1024L + col("t3")).as("v"))
+  }
+
+  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
     val mh = sh.groupBy(col("doc_id")).agg(
       min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
       min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
@@ -129,6 +135,43 @@ object LlmOps {
       |FROM bands GROUP BY band, ka, kb
       |HAVING COUNT(*) >= 2
       |ORDER BY band, rep_doc_id""".stripMargin
+
+  /** The same MinHash minima computed through the typed UDAF surface
+    * (graft.functions.MinHashAggregator) instead of expression minima —
+    * per-doc sketch slots, checked against the identical SQL oracle. */
+  def qDedupMinhashAgg(s: SparkSession, d: String): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashAggregator)
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(mh(col("v")).as("sketch"))
+      .select(col("doc_id"),
+        element_at(col("sketch"), 1).as("m0"),
+        element_at(col("sketch"), 2).as("m1"),
+        element_at(col("sketch"), 3).as("m2"),
+        element_at(col("sketch"), 4).as("m3"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupMinhashAggSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+      |          FROM (SELECT DISTINCT tok FROM toks) v),
+      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
+      |led AS (SELECT doc_id, tid,
+      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |        FROM tt),
+      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+      |       FROM led WHERE t3 IS NOT NULL)
+      |SELECT doc_id,
+      |  MIN((48271 * v + 11) % 2147483647) AS m0,
+      |  MIN((69621 * v + 17) % 2147483647) AS m1,
+      |  MIN((16807 * v + 23) % 2147483647) AS m2,
+      |  MIN((40692 * v + 31) % 2147483647) AS m3
+      |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- cosine top-k search
 
@@ -240,6 +283,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -248,6 +292,7 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
+    "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,
