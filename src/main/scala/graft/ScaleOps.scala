@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+
+/** Scale-technique operators: skew-resistant salted aggregation and
+  * IVF-cell ANN — the two remaining patterns a 100 TB deployment leans on
+  * (salting for hot keys; inverted-file cells as the coarse-quantizer
+  * alternative to hyperplane LSH). Both oracle-checked.
+  */
+object ScaleOps {
+  import Tables._
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  // ------------------------------------------------- salted aggregation
+
+  /** Skew-resistant aggregation: event_type has only 5 distinct values, so
+    * a naive groupBy concentrates 100 TB onto 5 reducers. Salt the key
+    * with a deterministic 16-way split (event_id mod 16), pre-aggregate
+    * per (key, salt), then combine per key — two shuffles, both balanced.
+    * Decimal sums are associative, so the two-phase result is identical
+    * to the direct aggregate the oracle computes. */
+  def qAggSalted(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("value"), pmod(col("event_id"), lit(16)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_part"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_part")).as("n"),
+        sum(col("sum_part")).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val qAggSaltedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- IVF ANN
+
+  /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
+    * vector is assigned to its nearest centroid by L2 (argmin over
+    * na − 2·dot + nc, ties to the lower cell id); probes (vec_id 10–19)
+    * search only their own cell. One broadcast of the tiny centroid set,
+    * one windowed argmin, one cell equi-join — no all-pairs work. */
+  def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
+    val probes = assigned.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("cell_id").as("pcell"))
+    val scored = assigned.join(broadcast(probes),
+        col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_dot(embedding, pvec)") /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimAnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS cvec, na AS nc FROM e WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT e.vec_id, e.emb, e.na, c.cell_id,
+      |    e.na - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+      |  FROM e, cents c),
+      |assigned AS (
+      |  SELECT vec_id, emb, na, cell_id FROM (
+      |    SELECT vec_id, emb, na, cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+      |    FROM dists) t WHERE arn = 1),
+      |probes AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, cell_id AS pcell
+      |           FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+      |scored AS (
+      |  SELECT probe_id, a.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(a.emb, p.pemb), x -> x[1] * x[2]))
+      |          / sqrt(a.na * p.pna), 4) AS score
+      |  FROM assigned a JOIN probes p
+      |    ON a.cell_id = p.pcell AND a.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, neighbor_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                           ORDER BY score DESC, neighbor_id) AS rn
+      |      FROM scored)
+      |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted" -> (qAggSalted _),
+    "q_sim_ann_ivf" -> (qSimAnnIvf _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_salted" -> qAggSaltedSql,
+    "q_sim_ann_ivf" -> qSimAnnIvfSql,
+  )
+}

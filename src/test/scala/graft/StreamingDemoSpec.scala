@@ -48,4 +48,29 @@ class StreamingDemoSpec extends AnyFunSuite {
     assert(got.length > 0)
     assert(got.sameElements(exp))
   }
+
+  test("session_window streaming agrees with the batch gap-trick sessionization") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val ev = Tables.events(spark, TestSpark.sf).select(col("ts"), col("user_id"))
+    ev.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = StreamOps.qStreamSession(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "session_window streaming and batch lag+cumsum sessionization disagree")
+  }
 }
