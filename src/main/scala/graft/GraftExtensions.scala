@@ -11,5 +11,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.VectorFunctions.functions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

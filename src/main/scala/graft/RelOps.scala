@@ -247,6 +247,21 @@ object RelOps {
       |FROM events e
       |ORDER BY e.event_id""".stripMargin
 
+  /** The same as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoin: custom LogicalPlan + SparkStrategy +
+    * sort-merge AsOfJoinExec) — one merge pass per co-partitioned,
+    * co-sorted partition with O(1) state. Checked against the identical
+    * DuckDB oracle as the window-based q_join_asof. */
+  def qJoinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(e, o, "user_id", "ts", "o_custkey", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        to_date(col("o_orderdate")).as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,6 +275,7 @@ object RelOps {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range_theta" -> (qJoinRangeTheta _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_native" -> (qJoinAsofNative _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,5 +289,6 @@ object RelOps {
     "q_join_anti" -> qJoinAntiSql,
     "q_join_range_theta" -> qJoinRangeThetaSql,
     "q_join_asof" -> qJoinAsofSql,
+    "q_join_asof_native" -> qJoinAsofSql,
   )
 }

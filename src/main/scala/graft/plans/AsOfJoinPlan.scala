@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the one whole-operator semantic the reference
+  * family needs that Spark's built-ins can't express directly (SURVEY.md
+  * §2.4 q_join_asof documents the window-based composition; this is the
+  * preference-(c) implementation: custom LogicalPlan + SparkStrategy +
+  * SparkPlan).
+  *
+  * Semantics: for every left row, append the right row with the same key
+  * and the greatest time ≤ the left row's time (inclusive as-of); right
+  * columns are null when no such row exists. Keys must be LongType and
+  * non-null; times must be TimestampType (internally long microseconds).
+  *
+  * Physical: sort-merge — EnsureRequirements co-partitions both sides on
+  * the key (ClusteredDistribution, exactly like SortMergeJoinExec) and
+  * sorts each partition by (key, time); the exec then does a single
+  * forward merge pass per partition, holding ONE candidate row of state.
+  * At 100 TB that is one shuffle per side and O(1) memory per task —
+  * strictly better than the m×n inequality-join fallback and equivalent
+  * to the union+window trick without materializing the union.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // bind against nullability-relaxed right attrs: the projection must
+      // null-check right columns (they're null for unmatched left rows)
+      val resultProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        private var nextRight: InternalRow =
+          if (rIt.hasNext) rIt.next().copy() else null
+        private var lastMatch: InternalRow = null
+        private var lastKey: Long = 0L
+        private var hasLastKey = false
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lkt = lProj(l)
+          val lkey = lkt.getLong(0)
+          val ltime = lkt.getLong(1)
+          if (!hasLastKey || lkey != lastKey) {
+            lastMatch = null
+            lastKey = lkey
+            hasLastKey = true
+          }
+          var advancing = nextRight != null
+          while (advancing) {
+            val rkt = rProj(nextRight)
+            val rkey = rkt.getLong(0)
+            val rtime = rkt.getLong(1)
+            if (rkey < lkey || (rkey == lkey && rtime <= ltime)) {
+              if (rkey == lkey) lastMatch = nextRight // already a private copy
+              nextRight = if (rIt.hasNext) rIt.next().copy() else null
+              advancing = nextRight != null
+            } else {
+              advancing = false
+            }
+          }
+          joined(l, if (lastMatch != null) lastMatch else nullRight)
+          resultProj(joined)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Dataset-level API + planner registration. */
+object AsOfJoinApi {
+  /** Idempotently add the strategy to a live session (works on plain
+    * driver sessions; GraftExtensions does the same at build time). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+  }
+
+  /** asofJoin(left, right): left rows + the latest right row per key at or
+    * before the left time. Columns are resolved by name on each side. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoin: column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    GraftShim.ofRows(spark,
+      AsOfJoin(lp, rp, attr(lp, leftKey), attr(lp, leftTime),
+        attr(rp, rightKey), attr(rp, rightTime)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoinApi
+
+/** The native sort-merge as-of operator must agree row-for-row with the
+  * window-based composition (both also hash-match the same DuckDB oracle
+  * driver-side). */
+class AsOfJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("native as-of join == window-based as-of join on the full event set") {
+    val native = RelOps.qJoinAsofNative(spark, sf).collect().map(_.toSeq)
+    val windowed = RelOps.qJoinAsof(spark, sf).collect().map(_.toSeq)
+    assert(native.length === windowed.length)
+    assert(native.sameElements(windowed))
+  }
+
+  test("left rows without a match keep null right columns") {
+    import spark.implicits._
+    val left = Seq((1L, "2024-01-10 00:00:00"), (2L, "2024-01-10 00:00:00"))
+      .toDF("k", "t_s").select(col("k"), col("t_s").cast("timestamp").as("t"))
+    val right = Seq((1L, "2024-01-09 00:00:00", "early"),
+        (1L, "2024-01-10 00:00:00", "exact"),
+        (1L, "2024-01-11 00:00:00", "late"))
+      .toDF("k2", "rt_s", "tag")
+      .select(col("k2"), col("rt_s").cast("timestamp").as("rt"), col("tag"))
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "t", "k2", "rt")
+      .orderBy(col("k")).collect()
+    assert(out.length === 2)
+    // k=1: inclusive as-of picks the row at exactly t, not the later one
+    assert(out(0).getString(4) === "exact")
+    // k=2: no right rows → all right columns null
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
+  test("as-of respects per-key isolation (no cross-key matches)") {
+    import spark.implicits._
+    val left = Seq((10L, "2024-06-01 00:00:00")).toDF("k", "t_s")
+      .select(col("k"), col("t_s").cast("timestamp").as("t"))
+    val right = Seq((99L, "2024-01-01 00:00:00", "other_key"))
+      .toDF("k2", "rt_s", "tag")
+      .select(col("k2"), col("rt_s").cast("timestamp").as("rt"), col("tag"))
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "t", "k2", "rt").collect()
+    assert(out.length === 1 && out(0).isNullAt(4))
+  }
+}
