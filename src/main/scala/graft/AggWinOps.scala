@@ -40,7 +40,9 @@ object AggWinOps {
   def qAggApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx"),
+        // rsd 0.02: the default 0.05 stddev occasionally exceeds the 5%
+        // gate at small cardinalities (observed at sf0.001)
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
         countDistinct(col("l_orderkey")).as("exact"))
       .select(
         (abs(col("approx").cast(DoubleType) - col("exact").cast(DoubleType)) /
