@@ -116,6 +116,46 @@ object AggWinOps {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY COALESCE(o_orderstatus, 'ALL'), COALESCE(o_orderpriority, 'ALL')""".stripMargin
 
+  /** Pivot: per-day event counts fanned out to one column per event type.
+    * Values are enumerated explicitly — at scale an implicit pivot would
+    * run a distinct-collect job on the driver first. */
+  def qAggPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  val qAggPivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`), rounded before comparison. */
+  def qAggPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("round(percentile(o_totalprice, 0.5), 2)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.9), 2)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val qAggPercentileSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------- windows
 
   /** Top-3 parts per brand by retail price (dense_rank keeps ties). */
@@ -277,6 +317,8 @@ object AggWinOps {
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_agg_pivot" -> (qAggPivot _),
+    "q_agg_percentile" -> (qAggPercentile _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag_lead" -> (qWindowLagLead _),
@@ -292,6 +334,8 @@ object AggWinOps {
     "q_agg_rollup" -> qAggRollupSql,
     "q_agg_cube" -> qAggCubeSql,
     "q_agg_grouping_sets" -> qAggGroupingSetsSql,
+    "q_agg_pivot" -> qAggPivotSql,
+    "q_agg_percentile" -> qAggPercentileSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lag_lead" -> qWindowLagLeadSql,

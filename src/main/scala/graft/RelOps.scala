@@ -105,6 +105,20 @@ object RelOps {
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
       |LIMIT 100""".stripMargin
 
+  /** LIMIT + OFFSET pagination over a total order. */
+  def qLimitOffset(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .offset(50)
+      .limit(20)
+
+  val qLimitOffsetSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20 OFFSET 50""".stripMargin
+
   // ---------------------------------------------------------------- joins
 
   /** Star join through two small dims — explicitly broadcast so the fact
@@ -269,6 +283,7 @@ object RelOps {
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
     "q_sort_topk" -> (qSortTopk _),
+    "q_limit_offset" -> (qLimitOffset _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_sortmerge" -> (qJoinSortmerge _),
     "q_join_semi" -> (qJoinSemi _),
@@ -283,6 +298,7 @@ object RelOps {
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,
     "q_sort_topk" -> qSortTopkSql,
+    "q_limit_offset" -> qLimitOffsetSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
     "q_join_sortmerge" -> qJoinSortmergeSql,
     "q_join_semi" -> qJoinSemiSql,

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: these properties are what make the
+  * queries scale (SCALE.md); losing one silently would keep results
+  * correct but wreck the 100 TB story. */
+class PlanQualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("Q6-shape filters push into the parquet scan") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate predicate not pushed to scan")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "unused columns not pruned from the scan")
+  }
+
+  test("dim joins broadcast (fact side never shuffles for the join)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join for dims")
+  }
+
+  test("global sort plans a range-partitioning exchange (TeraSort shape)") {
+    val p = plan("q_sort_global")
+    assert(p.contains("rangepartitioning"), "expected RangePartitioning exchange")
+    assert(p.contains("Sort"), "expected per-partition SortExec")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k operator")
+  }
+
+  test("windowed top-k gets the WindowGroupLimit pushdown") {
+    val p = plan("q_sim_ann_lsh")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("native as-of join plans AsOfJoinExec with co-partitioned sorted children") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), "native operator not planned")
+    assert(p.contains("hashpartitioning"), "children not hash co-partitioned")
+  }
+
+  test("vector kernels appear as expressions, not interpreted lambdas, in ANN plans") {
+    val p = plan("q_dedup_embed")
+    assert(p.contains("graft_dot"), "codegen'd dot kernel missing from plan")
+  }
+}

@@ -73,4 +73,39 @@ class StreamingDemoSpec extends AnyFunSuite {
     assert(streamed === batch,
       "session_window streaming and batch lag+cumsum sessionization disagree")
   }
+
+  test("flatMapGroupsWithState keeps per-user running state matching batch counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val dir = Files.createTempDirectory("graft_state").toString
+    val ev = Tables.events(spark, TestSpark.sf).select(col("user_id"))
+    ev.write.mode("overwrite").parquet(dir)
+
+    val counted = spark.readStream.schema(ev.schema).parquet(dir)
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+
+    val q = counted.toDF("user_id", "n")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // last update per user == total batch count
+    val streamed = spark.table("user_counts")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
