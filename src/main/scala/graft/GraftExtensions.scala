@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.VectorFunctions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => plans.AsOfJoinLimitPushdown)
   }
 }

@@ -114,6 +114,20 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: AsOfJoin emits exactly one output row per left row, so
+  * a limit above it can also run on the left input — at scale this turns
+  * "shuffle everything, then keep n rows" into "shuffle n left rows".
+  * (The right side still shuffles in full: any right row could be the
+  * match.) The inner guard keeps the rewrite from re-firing at fixpoint. */
+object AsOfJoinLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case GlobalLimit(ge, LocalLimit(le, a: AsOfJoin))
+        if !a.left.isInstanceOf[LocalLimit] =>
+      GlobalLimit(ge, LocalLimit(le, a.copy(left = LocalLimit(le, a.left))))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt) =>
@@ -130,6 +144,10 @@ object AsOfJoinApi {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsOfJoinLimitPushdown)) {
+      spark.experimental.extraOptimizations = opts :+ AsOfJoinLimitPushdown
     }
   }
 

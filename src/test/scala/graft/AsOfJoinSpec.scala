@@ -47,4 +47,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     val out = AsOfJoinApi.asofJoin(left, right, "k", "t", "k2", "rt").collect()
     assert(out.length === 1 && out(0).isNullAt(4))
   }
+
+  test("limit pushes through the as-of join (AsOfJoinLimitPushdown rule)") {
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))
+    val limited = AsOfJoinApi.asofJoin(e, o, "user_id", "ts", "o_custkey", "o_orderdate")
+      .limit(5)
+    val optimized = limited.queryExecution.optimizedPlan.toString
+    // the rewritten plan has a LocalLimit BELOW the AsOfJoin (on its left)
+    val joinIdx = optimized.indexOf("AsOfJoin")
+    assert(joinIdx >= 0)
+    assert(optimized.indexOf("LocalLimit", joinIdx) > joinIdx,
+      s"no limit pushed below the as-of join:\n$optimized")
+    assert(limited.count() === 5)
+  }
 }
