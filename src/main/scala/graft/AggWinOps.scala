@@ -283,6 +283,24 @@ object AggWinOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MapType coverage: parse props JSON into a map, explode entries,
+    * aggregate per key. */
+  def qScalarMap(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(explode(col("m")).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy(col("key"))
+
+  val qScalarMapSql: String =
+    """SELECT 'k' AS key, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
+      |FROM events""".stripMargin
+
   /** Array higher-order functions over the embedding vectors: per label,
     * count + exact-decimal sum of L2 norms (element arithmetic forced to
     * double on both engines before summation). */
@@ -325,6 +343,7 @@ object AggWinOps {
     "q_set_ops" -> (qSetOps _),
     "q_scalar_string_date" -> (qScalarStringDate _),
     "q_scalar_json" -> (qScalarJson _),
+    "q_scalar_map" -> (qScalarMap _),
     "q_scalar_array" -> (qScalarArray _),
   )
 
@@ -342,6 +361,7 @@ object AggWinOps {
     "q_set_ops" -> qSetOpsSql,
     "q_scalar_string_date" -> qScalarStringDateSql,
     "q_scalar_json" -> qScalarJsonSql,
+    "q_scalar_map" -> qScalarMapSql,
     "q_scalar_array" -> qScalarArraySql,
   )
 }

@@ -173,6 +173,84 @@ object LlmOps {
       |  MIN((40692 * v + 31) % 2147483647) AS m3
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Exact n-gram Jaccard verification over the MinHash-band candidate
+    * pairs: |A∩B| / |A∪B| on the distinct 3-shingle sets. The candidate
+    * restriction keeps this far from all-pairs — the standard
+    * LSH-then-verify topology. */
+  def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val mh = sh.groupBy(col("doc_id")).agg(
+      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
+      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
+      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
+      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
+    val bands = mh.select(col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
+      .union(mh.select(col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
+      .distinct()
+    val ds = sh.distinct()
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(ds.as("sa"), col("va") === col("sa.doc_id"))
+      .join(ds.as("sb"), col("vb") === col("sb.doc_id") && col("sa.v") === col("sb.v"))
+      .groupBy(col("va"), col("vb")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("va"), col("sz").as("sza")), Seq("va"))
+      .join(sizes.select(col("doc_id").as("vb"), col("sz").as("szb")), Seq("vb"))
+      .select(col("va"), col("vb"),
+        round(col("n_inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("n_inter")).cast(DoubleType), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val qDedupJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+      |          FROM (SELECT DISTINCT tok FROM toks) v),
+      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
+      |led AS (SELECT doc_id, tid,
+      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |        FROM tt),
+      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+      |       FROM led WHERE t3 IS NOT NULL),
+      |mh AS (SELECT doc_id,
+      |         MIN((48271 * v + 11) % 2147483647) AS m0,
+      |         MIN((69621 * v + 17) % 2147483647) AS m1,
+      |         MIN((16807 * v + 23) % 2147483647) AS m2,
+      |         MIN((40692 * v + 31) % 2147483647) AS m3
+      |       FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT m0 AS ka, m1 AS kb, doc_id FROM mh
+      |  UNION ALL
+      |  SELECT m2 AS ka, m3 AS kb, doc_id FROM mh),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
+      |  FROM bands x JOIN bands y
+      |    ON x.ka = y.ka AND x.kb = y.kb AND x.doc_id < y.doc_id),
+      |ds AS (SELECT DISTINCT doc_id, v FROM sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT va, vb, COUNT(*) AS n_inter
+      |  FROM pairs
+      |  JOIN ds sa ON sa.doc_id = va
+      |  JOIN ds sb ON sb.doc_id = vb AND sa.v = sb.v
+      |  GROUP BY va, vb)
+      |SELECT va, vb,
+      |  round(CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes a ON a.doc_id = va
+      |JOIN sizes b ON b.doc_id = vb
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE) >= 0.1
+      |ORDER BY va, vb""".stripMargin
+
   // --------------------------------------------------- cosine top-k search
 
   /** Brute-force cosine top-k: 10 probe vectors (vec_id < 10) against all
@@ -284,6 +362,7 @@ object LlmOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -293,6 +372,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
+    "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,

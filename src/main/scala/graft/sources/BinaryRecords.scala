@@ -27,6 +27,14 @@ object BinaryRecords {
   val RecordLen = 100
   val KeyLen = 10
 
+  /** teragen: n deterministic 100-byte records (10-byte ASCII-digit key
+    * from an explicit LCG — unsigned-lexicographic == numeric order — and
+    * a 90-byte payload). Pure DataFrame generation, no RNG. */
+  def teragen(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      expr("cast(lpad(cast((1103515245 * id + 12345) % 2147483647 as string), 10, '0') as binary)").as("key"),
+      expr("cast(rpad(cast(id as string), 90, '.') as binary)").as("payload"))
+
   /** Scan a directory/file of fixed 100-byte records. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.binaryRecords(path, RecordLen).map(Row(_))

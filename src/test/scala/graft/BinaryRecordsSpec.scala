@@ -14,13 +14,7 @@ import graft.sources.BinaryRecords
 class BinaryRecordsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def genTeraRecords(n: Int) = {
-    import org.apache.spark.sql.types._
-    spark.range(n)
-      .select(
-        expr(s"cast(lpad(cast((1103515245 * id + 12345) % 2147483647 as string), 10, '0') as binary)").as("key"),
-        expr(s"cast(rpad(cast(id as string), 90, '.') as binary)").as("payload"))
-  }
+  private def genTeraRecords(n: Int) = BinaryRecords.teragen(spark, n)
 
   test("binary record sink/scan round-trips 100-byte records") {
     val dir = Files.createTempDirectory("graft_bin").toString
