@@ -223,6 +223,28 @@ object AggWinOps {
       |      FROM events GROUP BY 1) t
       |ORDER BY day""".stripMargin
 
+  /** Distribution window functions: ntile, percent_rank, cume_dist over
+    * supplier account balances per nation (exact rank arithmetic —
+    * deterministic doubles, rounded). */
+  def qWindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+    supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  val qWindowDistributionSql: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  NTILE(4) OVER w AS quartile,
+      |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  round(CUME_DIST() OVER w, 6) AS cume
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
   // ------------------------------------------------------------- set ops
 
   /** UNION ALL / INTERSECT / EXCEPT in one labeled result. */
@@ -340,6 +362,7 @@ object AggWinOps {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag_lead" -> (qWindowLagLead _),
+    "q_window_distribution" -> (qWindowDistribution _),
     "q_set_ops" -> (qSetOps _),
     "q_scalar_string_date" -> (qScalarStringDate _),
     "q_scalar_json" -> (qScalarJson _),
@@ -358,6 +381,7 @@ object AggWinOps {
     "q_window_rank" -> qWindowRankSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lag_lead" -> qWindowLagLeadSql,
+    "q_window_distribution" -> qWindowDistributionSql,
     "q_set_ops" -> qSetOpsSql,
     "q_scalar_string_date" -> qScalarStringDateSql,
     "q_scalar_json" -> qScalarJsonSql,

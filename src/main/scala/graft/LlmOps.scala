@@ -173,6 +173,22 @@ object LlmOps {
       |  MIN((40692 * v + 31) % 2147483647) AS m3
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The same minima through the catalyst-native TypedImperativeAggregate
+    * (graft.functions.MinHashSketchAgg, called via SQL function
+    * graft_minhash) — serialized-partial merge path, same oracle. */
+  def qDedupMinhashNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash(v)").as("sketch"))
+      .select(col("doc_id"),
+        element_at(col("sketch"), 1).as("m0"),
+        element_at(col("sketch"), 2).as("m1"),
+        element_at(col("sketch"), 3).as("m2"),
+        element_at(col("sketch"), 4).as("m3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard verification over the MinHash-band candidate
     * pairs: |A∩B| / |A∪B| on the distinct 3-shingle sets. The candidate
     * restriction keeps this far from all-pairs — the standard
@@ -363,6 +379,7 @@ object LlmOps {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -373,6 +390,7 @@ object LlmOps {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,

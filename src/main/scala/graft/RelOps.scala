@@ -261,6 +261,43 @@ object RelOps {
       |FROM events e
       |ORDER BY e.event_id""".stripMargin
 
+  /** Full-outer join: per-customer order rollup keeps customers without
+    * orders AND orders whose customer is out of range (none here — but the
+    * join type must preserve both sides). */
+  def qJoinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy(col("custkey"))
+  }
+
+  val qJoinFullOuterSql: String =
+    """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  COALESCE(c_mktsegment, 'UNKNOWN') AS mktsegment,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(sum_price, 0.0) AS sum_price
+      |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Cross join of the two smallest dims — the explicit cartesian form. */
+  def qJoinCross(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val qJoinCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** The same as-of semantics through the NATIVE operator
     * (graft.plans.AsOfJoin: custom LogicalPlan + SparkStrategy +
     * sort-merge AsOfJoinExec) — one merge pass per co-partitioned,
@@ -291,6 +328,8 @@ object RelOps {
     "q_join_range_theta" -> (qJoinRangeTheta _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_native" -> (qJoinAsofNative _),
+    "q_join_full_outer" -> (qJoinFullOuter _),
+    "q_join_cross" -> (qJoinCross _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,5 +345,7 @@ object RelOps {
     "q_join_range_theta" -> qJoinRangeThetaSql,
     "q_join_asof" -> qJoinAsofSql,
     "q_join_asof_native" -> qJoinAsofSql,
+    "q_join_full_outer" -> qJoinFullOuterSql,
+    "q_join_cross" -> qJoinCrossSql,
   )
 }

@@ -150,6 +150,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_norm_sq"),
       new ExpressionInfo(classOf[NormSq].getName, "graft_norm_sq"),
       (es: Seq[Expression]) => NormSq(es.head)),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSketchAgg].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSketchAgg(es.head).toAggregateExpression()),
   )
 
   /** Session-local registration (idempotent) — lets any query use the
