@@ -18,13 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+STRICT = bool(int(__import__("os").environ.get("CHECK_STRICT", "0")))
+
+
 def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        # strict mode: exact bit comparison (worst-case driver behavior);
+        # default: 6dp rounding
+        return repr(v) if STRICT else f"{v:.6f}"
     return str(v)
 
 
