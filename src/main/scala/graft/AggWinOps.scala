@@ -349,6 +349,106 @@ object AggWinOps {
       |  FROM embeddings) t
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Explicit NULL-ordering semantics: Spark defaults ASC NULLS FIRST,
+    * DuckDB ASC NULLS LAST — both sides must spell the ordering out.
+    * Nulls are introduced via NULLIF; NVL/coalesce round-trips them. */
+  def qSortNulls(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        col("o_orderpriority"))
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), col("status_np"),
+        coalesce(col("status_np"), lit("<null>")).as("status_filled"))
+      .orderBy(col("status_np").asc_nulls_last, col("o_orderkey"))
+
+  val qSortNullsSql: String =
+    """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np,
+      |  COALESCE(NULLIF(o_orderstatus, 'P'), '<null>') AS status_filled
+      |FROM orders WHERE o_orderkey <= 200
+      |ORDER BY status_np ASC NULLS LAST, o_orderkey""".stripMargin
+
+  /** String-function breadth (portable subset: identical semantics in
+    * DuckDB): upper/lower/trim/replace/reverse/substr/length/strpos/
+    * left/concat_ws. */
+  def qScalarStringFns(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        reverse(col("p_type")).as("rev"),
+        regexp_replace(col("p_name"), "part", "PRT").as("repl"),
+        substring(col("p_name"), 1, 4).as("pre4"),
+        length(col("p_name")).as("len"),
+        instr(col("p_type"), "O").cast(LongType).as("pos_o"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy(col("p_partkey"))
+
+  val qScalarStringFnsSql: String =
+    """SELECT p_partkey, UPPER(p_name) AS up, REVERSE(p_type) AS rev,
+      |  REPLACE(p_name, 'part', 'PRT') AS repl,
+      |  SUBSTRING(p_name, 1, 4) AS pre4,
+      |  LENGTH(p_name) AS len,
+      |  CAST(STRPOS(p_type, 'O') AS BIGINT) AS pos_o,
+      |  CONCAT_WS('|', p_brand, p_type) AS joined
+      |FROM part WHERE p_partkey <= 500
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Math-function breadth restricted to IEEE-exact operations (abs /
+    * ceil / floor / sqrt / sign / %% / greatest-least) — transcendentals
+    * (exp, ln, pow) are deliberately excluded: libm vs JVM results can
+    * differ in the last ulp across engines. */
+  def qScalarMathFns(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(50000.0)).as("dist"),
+        ceil(col("l_quantity") / 7.0).cast(LongType).as("ceil7"),
+        floor(col("l_extendedprice") / 1000.0).cast(LongType).as("kbucket"),
+        sqrt(col("l_extendedprice")).as("root"),
+        signum(col("l_discount") - 0.05).cast(IntegerType).as("sgn"),
+        (col("l_partkey") % 7).as("m7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gmax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val qScalarMathFnsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_extendedprice - 50000.0) AS dist,
+      |  CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil7,
+      |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS kbucket,
+      |  SQRT(l_extendedprice) AS root,
+      |  CAST(SIGN(l_discount - 0.05) AS INTEGER) AS sgn,
+      |  l_partkey % 7 AS m7,
+      |  GREATEST(l_quantity, l_discount * 100) AS gmax
+      |FROM lineitem WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Date-function breadth: year/month/day/quarter extraction, day
+    * difference, interval add — identical definitions in both engines. */
+  def qScalarDateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+      .orderBy(col("o_orderkey"))
+
+  val qScalarDateFnsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+      |  CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+      |  CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+      |  DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+      |FROM orders WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,6 +467,10 @@ object AggWinOps {
     "q_scalar_string_date" -> (qScalarStringDate _),
     "q_scalar_json" -> (qScalarJson _),
     "q_scalar_map" -> (qScalarMap _),
+    "q_sort_nulls" -> (qSortNulls _),
+    "q_scalar_string_fns" -> (qScalarStringFns _),
+    "q_scalar_math_fns" -> (qScalarMathFns _),
+    "q_scalar_date_fns" -> (qScalarDateFns _),
     "q_scalar_array" -> (qScalarArray _),
   )
 
@@ -386,6 +490,10 @@ object AggWinOps {
     "q_scalar_string_date" -> qScalarStringDateSql,
     "q_scalar_json" -> qScalarJsonSql,
     "q_scalar_map" -> qScalarMapSql,
+    "q_sort_nulls" -> qSortNullsSql,
+    "q_scalar_string_fns" -> qScalarStringFnsSql,
+    "q_scalar_math_fns" -> qScalarMathFnsSql,
+    "q_scalar_date_fns" -> qScalarDateFnsSql,
     "q_scalar_array" -> qScalarArraySql,
   )
 }
