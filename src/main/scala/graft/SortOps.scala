@@ -42,13 +42,17 @@ object SortOps {
     lineitem(s, d).count()
 
   /** teragen: rows (key_str: 19 ASCII digits, payload: 32 ASCII digits, key:
-    * binary). Key = k1*P + k2 with two independent LCGs — injective in i, so
+    * binary). Key = k1*P + k2 with two independent LCGs over (i mod P),
+    * block-mixed with (i div P) so the derivation stays within Long for
+    * any i < P² ≈ 4.6·10¹⁸ rows (the block term is 0 at local scales —
+    * bit-identical to the plain LCG — but keeps ANSI-mode arithmetic
+    * overflow-free at cluster row counts). Injective in i per block, so
     * keys are unique and the sorted order is total. */
   private def genRecords(s: SparkSession, d: String): DataFrame =
     s.range(recordCount(s, d))
       .select(
-        expr(s"(1103515245 * id + 12345) % $P").as("k1"),
-        expr(s"(214013 * id + 2531011) % $P").as("k2"),
+        expr(s"(1103515245 * (id % $P) + 12345 + 1013904223 * (id div $P)) % $P").as("k1"),
+        expr(s"(214013 * (id % $P) + 2531011 + 1664525 * (id div $P)) % $P").as("k2"),
         col("id"))
       .select(
         lpad(expr(s"k1 * $P + k2").cast(StringType), 19, "0").as("key_str"),
@@ -57,8 +61,8 @@ object SortOps {
   private val genRecordsSql: String =
     """SELECT lpad(CAST(k1 * 2147483647 + k2 AS VARCHAR), 19, '0') AS key_str,
       |       lpad(CAST(i AS VARCHAR), 32, '0') AS payload
-      |FROM (SELECT (1103515245 * i + 12345) % 2147483647 AS k1,
-      |             (214013 * i + 2531011) % 2147483647 AS k2, i
+      |FROM (SELECT (1103515245 * (i % 2147483647) + 12345 + 1013904223 * (i // 2147483647)) % 2147483647 AS k1,
+      |             (214013 * (i % 2147483647) + 2531011 + 1664525 * (i // 2147483647)) % 2147483647 AS k2, i
       |      FROM (SELECT ROW_NUMBER() OVER () - 1 AS i
       |            FROM lineitem) g)""".stripMargin
 

@@ -107,17 +107,42 @@ object StreamOps {
       |  CAST(SUM(len_sec) AS BIGINT) AS sum_len_sec
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming-shaped exact dedup: collapse events to one survivor per
+    * (user_id, event_type, minute) with a deterministic min-event-id
+    * survivor — the batch form of dropDuplicatesWithinWatermark, where the
+    * watermark would bound the dedup state. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_seconds(date_trunc("minute", col("ts"))).as("minute"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("event_type"), col("minute"))
+      .agg(min(col("event_id")).as("survivor_event_id"),
+        count(lit(1)).as("n_collapsed"))
+      .orderBy(col("user_id"), col("event_type"), col("minute"))
+
+  val qStreamDedupSql: String =
+    """SELECT user_id, event_type,
+      |  CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT) AS minute,
+      |  MIN(event_id) AS survivor_event_id,
+      |  COUNT(*) AS n_collapsed
+      |FROM events
+      |GROUP BY user_id, event_type, minute
+      |ORDER BY user_id, event_type, minute""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_dedup" -> (qStreamDedup _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,
+    "q_stream_dedup" -> qStreamDedupSql,
   )
 }
