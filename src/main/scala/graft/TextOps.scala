@@ -221,6 +221,85 @@ object TextOps {
        |ORDER BY simhash""".stripMargin
   }
 
+  /** Document chunking for training pipelines: fixed 32-token windows with
+    * stride 16 (50% overlap). Chunk assignment is pure integer arithmetic
+    * on token positions — one explode, no per-doc state. */
+  def qTextChunk(s: SparkSession, d: String): DataFrame = {
+    // posexplode is 0-based; DuckDB generate_subscripts is 1-based — align
+    // on 1-based positions (matters here, unlike the shingle queries where
+    // only relative order is used)
+    val tk = toks(s, d).filter(col("doc_id") < 100)
+      .withColumn("pos", col("pos") + 1)
+    val c0 = tk.select(col("doc_id"), col("pos"), col("tok"),
+      expr("(pos - 1) div 16").as("half"))
+    // window w covers halves w and w+1 → each token lands in 2 chunks
+    // (except the first half-window); chunk id = half and half - 1
+    val chunks = c0.select(col("doc_id"), col("pos"), col("tok"), col("half").as("chunk"))
+      .union(c0.filter(col("half") >= 1)
+        .select(col("doc_id"), col("pos"), col("tok"), (col("half") - 1).as("chunk")))
+    chunks
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .filter(col("n_tokens") > 16 || col("chunk") === 0) // drop tail stubs
+      .orderBy(col("doc_id"), col("chunk"))
+  }
+
+  val qTextChunkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents WHERE doc_id < 100),
+      |c0 AS (SELECT doc_id, pos, tok, (pos - 1) // 16 AS half FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, pos, tok, half AS chunk FROM c0
+      |  UNION ALL
+      |  SELECT doc_id, pos, tok, half - 1 AS chunk FROM c0 WHERE half >= 1)
+      |SELECT doc_id, chunk, COUNT(*) AS n_tokens,
+      |  MIN(pos) AS first_pos, MAX(pos) AS last_pos
+      |FROM chunks
+      |GROUP BY doc_id, chunk
+      |HAVING COUNT(*) > 16 OR chunk = 0
+      |ORDER BY doc_id, chunk""".stripMargin
+
+  /** TF-IDF in rational form: score = tf · N / df — one IEEE division of
+    * exact integers, so doubles are bit-identical across engines (no
+    * ln/log, which differ in the last ulp between libm implementations).
+    * Top-3 scored tokens per document over the first 50 docs. */
+  def qTextTfidf(s: SparkSession, d: String): DataFrame = {
+    val tk = toks(s, d)
+    val nDocs = documents(s, d).count()
+    val tf = tk.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tk.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        ((col("tf") * lit(nDocs)).cast(DoubleType) / col("df").cast(DoubleType))
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val qTextTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+      |       FROM toks WHERE doc_id < 50 GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, tok FROM toks) t GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, tok,
+      |    CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+      |  FROM tf JOIN df USING (tok)),
+      |r AS (SELECT doc_id, tok, tfidf,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      |      FROM scored)
+      |SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -229,6 +308,8 @@ object TextOps {
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_chunk" -> (qTextChunk _),
+    "q_text_tfidf" -> (qTextTfidf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,5 +318,7 @@ object TextOps {
     "q_text_tokens" -> qTextTokensSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_text_chunk" -> qTextChunkSql,
+    "q_text_tfidf" -> qTextTfidfSql,
   )
 }
