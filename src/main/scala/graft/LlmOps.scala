@@ -267,6 +267,90 @@ object LlmOps {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE) >= 0.1
       |ORDER BY va, vb""".stripMargin
 
+  /** Near-dup CLUSTERS via connected components over the MinHash-band
+    * candidate graph — the step that turns pairwise candidates into dedup
+    * groups. Spark side: iterative min-label propagation (converges in
+    * O(log diameter) rounds; lineage cut per round with localCheckpoint —
+    * the standard Pregel-style DataFrame loop). Oracle side: transitive
+    * closure by recursive CTE. Both reach the same fixpoint: every node
+    * labeled with the smallest doc_id in its component. */
+  def qDedupComponents(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val mh = sh.groupBy(col("doc_id")).agg(
+      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
+      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
+      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
+      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
+    val bands = mh.select(col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
+      .union(mh.select(col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("vb").as("va"), col("va").as("vb")))
+      .localCheckpoint()
+    var labels = edges.select(col("va").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges.join(labels, col("vb") === col("node"))
+        .groupBy(col("va")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, col("node") === col("va"), "left_outer")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+      .select(col("label").as("rep_doc_id"), col("n_docs"))
+      .orderBy(col("rep_doc_id"))
+  }
+
+  val qDedupComponentsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+      |          FROM (SELECT DISTINCT tok FROM toks) v),
+      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
+      |led AS (SELECT doc_id, tid,
+      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |        FROM tt),
+      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+      |       FROM led WHERE t3 IS NOT NULL),
+      |mh AS (SELECT doc_id,
+      |         MIN((48271 * v + 11) % 2147483647) AS m0,
+      |         MIN((69621 * v + 17) % 2147483647) AS m1,
+      |         MIN((16807 * v + 23) % 2147483647) AS m2,
+      |         MIN((40692 * v + 31) % 2147483647) AS m3
+      |       FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT m0 AS ka, m1 AS kb, doc_id FROM mh
+      |  UNION ALL
+      |  SELECT m2 AS ka, m3 AS kb, doc_id FROM mh),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
+      |  FROM bands x JOIN bands y
+      |    ON x.ka = y.ka AND x.kb = y.kb AND x.doc_id < y.doc_id),
+      |edges AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT va, vb FROM edges
+      |  UNION
+      |  SELECT r.a, e.vb FROM reach r JOIN edges e ON r.b = e.va),
+      |comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS label
+      |         FROM reach GROUP BY a)
+      |SELECT label AS rep_doc_id, COUNT(*) AS n_docs
+      |FROM comp GROUP BY label
+      |ORDER BY rep_doc_id""".stripMargin
+
   // --------------------------------------------------- cosine top-k search
 
   /** Brute-force cosine top-k: 10 probe vectors (vec_id < 10) against all
@@ -380,6 +464,7 @@ object LlmOps {
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
+    "q_dedup_components" -> (qDedupComponents _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -391,6 +476,7 @@ object LlmOps {
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
+    "q_dedup_components" -> qDedupComponentsSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,
