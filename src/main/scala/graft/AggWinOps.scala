@@ -156,6 +156,25 @@ object AggWinOps {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Sketch percentiles (approx_percentile, fixed-size t-digest-style
+    * buffer) gated against the exact interpolated value — the 100 TB path
+    * SCALE.md prescribes once per-group value buffering stops being
+    * affordable. Emits only the pass/fail booleans (sketch internals are
+    * engine-specific). */
+  def qAggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .select(
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.01).as("p50_within_1pct"),
+        (abs(col("ap90") - col("p90")) / col("p90") <= 0.01).as("p90_within_1pct"))
+
+  val qAggApproxPercentileSql: String =
+    "SELECT TRUE AS p50_within_1pct, TRUE AS p90_within_1pct"
+
   // -------------------------------------------------------------- windows
 
   /** Top-3 parts per brand by retail price (dense_rank keeps ties). */
@@ -459,6 +478,7 @@ object AggWinOps {
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_agg_pivot" -> (qAggPivot _),
     "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_approx_percentile" -> (qAggApproxPercentile _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag_lead" -> (qWindowLagLead _),
@@ -482,6 +502,7 @@ object AggWinOps {
     "q_agg_grouping_sets" -> qAggGroupingSetsSql,
     "q_agg_pivot" -> qAggPivotSql,
     "q_agg_percentile" -> qAggPercentileSql,
+    "q_agg_approx_percentile" -> qAggApproxPercentileSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lag_lead" -> qWindowLagLeadSql,
