@@ -11,13 +11,27 @@ import org.apache.spark.sql.types._
   * black-box UDFs) so Catalyst keeps optimizing and the DuckDB oracle can
   * reproduce every bit.
   *
-  * Portability: near-dup hashing is explicit integer arithmetic (LCGs mod
-  * 2^31-1 over token-id shingles) — at 100 TB you would swap the token-id
-  * dimension join for xxhash64 on the shingle text (same topology, one
-  * fewer join); the graded form keeps it engine-portable.
+  * Portability + scale: shingles are hashed DIRECTLY from their text with
+  * md5 (identical bytes-in/hex-out in every engine), taking the first 48
+  * bits mod 2^31-1. This is the scale path — a pure per-row content hash
+  * with no vocabulary dimension, no global window, no driver state — and
+  * it is simultaneously the oracle path, since DuckDB computes the same
+  * md5 prefix bit-for-bit. The MinHash permutations on top are explicit
+  * LCGs mod the same Mersenne prime.
   */
 object LlmOps {
   import Tables._
+
+  private val P = 2147483647L
+
+  /** Portable 31-bit content hash of a string column: first 12 hex chars
+    * (48 bits) of md5, mod 2^31-1. Spark: conv(hex,16,10); DuckDB:
+    * ('0x'||hex)::BIGINT — verified bit-identical. */
+  private[graft] def textHash(sqlExpr: String): String =
+    s"CAST(conv(substring(md5($sqlExpr), 1, 12), 16, 10) AS BIGINT) % $P"
+
+  private[graft] def textHashSql(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr), 1, 12)) AS BIGINT) % $P"
 
   /** Cosine building block: sequential left-fold sum of squares, forced to
     * double per element — bit-identical to DuckDB's list arithmetic. */
@@ -67,29 +81,39 @@ object LlmOps {
   // ------------------------------------------------------- MinHash near-dup
 
   /** Near-dup candidate clusters via MinHash + LSH banding.
-    * Pipeline: tokenize (posexplode) → token-id dimension (dense_rank over
-    * the distinct vocabulary — tiny, broadcast back) → 3-token shingles
-    * (lead windows per doc) → shingle value v injective under base 1024 →
+    * Pipeline: tokenize (posexplode) → 3-token shingles (lead windows,
+    * partitioned per doc — never global) → v = 31-bit md5 content hash of
+    * the shingle TEXT (no vocabulary dimension: the hash is computed
+    * row-locally, so the stage is embarrassingly parallel at any scale) →
     * 4 MinHash signatures (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each →
     * band-buckets with ≥2 docs are candidate near-dup clusters.
-    * Every stage is a keyed shuffle or broadcast — no driver-side state. */
+    * Every stage is a keyed shuffle or row-local — no driver-side state. */
   /** (doc_id, v) 3-token shingle values — shared by the near-dup,
     * fingerprint-style, and UDAF-sketch queries. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("tok"))))
-    val tt = toks.join(broadcast(vocab), Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("tid"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tt
-      .withColumn("t2", lead(col("tid"), 1).over(wd))
-      .withColumn("t3", lead(col("tid"), 2).over(wd))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(wd))
+      .withColumn("t3", lead(col("tok"), 2).over(wd))
       .filter(col("t3").isNotNull)
       .select(col("doc_id"),
-        ((col("tid").cast(LongType) * 1024L + col("t2")) * 1024L + col("t3")).as("v"))
+        expr(textHash("concat_ws(' ', tok, t2, t3)")).as("v"))
   }
+
+  /** The matching DuckDB shingle CTE (doc_id, v). */
+  private val shinglesSqlCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |led AS (SELECT doc_id, tok,
+       |          LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |          LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |        FROM toks),
+       |sh AS (SELECT doc_id,
+       |         ${textHashSql("tok || ' ' || t2 || ' ' || t3")} AS v
+       |       FROM led WHERE t3 IS NOT NULL)""".stripMargin
 
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
@@ -108,19 +132,7 @@ object LlmOps {
   }
 
   val qDedupNearSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
-      |          FROM (SELECT DISTINCT tok FROM toks) v),
-      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
-      |led AS (SELECT doc_id, tid,
-      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-      |        FROM tt),
-      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
-      |       FROM led WHERE t3 IS NOT NULL),
+    s"""WITH $shinglesSqlCte,
       |mh AS (SELECT doc_id,
       |         MIN((48271 * v + 11) % 2147483647) AS m0,
       |         MIN((69621 * v + 17) % 2147483647) AS m1,
