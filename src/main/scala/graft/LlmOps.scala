@@ -115,15 +115,25 @@ object LlmOps {
        |         ${textHashSql("tok || ' ' || t2 || ' ' || t3")} AS v
        |       FROM led WHERE t3 IS NOT NULL)""".stripMargin
 
-  def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val mh = sh.groupBy(col("doc_id")).agg(
+  /** Per-doc 4-permutation MinHash sketch over (doc_id, v) shingles. */
+  private def minhashOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
       min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
       min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
       min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
       min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
-    val bands = mh.select(lit(0).as("band"), col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
-      .union(mh.select(lit(1).as("band"), col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
+
+  /** LSH band rows (band, ka, kb, doc_id) from the sketch — ONE posexplode
+    * pass over the aggregate instead of a self-union, which would execute
+    * the whole upstream aggregation once per branch. */
+  private def bandsOf(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), posexplode(array(
+        struct(col("m0").as("ka"), col("m1").as("kb")),
+        struct(col("m2").as("ka"), col("m3").as("kb")))).as(Seq("band", "bk")))
+      .select(col("band"), col("bk.ka").as("ka"), col("bk.kb").as("kb"), col("doc_id"))
+
+  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(minhashOf(shingles(s, d)))
     bands.groupBy(col("band"), col("ka"), col("kb"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -165,19 +175,7 @@ object LlmOps {
   }
 
   val qDedupMinhashAggSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
-      |          FROM (SELECT DISTINCT tok FROM toks) v),
-      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
-      |led AS (SELECT doc_id, tid,
-      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-      |        FROM tt),
-      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
-      |       FROM led WHERE t3 IS NOT NULL)
+    s"""WITH $shinglesSqlCte
       |SELECT doc_id,
       |  MIN((48271 * v + 11) % 2147483647) AS m0,
       |  MIN((69621 * v + 17) % 2147483647) AS m1,
@@ -206,20 +204,23 @@ object LlmOps {
     * restriction keeps this far from all-pairs — the standard
     * LSH-then-verify topology. */
   def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val mh = sh.groupBy(col("doc_id")).agg(
-      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
-      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
-      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
-      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
-    val bands = mh.select(col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
-      .union(mh.select(col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
+    // Materialize the shingle scan ONCE: it feeds the sketch (via bands)
+    // and the exact sets (sa/sb/sizes). Without the checkpoints the
+    // posexplode→window→md5 subtree re-executes per reference (the r2
+    // 2.6× bench regression). The band list (2 rows/doc) and distinct
+    // shingle set are both small relative to the input scan.
+    val sh = shingles(s, d).localCheckpoint()
+    // band tag intentionally dropped: a cross-band (ka, kb) collision is a
+    // candidate too — matches the oracle's untagged UNION ALL
+    val bands = bandsOf(minhashOf(sh))
+      .select(col("ka"), col("kb"), col("doc_id"))
+      .localCheckpoint()
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
-    val ds = sh.distinct()
+    val ds = sh.distinct().localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(ds.as("sa"), col("va") === col("sa.doc_id"))
@@ -236,19 +237,7 @@ object LlmOps {
   }
 
   val qDedupJaccardSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
-      |          FROM (SELECT DISTINCT tok FROM toks) v),
-      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
-      |led AS (SELECT doc_id, tid,
-      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-      |        FROM tt),
-      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
-      |       FROM led WHERE t3 IS NOT NULL),
+    s"""WITH $shinglesSqlCte,
       |mh AS (SELECT doc_id,
       |         MIN((48271 * v + 11) % 2147483647) AS m0,
       |         MIN((69621 * v + 17) % 2147483647) AS m1,
@@ -279,27 +268,15 @@ object LlmOps {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE) >= 0.1
       |ORDER BY va, vb""".stripMargin
 
-  /** Near-dup CLUSTERS via connected components over the MinHash-band
-    * candidate graph — the step that turns pairwise candidates into dedup
-    * groups. Spark side: iterative min-label propagation (converges in
-    * O(log diameter) rounds; lineage cut per round with localCheckpoint —
-    * the standard Pregel-style DataFrame loop). Oracle side: transitive
-    * closure by recursive CTE. Both reach the same fixpoint: every node
-    * labeled with the smallest doc_id in its component. */
-  def qDedupComponents(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val mh = sh.groupBy(col("doc_id")).agg(
-      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
-      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
-      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
-      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
-    val bands = mh.select(col("m0").as("ka"), col("m1").as("kb"), col("doc_id"))
-      .union(mh.select(col("m2").as("ka"), col("m3").as("kb"), col("doc_id")))
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
-      .distinct()
+  /** Min-label connected components over an undirected edge list (va, vb).
+    * Pregel-style DataFrame loop with PATH HALVING: each round a node takes
+    * the least of its own label, its neighbors' labels, and its label's
+    * label (one extra self-join — the pointer jump), so the distance a
+    * label travels doubles per round and the loop converges in
+    * O(log diameter) rounds instead of O(diameter). Lineage is cut per
+    * round with localCheckpoint. THROWS if the cap is reached without
+    * convergence — a silent partial labeling is a wrong answer. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("vb").as("va"), col("va").as("vb")))
       .localCheckpoint()
@@ -308,36 +285,51 @@ object LlmOps {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, col("vb") === col("node"))
         .groupBy(col("va")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, col("node") === col("va"), "left_outer")
+      val jump = labels.select(col("node").as("jnode"), col("label").as("jlabel"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("va"), "left_outer")
+        .join(jump, col("label") === col("jnode"), "left_outer")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("new_label"))
         .localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
-    labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup CLUSTERS via connected components over the MinHash-band
+    * candidate graph — the step that turns pairwise candidates into dedup
+    * groups. Oracle side: transitive closure by recursive CTE. Both reach
+    * the same fixpoint: every node labeled with the smallest doc_id in its
+    * component. */
+  def qDedupComponents(s: SparkSession, d: String): DataFrame = {
+    // untagged bands (cross-band collisions count), matching the oracle;
+    // checkpointed because the band list is self-joined
+    val bands = bandsOf(minhashOf(shingles(s, d)))
+      .select(col("ka"), col("kb"), col("doc_id"))
+      .localCheckpoint()
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
+      .distinct()
+    connectedComponents(pairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
       .select(col("label").as("rep_doc_id"), col("n_docs"))
       .orderBy(col("rep_doc_id"))
   }
 
   val qDedupComponentsSql: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
-      |          FROM (SELECT DISTINCT tok FROM toks) v),
-      |tt AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok)),
-      |led AS (SELECT doc_id, tid,
-      |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-      |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-      |        FROM tt),
-      |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
-      |       FROM led WHERE t3 IS NOT NULL),
+    s"""WITH RECURSIVE $shinglesSqlCte,
       |mh AS (SELECT doc_id,
       |         MIN((48271 * v + 11) % 2147483647) AS m0,
       |         MIN((69621 * v + 17) % 2147483647) AS m1,

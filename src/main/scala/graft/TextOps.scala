@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
 /** Extended text-analysis operators for the training-data pipeline
   * (BASELINE.json north star): language-ID, quality scoring, token
   * counting, document fingerprinting, SimHash dedup. All portable
-  * arithmetic (no engine hash functions) so every query is
-  * DuckDB-oracle-checkable; at 100 TB the token-id dimension join would be
-  * replaced by xxhash64 with the same shuffle topology.
+  * arithmetic so every query is DuckDB-oracle-checkable.
   *
-  * Shared pipeline: tokenize (explode) → token-id dimension (dense_rank
-  * over the distinct vocabulary, tiny → broadcast) → per-doc aggregates.
+  * Shared pipeline: tokenize (explode) → row-local 31-bit token id
+  * (md5 content hash, LlmOps.textHash — no vocabulary dimension, no
+  * global window, embarrassingly parallel at any scale) → per-doc
+  * aggregates.
   */
 object TextOps {
   import Tables._
@@ -25,23 +25,19 @@ object TextOps {
     documents(s, d).select(col("doc_id"), col("lang"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
 
-  /** Token-id dimension over the distinct vocabulary (1-based rank in
-    * token sort order — identical in DuckDB's DENSE_RANK). */
-  private def vocab(s: SparkSession, d: String): DataFrame =
-    toks(s, d).select(col("tok")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("tok"))))
-
+  /** Token stream + tid = 31-bit md5 content hash of the token, computed
+    * row-locally (the scale path that replaced the dense_rank vocabulary
+    * window; bit-identical in DuckDB via textHashSql). */
   private def tokensWithId(s: SparkSession, d: String): DataFrame =
-    toks(s, d).join(broadcast(vocab(s, d)), Seq("tok"))
+    toks(s, d).withColumn("tid", expr(LlmOps.textHash("tok")))
 
   private val toksSqlCte: String =
-    """toks AS (
+    s"""toks AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
-      |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
-      |          FROM (SELECT DISTINCT tok FROM toks) v),
-      |tt AS (SELECT doc_id, lang, pos, tid FROM toks JOIN vocab USING (tok))""".stripMargin
+      |tt AS (SELECT doc_id, lang, pos, ${LlmOps.textHashSql("tok")} AS tid
+      |       FROM toks)""".stripMargin
 
   // ---------------------------------------------------------- language ID
 
@@ -154,8 +150,10 @@ object TextOps {
 
   /** Content fingerprint per document: sum of distinct 3-token shingle
     * values mod 2^31-1 (rolling-hash-family: order-sensitive through the
-    * shingles, repetition-insensitive through DISTINCT). Self-join-free;
-    * one shuffle per stage. */
+    * shingles, repetition-insensitive through DISTINCT). Each shingle value
+    * is itself reduced mod 2^31-1 so the per-doc distinct sum stays far
+    * from Long overflow at any document length. Self-join-free; one
+    * shuffle per stage. */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     tokensWithId(s, d)
@@ -163,7 +161,7 @@ object TextOps {
       .withColumn("t3", lead(col("tid"), 2).over(wd))
       .filter(col("t3").isNotNull)
       .select(col("doc_id"),
-        ((col("tid").cast(LongType) * 1024L + col("t2")) * 1024L + col("t3")).as("v"))
+        (((col("tid") * 1024L + col("t2")) * 1024L + col("t3")) % P).as("v"))
       .groupBy(col("doc_id"))
       .agg((sum_distinct(col("v")) % P).as("fingerprint"))
       .orderBy(col("doc_id"))
@@ -175,7 +173,7 @@ object TextOps {
        |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
        |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
        |        FROM tt),
-       |sh AS (SELECT doc_id, (tid * 1024 + t2) * 1024 + t3 AS v
+       |sh AS (SELECT doc_id, ((tid * 1024 + t2) * 1024 + t3) % 2147483647 AS v
        |       FROM led WHERE t3 IS NOT NULL)
        |SELECT doc_id,
        |  CAST(SUM(DISTINCT v) % 2147483647 AS BIGINT) AS fingerprint

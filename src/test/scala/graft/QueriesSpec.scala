@@ -124,4 +124,31 @@ class QueriesSpec extends AnyFunSuite {
       .agg(sum(col("n"))).collect()(0).getLong(0)
     assert(total === Tables.events(spark, sf).count() * 4)
   }
+
+  test("connected components: 60-hop chain converges inside the round cap") {
+    import spark.implicits._
+    // path graph 0-1-2-...-60 — min-label propagation alone needs 60
+    // rounds; path halving must close it within the default cap of 20
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("va", "vb")
+    val labels = LlmOps.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 61)
+    assert(labels.values.forall(_ === 0L), "all nodes must label to the chain min")
+  }
+
+  test("connected components: two disjoint cliques keep separate labels") {
+    import spark.implicits._
+    val edges = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("va", "vb")
+    val labels = LlmOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: throws instead of silently truncating") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("va", "vb")
+    assertThrows[IllegalStateException] {
+      LlmOps.connectedComponents(chain, maxIter = 2).collect()
+    }
+  }
 }
