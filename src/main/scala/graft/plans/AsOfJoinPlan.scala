@@ -16,8 +16,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: for every left row, append the right row with the same key
   * and the greatest time ≤ the left row's time (inclusive as-of); right
-  * columns are null when no such row exists. Keys must be LongType and
-  * non-null; times must be TimestampType (internally long microseconds).
+  * columns are null when no such row exists. Keys must be LongType; times
+  * must be TimestampType (internally long microseconds). NULLs follow SQL
+  * comparison semantics: a left row with a NULL key or time matches
+  * nothing (null-extended output); a right row with a NULL key or time is
+  * never a match.
   *
   * Physical: sort-merge — EnsureRequirements co-partitions both sides on
   * the key (ClusteredDistribution, exactly like SortMergeJoinExec) and
@@ -71,8 +74,17 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       new Iterator[InternalRow] {
-        private var nextRight: InternalRow =
-          if (rIt.hasNext) rIt.next().copy() else null
+        // right rows with a NULL key or time can never be a match (SQL
+        // comparison semantics) — skip them while advancing
+        private def fetchRight(): InternalRow = {
+          while (rIt.hasNext) {
+            val r = rIt.next()
+            val rkt = rProj(r)
+            if (!rkt.isNullAt(0) && !rkt.isNullAt(1)) return r.copy()
+          }
+          null
+        }
+        private var nextRight: InternalRow = fetchRight()
         private var lastMatch: InternalRow = null
         private var lastKey: Long = 0L
         private var hasLastKey = false
@@ -82,6 +94,12 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIt.next()
           val lkt = lProj(l)
+          if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+            // NULL left key/time compares false to everything → no match.
+            // (NULL-keyed rows sort first, so the right cursor hasn't moved.)
+            joined(l, nullRight)
+            return resultProj(joined)
+          }
           val lkey = lkt.getLong(0)
           val ltime = lkt.getLong(1)
           if (!hasLastKey || lkey != lastKey) {
@@ -96,7 +114,7 @@ case class AsOfJoinExec(
             val rtime = rkt.getLong(1)
             if (rkey < lkey || (rkey == lkey && rtime <= ltime)) {
               if (rkey == lkey) lastMatch = nextRight // already a private copy
-              nextRight = if (rIt.hasNext) rIt.next().copy() else null
+              nextRight = fetchRight()
               advancing = nextRight != null
             } else {
               advancing = false
