@@ -176,20 +176,27 @@ object AnnOps {
     * column, typed Dataset, mapPartitions batching, explicit result
     * schema. The oracle reproduces the fake features relationally
     * (texts are pure ASCII, so leading byte == ascii code). */
-  def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, lang, n_bytes, first_byte): the partition-batched "decode"
+    * stub — one imperative pass per batch, the shape a real codec
+    * invocation (or GPU batch) would take. Empty payloads decode to
+    * first_byte 0 (DuckDB ascii('') = 0). Extracted so the empty-payload
+    * path is unit-testable on a synthetic frame. */
+  private[graft] def decodeBinary(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val payloads = documents(s, d)
+    val payloads = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         col("lang"))
       .as[(Long, Array[Byte], String)]
-    val decoded = payloads.mapPartitions { it =>
-      // partition-batched "decode": one imperative pass per batch, the
-      // shape a real codec invocation (or GPU batch) would take
+    payloads.mapPartitions { it =>
       it.map { case (id, bytes, lang) =>
-        (id, lang, bytes.length.toLong, (bytes.head & 0xff).toLong)
+        val first = if (bytes.isEmpty) 0L else (bytes.head & 0xff).toLong
+        (id, lang, bytes.length.toLong, first)
       }
     }.toDF("doc_id", "lang", "n_bytes", "first_byte")
-    decoded
+  }
+
+  def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
+    decodeBinary(s, documents(s, d))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("sum_bytes"),

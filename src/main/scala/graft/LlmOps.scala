@@ -229,10 +229,14 @@ object LlmOps {
     inter
       .join(sizes.select(col("doc_id").as("va"), col("sz").as("sza")), Seq("va"))
       .join(sizes.select(col("doc_id").as("vb"), col("sz").as("szb")), Seq("vb"))
-      .select(col("va"), col("vb"),
-        round(col("n_inter").cast(DoubleType) /
-          (col("sza") + col("szb") - col("n_inter")).cast(DoubleType), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.1)
+      // filter on the UNROUNDED ratio (exactly what the oracle's WHERE
+      // does), then round for output — a true jaccard in [0.09995, 0.1)
+      // must be dropped by both engines, not kept by one
+      .withColumn("jaccard_raw",
+        col("n_inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard_raw") >= 0.1)
+      .select(col("va"), col("vb"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy(col("va"), col("vb"))
   }
 
@@ -274,8 +278,11 @@ object LlmOps {
     * label (one extra self-join — the pointer jump), so the distance a
     * label travels doubles per round and the loop converges in
     * O(log diameter) rounds instead of O(diameter). Lineage is cut per
-    * round with localCheckpoint. THROWS if the cap is reached without
-    * convergence — a silent partial labeling is a wrong answer. */
+    * round with localCheckpoint; the PREVIOUS round's checkpoint blocks
+    * are freed once the new round is materialized, so executor storage
+    * stays O(|labels|) instead of growing linearly with iterations.
+    * THROWS if the cap is reached without convergence — a silent partial
+    * labeling is a wrong answer. */
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("vb").as("va"), col("va").as("vb")))
@@ -298,6 +305,9 @@ object LlmOps {
             coalesce(col("jlabel"), col("label"))).as("new_label"))
         .localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
+      // updated is materialized (eager checkpoint + the count above), so
+      // the prior round's blocks are dead — free them now
+      org.apache.spark.sql.GraftShim.freeCheckpointBlocks(labels)
       labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1
     }

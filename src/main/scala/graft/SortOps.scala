@@ -83,20 +83,46 @@ object SortOps {
     * output, (b) order-independent modular checksum of all keys, (c) row
     * count — the permutation + sortedness property pair.
     *
-    * The adjacency check needs a total order; at cluster scale it becomes
-    * per-partition lag + a boundary join on partition edges (same
-    * semantics). Here it is expressed directly with a global-order lag
-    * window over the *already synthesized* records. */
+    * Scale form (the reference's own TeraValidate shape): range-partition +
+    * per-partition sort, then ONE imperative pass per partition emitting a
+    * summary row (count, intra-partition inversions, checksum, first/last
+    * key) — O(1) state per task, no global window anywhere — followed by a
+    * boundary check across the ~32 summary rows (last key of partition i
+    * vs first key of partition i+1). The tiny summary lag window runs over
+    * aggregated data, not the record stream. key_str is fixed-width ASCII
+    * digits, so string order == binary key order. */
   def qSortValidate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val sorted = genRecords(s, d)
       .withColumn("key", col("key_str").cast(BinaryType))
-    val w = Window.orderBy(col("key"))
-    sorted
-      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      .repartitionByRange(32, col("key"))
+      .sortWithinPartitions(col("key"))
+      .select(col("key_str"))
+    val summaries = sorted.as[String].rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var first: String = null
+        var prev: String = null
+        var n = 0L; var viol = 0L; var sum = 0L
+        while (it.hasNext) {
+          val k = it.next()
+          if (first == null) first = k
+          else if (prev > k) viol += 1
+          sum += k.toLong % 1000003L
+          prev = k; n += 1
+        }
+        Iterator((pid, first, prev, n, viol, sum))
+      }
+    }.toDF("pid", "first_key", "last_key", "n_part", "viol_part", "sum_part")
+    val w = Window.orderBy(col("pid")) // ≤32 aggregated rows — not a scale risk
+    summaries
+      .withColumn("prev_last", lag(col("last_key"), 1).over(w))
       .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("prev_key") > col("key"), 1L).otherwise(0L)).as("violations"),
-        sum(expr("CAST(key_str AS BIGINT) % 1000003")).as("checksum"))
+        sum(col("n_part")).as("n_rows"),
+        (sum(col("viol_part")) +
+          sum(when(col("prev_last") > col("first_key"), 1L).otherwise(0L)))
+          .as("violations"),
+        sum(col("sum_part")).as("checksum"))
   }
 
   val qSortValidateSql: String =

@@ -11,8 +11,28 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.util
 import scala.jdk.CollectionConverters._
+
+/** Java-serializable Hadoop Configuration carrier (Configuration itself is
+  * Writable but not Serializable) — the standard wrapper pattern, so the
+  * session's `spark.hadoop.*` settings captured on the driver reach the
+  * executor-side readers instead of being silently dropped by a fresh
+  * `new Configuration()`. */
+class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** DataSource V2 provider for fixed-width 100-byte TeraSort record files:
   * `spark.read.format("terarecord").load(path)` → (key binary, payload
@@ -51,29 +71,36 @@ class TeraRecordTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = TeraRecordSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TeraScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the live session's Hadoop conf (fs settings, spark.hadoop.*)
+    // at scan-build time — this runs on the driver where the session exists
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new TeraScanBuilder(path, conf)
+  }
 }
 
-class TeraScanBuilder(path: String)
+class TeraScanBuilder(path: String, conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TeraRecordSource.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TeraScan(path, required)
+  override def build(): Scan = new TeraScan(path, required, conf)
 }
 
 case class TeraRecordPartition(file: String, start: Long, length: Long)
   extends InputPartition
 
-class TeraScan(path: String, required: StructType) extends Scan with Batch {
+class TeraScan(path: String, required: StructType,
+    private[graft] val conf: SerializableHadoopConf)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TeraRecordScan($path, columns=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     val files = {
       val p = new Path(path)
       if (fs.getFileStatus(p).isDirectory)
@@ -95,14 +122,15 @@ class TeraScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TeraReaderFactory(required.fieldNames)
+    new TeraReaderFactory(required.fieldNames, conf)
 }
 
-class TeraReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+class TeraReaderFactory(columns: Array[String], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TeraRecordPartition]
     new PartitionReader[InternalRow] {
-      private val fs = new Path(p.file).getFileSystem(new Configuration())
+      private val fs = new Path(p.file).getFileSystem(conf.value)
       private val in = fs.open(new Path(p.file))
       in.seek(p.start)
       private val rl = TeraRecordSource.RecordLen

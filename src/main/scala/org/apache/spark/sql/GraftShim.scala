@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unpersist the storage blocks behind a `localCheckpoint()`ed DataFrame
+    * (or a projection over one). `Dataset.unpersist` only talks to the
+    * CacheManager, which knows nothing about checkpoint RDDs — the blocks
+    * live on the `LogicalRDD` leaf's RDD, so that is what must be freed.
+    * No-op for plans without a LogicalRDD leaf. */
+  def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -48,6 +48,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).isNullAt(4))
   }
 
+  test("NULL left key/time rows null-extend; NULL right key/time rows never match") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option("2024-01-10 00:00:00")), // normal: should match "good"
+      (Option.empty[Long], Option("2024-01-10 00:00:00")), // NULL key
+      (Option(1L), Option.empty[String])) // NULL time
+      .toDF("k", "t_s").select(col("k"), col("t_s").cast("timestamp").as("t"))
+    val right = Seq(
+      (Option(1L), Option("2024-01-09 00:00:00"), "good"),
+      // a LATER null-time row for the same key: must never become the match
+      (Option(1L), Option.empty[String], "null_time"),
+      (Option.empty[Long], Option("2024-01-01 00:00:00"), "null_key"))
+      .toDF("k2", "rt_s", "tag")
+      .select(col("k2"), col("rt_s").cast("timestamp").as("rt"), col("tag"))
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "t", "k2", "rt").collect()
+    assert(out.length === 3)
+    val matched = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(matched.length === 1 && matched(0).getString(4) === "good")
+    // NULL-key and NULL-time left rows compare false to everything
+    out.filter(r => r.isNullAt(0) || r.isNullAt(1)).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+        s"null-keyed/timed left row must null-extend, got $r")
+    }
+  }
+
+  test("a right side of only NULL keys/times matches nothing") {
+    import spark.implicits._
+    val left = Seq((7L, "2024-03-01 00:00:00")).toDF("k", "t_s")
+      .select(col("k"), col("t_s").cast("timestamp").as("t"))
+    val right = Seq(
+      (Option(7L), Option.empty[String], "null_time"),
+      (Option.empty[Long], Option("2024-01-01 00:00:00"), "null_key"))
+      .toDF("k2", "rt_s", "tag")
+      .select(col("k2"), col("rt_s").cast("timestamp").as("rt"), col("tag"))
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "t", "k2", "rt").collect()
+    assert(out.length === 1 && out(0).isNullAt(2) && out(0).isNullAt(4))
+  }
+
   test("limit pushes through the as-of join (AsOfJoinLimitPushdown rule)") {
     val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))

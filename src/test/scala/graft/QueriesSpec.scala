@@ -151,4 +151,14 @@ class QueriesSpec extends AnyFunSuite {
       LlmOps.connectedComponents(chain, maxIter = 2).collect()
     }
   }
+
+  test("multimodal decode: empty payload yields first_byte 0, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello", "en"), (2L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = AnnOps.decodeBinary(spark, docs).orderBy(col("doc_id")).collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 'h'.toLong)
+    assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
+  }
 }

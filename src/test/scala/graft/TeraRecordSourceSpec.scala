@@ -36,6 +36,21 @@ class TeraRecordSourceSpec extends AnyFunSuite {
     assert(df.distinct().count() === 1000)
   }
 
+  test("session Hadoop conf reaches the DSv2 scan (no fresh Configuration)") {
+    val dir = writeRecords(200)
+    spark.conf.set("graft.test.hadoop.marker", "teraconf42")
+    try {
+      val df = spark.read.format("terarecord").load(dir)
+      val scan = df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.TeraScan]
+      // newHadoopConf() copies session conf entries into the Hadoop conf,
+      // so a session-level setting asserts the capture end-to-end
+      assert(scan.conf.value.get("graft.test.hadoop.marker") === "teraconf42")
+      assert(df.count() === 200)
+    } finally spark.conf.unset("graft.test.hadoop.marker")
+  }
+
   test("orderBy over the DSv2 source produces a globally sorted result") {
     val dir = writeRecords(3000)
     val keys = spark.read.format("terarecord").load(dir)
