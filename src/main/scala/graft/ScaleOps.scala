@@ -108,15 +108,114 @@ object ScaleOps {
       |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
       |ORDER BY probe_id, rn""".stripMargin
 
+  // ------------------------------------------- IVF with TRAINED centroids
+
+  /** Nearest-cell assignment by L2 argmin (ties to the lower cell id):
+    * one broadcast of the k centroids, one windowed argmin — vectors never
+    * shuffle. Shared by both trained-IVF stages. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("graft_norm_sq(emb)") - lit(2.0) * expr("graft_dot(emb, cvec)") +
+          expr("graft_norm_sq(cvec)"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("emb"), col("cell_id"))
+  }
+
+  /** IVF coarse-quantizer TRAINING, oracle-gated: 2 Lloyd rounds over k=8
+    * cells seeded from the first 8 vectors, then per-cell population and
+    * centroid norm. The centroid update is mean-by-fixed-point: each
+    * coordinate is quantized to floor(x·10⁶ + 0.5) (exact in both
+    * engines — no double→int cast, no decimal conversion), summed as
+    * BIGINT (exact, associative — the map-side-combinable form), and
+    * divided back in double arithmetic. That makes every trained centroid
+    * bit-identical between Spark and DuckDB regardless of summation
+    * order, which is what lets k-means itself be hash-gated rather than
+    * rows-only. Per round: one broadcast assignment + two keyed shuffles
+    * of (k × dim) aggregates — raw vectors never shuffle (the
+    * IvfTraining.scala production topology, here in its portable form). */
+  def qSimAnnIvfTrained(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    var cents: DataFrame = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cvec"))
+    for (_ <- 1 to 2) {
+      cents = assignCells(e, cents)
+        .select(col("cell_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(sum(expr("FLOOR(x * 1000000.0 + 0.5)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cell_id"), col("dim"),
+          (col("sx").cast(DoubleType) / (col("n").cast(DoubleType) * lit(1000000.0))).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cell_id"),
+          transform(col("pairs"), p => p.getField("m")).as("cvec"))
+    }
+    assignCells(e, cents)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(cents, Seq("cell_id"))
+      .select(col("cell_id"), col("n_vecs"),
+        round(sqrt(expr("graft_norm_sq(cvec)")), 4).as("centroid_norm"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** One Lloyd round in DuckDB: assignment CTE + fixed-point mean CTE. */
+  private def lloydRoundSql(inCents: String, assignName: String, centsName: String): String =
+    s"""$assignName AS (
+       |  SELECT vec_id, emb, cell_id FROM (
+       |    SELECT e.vec_id, e.emb, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(e.emb, x -> x * x))
+       |        - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2]))
+       |        + list_sum(list_transform(c.cvec, x -> x * x)),
+       |        c.cell_id) AS arn
+       |    FROM e, $inCents c) t WHERE arn = 1),
+       |${centsName}_m AS (
+       |  SELECT cell_id, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS m
+       |  FROM (SELECT cell_id, unnest(emb) AS x,
+       |          generate_subscripts(emb, 1) AS dim FROM $assignName) ax
+       |  GROUP BY cell_id, dim),
+       |$centsName AS (
+       |  SELECT cell_id, list(m ORDER BY dim) AS cvec
+       |  FROM ${centsName}_m GROUP BY cell_id)""".stripMargin
+
+  val qSimAnnIvfTrainedSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell_id, emb AS cvec FROM e WHERE vec_id < 8),
+       |${lloydRoundSql("c0", "a1", "c1")},
+       |${lloydRoundSql("c1", "a2", "c2")},
+       |af AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(e.emb, x -> x * x))
+       |        - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2]))
+       |        + list_sum(list_transform(c.cvec, x -> x * x)),
+       |        c.cell_id) AS arn
+       |    FROM e, c2 c) t WHERE arn = 1),
+       |n AS (SELECT cell_id, COUNT(*) AS n_vecs FROM af GROUP BY cell_id)
+       |SELECT n.cell_id, n.n_vecs,
+       |  round(sqrt(list_sum(list_transform(c.cvec, x -> x * x))), 4) AS centroid_norm
+       |FROM n JOIN c2 c ON n.cell_id = c.cell_id
+       |ORDER BY n.cell_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted" -> (qAggSalted _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
+    "q_sim_ann_ivf_trained" -> (qSimAnnIvfTrained _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" -> qAggSaltedSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
+    "q_sim_ann_ivf_trained" -> qSimAnnIvfTrainedSql,
   )
 }

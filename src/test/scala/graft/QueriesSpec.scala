@@ -152,6 +152,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF: all vectors assigned, cells nonempty, norms finite") {
+    val rows = ScaleOps.qSimAnnIvfTrained(spark, sf).collect()
+    assert(rows.length <= 8 && rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) > 0.0)
+    }
+  }
+
   test("multimodal decode: empty payload yields first_byte 0, not a crash") {
     import spark.implicits._
     val docs = Seq((1L, "hello", "en"), (2L, "", "en"))
