@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.VectorFunctions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => plans.AsOfJoinLimitPushdown)
+    e.injectOptimizerRule(_ => plans.AsOfJoinTimeFilterPushdown)
   }
 }

@@ -146,6 +146,55 @@ object AsOfJoinLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   }
 }
 
+/** Optimizer rule: a literal upper bound on the LEFT time implies the same
+  * bound on the RIGHT time — the match time is ≤ the left time, so right
+  * rows beyond the bound can never be the as-of match. Adding the bound as
+  * a right-side Filter lets it reach the right scan's PushedFilters, which
+  * at 100 TB turns "shuffle the entire right history" into "shuffle only
+  * rows inside the queried time range" (row-group skipping included).
+  *
+  * The bound is read from the left child's CONSTRAINTS, not a structural
+  * Filter match: by the time this batch runs, predicate pushdown has moved
+  * the user's filter below any Projects (often re-expressed on the raw
+  * scan column), but constraint propagation carries the implied
+  * `leftTime ≤ literal` back up through the aliases. The right-constraints
+  * guard keeps the rewrite from re-firing at fixpoint. */
+object AsOfJoinTimeFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute => Attr, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  /** Both timestamp flavors carry epoch micros; the exec compares the raw
+    * micros across them, so rebasing the literal onto the right side's
+    * flavor preserves exactly the exec's match semantics (and keeps the
+    * generated Filter resolved). */
+  private def retype(l: Literal, rt: Attr): Option[Literal] =
+    (l.dataType, rt.dataType) match {
+      case (a, b) if a == b => Some(l)
+      case (TimestampType | TimestampNTZType, TimestampType | TimestampNTZType) =>
+        Some(Literal(l.value, rt.dataType))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a: AsOfJoin =>
+      val bounds: Seq[Expression] = a.left.constraints.toSeq.collect {
+        case LessThanOrEqual(t: Attr, l: Literal) if t.semanticEquals(a.leftTime) =>
+          retype(l, a.rightTime).map(LessThanOrEqual(a.rightTime, _))
+        case LessThan(t: Attr, l: Literal) if t.semanticEquals(a.leftTime) =>
+          retype(l, a.rightTime).map(LessThan(a.rightTime, _)) // rt ≤ lt < T ⇒ rt < T
+        case GreaterThanOrEqual(l: Literal, t: Attr) if t.semanticEquals(a.leftTime) =>
+          retype(l, a.rightTime).map(LessThanOrEqual(a.rightTime, _))
+        case GreaterThan(l: Literal, t: Attr) if t.semanticEquals(a.leftTime) =>
+          retype(l, a.rightTime).map(LessThan(a.rightTime, _))
+      }.flatten
+      val fresh = bounds.filterNot(b => a.right.constraints.exists(_.semanticEquals(b)))
+      if (fresh.isEmpty) a
+      else a.copy(right = Filter(fresh.reduce(And), a.right))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt) =>
@@ -166,6 +215,10 @@ object AsOfJoinApi {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(AsOfJoinLimitPushdown)) {
       spark.experimental.extraOptimizations = opts :+ AsOfJoinLimitPushdown
+    }
+    val opts2 = spark.experimental.extraOptimizations
+    if (!opts2.contains(AsOfJoinTimeFilterPushdown)) {
+      spark.experimental.extraOptimizations = opts2 :+ AsOfJoinTimeFilterPushdown
     }
   }
 

@@ -86,6 +86,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).isNullAt(2) && out(0).isNullAt(4))
   }
 
+  test("left time bound pushes into the right scan (AsOfJoinTimeFilterPushdown)") {
+    val bound = Tables.events(spark, sf)
+      .agg(expr("percentile_approx(ts, 0.5)")).collect()(0).getTimestamp(0)
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))
+    val pushed = AsOfJoinApi.asofJoin(
+      e.filter(col("ts") <= lit(bound)), o, "user_id", "ts", "o_custkey", "o_orderdate")
+    val physical = pushed.queryExecution.executedPlan.toString
+    // the orders scan (the only one with o_orderdate) must carry the bound
+    assert(physical.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"no time bound pushed into the right scan:\n$physical")
+    // as-of output is 1:1 with left rows and keeps ts, so filter-then-join
+    // (pushed) must equal join-then-filter (not rewritten by the rule)
+    val unpushed = AsOfJoinApi.asofJoin(e, o, "user_id", "ts", "o_custkey", "o_orderdate")
+      .filter(col("ts") <= lit(bound))
+    val a = pushed.orderBy(col("event_id")).collect().map(_.toSeq)
+    val b = unpushed.orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.length === b.length && a.sameElements(b))
+  }
+
   test("limit pushes through the as-of join (AsOfJoinLimitPushdown rule)") {
     val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))
