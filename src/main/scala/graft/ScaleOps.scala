@@ -42,6 +42,48 @@ object ScaleOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------- deterministic stratified sample
+
+  /** Stratified sampling with per-stratum rates — the training-data
+    * curation primitive (downsample the over-represented class). The
+    * sample decision is a pure row-local portable hash of the row key
+    * (LCG mod 2^31−1, key reduced mod P first so the arithmetic stays in
+    * 63 bits at any orderkey range): no rand(), so the sample is
+    * reproducible run-to-run, engine-to-engine, and under retries — the
+    * property a 100 TB pipeline needs for resumable sampling. Rates:
+    * returnflag A → 5%, N → 10%, R → 20%. Embarrassingly parallel scan;
+    * the only shuffle is the final tiny per-stratum rollup. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr("((l_orderkey % 2147483647) * 48271 + l_linenumber * 16807 + 11) % 2147483647")
+          .as("h"))
+      .withColumn("thresh",
+        when(col("l_returnflag") === "A", lit(2147483647L / 20))
+          .when(col("l_returnflag") === "N", lit(2147483647L / 10))
+          .otherwise(lit(2147483647L / 5)))
+      .filter(col("h") < col("thresh"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+      .orderBy(col("l_returnflag"))
+
+  val qSampleStratifiedSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ((l_orderkey % 2147483647) * 48271 + l_linenumber * 16807 + 11) % 2147483647 AS h,
+      |    CASE l_returnflag WHEN 'A' THEN 2147483647 // 20
+      |                      WHEN 'N' THEN 2147483647 // 10
+      |                      ELSE 2147483647 // 5 END AS thresh
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_sampled,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(h) AS min_h, MAX(h) AS max_h
+      |FROM h WHERE h < thresh
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
@@ -209,12 +251,14 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted" -> (qAggSalted _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_trained" -> (qSimAnnIvfTrained _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" -> qAggSaltedSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrainedSql,
   )

@@ -130,9 +130,46 @@ object StreamOps {
       |GROUP BY user_id, event_type, minute
       |ORDER BY user_id, event_type, minute""".stripMargin
 
+  // ----------------------------------------- true readStream (graded)
+
+  /** The SAME tumbling aggregation as q_stream_tumbling, but executed
+    * through the real Structured Streaming engine: parquet file-stream
+    * source → event-time watermark → windowed aggregation → memory sink,
+    * driven to completion with Trigger.AvailableNow. Complete output mode
+    * makes the converged state equal the batch answer, so the identical
+    * DuckDB oracle gates the streaming path itself — the graded proof
+    * that the streaming surface (readStream/writeStream/watermark/
+    * window-state) works, not just its batch-shaped equivalent. At scale
+    * the same topology runs unbounded: the watermark bounds window state,
+    * and the file source becomes Kafka/object-store listing. */
+  def qStreamLive(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // glob form: the file source requires a directory basePath, and the
+    // driver's tables are single parquet files — the [e] glob matches only
+    // the events file while the basePath resolves to the sf directory
+    val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val sink = "graft_stream_live_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("win_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_live" -> (qStreamLive _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -140,6 +177,7 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,

@@ -298,9 +298,66 @@ object TextOps {
       |SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ------------------------------------------------------- PII redaction
+
+  /** PII/identifier scrubbing — the pre-training redaction pass: strip
+    * emails then numeric identifiers from a text column, count what was
+    * removed. The document texts are word-only, so each doc is composed
+    * with a synthetic id + contact address derived from doc_id (the
+    * redaction targets are then real and per-row distinct). Patterns use
+    * only character classes + quantifiers, which behave identically in
+    * Java regex (Spark) and RE2 (DuckDB); DuckDB needs the 'g' flag to
+    * match Spark's replace-all. Pure row-local expression work — no
+    * shuffle until the final small per-lang rollup. */
+  private val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val numPat = "[0-9]+"
+
+  def qTextRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        concat(col("text"), lit(" id "), col("doc_id").cast(StringType),
+          lit(" contact u"), col("doc_id").cast(StringType),
+          lit("@example.com")).as("txt"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("txt"), lit(emailPat), lit(0))))
+      .withColumn("re1", regexp_replace(col("txt"), emailPat, "<EMAIL>"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(col("re1"), lit(numPat), lit(0))))
+      .withColumn("re2", regexp_replace(col("re1"), numPat, "<NUM>"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_nums")).as("n_nums"),
+        sum(length(col("txt")) - length(col("re2"))).as("chars_delta"))
+      .orderBy(col("lang"))
+
+  val qTextRedactSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    text || ' id ' || CAST(doc_id AS VARCHAR)
+      |         || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' AS txt
+      |  FROM documents),
+      |r1 AS (
+      |  SELECT lang, txt,
+      |    len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+      |    regexp_replace(txt, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g') AS re1
+      |  FROM t),
+      |r2 AS (
+      |  SELECT lang, txt, n_emails,
+      |    len(regexp_extract_all(re1, '[0-9]+')) AS n_nums,
+      |    regexp_replace(re1, '[0-9]+', '<NUM>', 'g') AS re2
+      |  FROM r1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_nums) AS BIGINT) AS n_nums,
+      |  CAST(SUM(len(txt) - len(re2)) AS BIGINT) AS chars_delta
+      |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_redact" -> (qTextRedact _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
@@ -311,6 +368,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_redact" -> qTextRedactSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_tokens" -> qTextTokensSql,
