@@ -127,9 +127,15 @@ object AnnOps {
     * generation is an equi-join + distinct — never an all-pairs cross
     * join. */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+    // one materialization of the signature scan (embedding + norm + bucket):
+    // it feeds the band self-join AND both sides of the verify join, so
+    // without the checkpoint the 8-plane-dot subtree executes 4× — and the
+    // precomputed na replaces per-pair norm recomputation (the oracle's
+    // banded CTE reads ea.na/eb.na the same way)
+    val sigs = signatures(s, d).localCheckpoint()
     val bandCols = (0 until 4).map(b =>
       (col("bucket") / lit(1L << (2 * b))).cast(LongType) % 4)
-    val bandRows = signatures(s, d)
+    val bandRows = sigs
       .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val pairs = bandRows.as("a")
       .join(bandRows.as("b"),
@@ -137,12 +143,14 @@ object AnnOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
-    val ea = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("emb_a"))
-    val eb = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("emb_b"))
+    val ea = sigs.select(col("vec_id").as("va"), col("embedding").as("emb_a"),
+      col("na").as("na_a"))
+    val eb = sigs.select(col("vec_id").as("vb"), col("embedding").as("emb_b"),
+      col("na").as("na_b"))
     pairs.join(ea, Seq("va")).join(eb, Seq("vb"))
       .select(col("va"), col("vb"),
         round(expr("graft_dot(emb_a, emb_b)") /
-          sqrt(expr("graft_norm_sq(emb_a)") * expr("graft_norm_sq(emb_b)")), 4)
+          sqrt(col("na_a") * col("na_b")), 4)
           .as("score"))
       .filter(col("score") >= 0.35)
       .orderBy(col("va"), col("vb"))

@@ -100,12 +100,15 @@ object ScaleOps {
         col("na").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cell_id"))
+    // checkpointed: the assignment feeds both the probe filter and the
+    // candidate join — without it the crossJoin+argmin subtree runs twice
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
+      .localCheckpoint()
     val probes = assigned.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
         col("na").as("pna"), col("cell_id").as("pcell"))
@@ -196,6 +199,9 @@ object ScaleOps {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cell_id"),
           transform(col("pairs"), p => p.getField("m")).as("cvec"))
+        // k rows — checkpointing cuts the per-round lineage so the final
+        // assignment+join executes each Lloyd round exactly once
+        .localCheckpoint()
     }
     assignCells(e, cents)
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
