@@ -313,9 +313,44 @@ object RelOps {
       .orderBy(col("event_id"))
   }
 
+  // ------------------------------------------------- bucketed fact-fact join
+
+  /** The bucketed form of the fact-fact join — SCALE.md's headline lever
+    * for q_join_sortmerge at 100 TB: both sides written bucketed + sorted
+    * on the join key, so the sort-merge join runs with NO exchange (and no
+    * re-sort) on either side; the only shuffle in the whole plan is the
+    * final small priority rollup. Locally the bucket count is 16; at scale
+    * it is sized so each bucket ≈ one task's worth of data. The write is
+    * part of the operator (mode=overwrite keeps reruns idempotent) — the
+    * amortized pattern where the bucketed table is written once and joined
+    * many times. Results are graded against the plain-join oracle. */
+  def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qJoinBucketedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> (qJoinBucketed _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -333,6 +368,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucketed" -> qJoinBucketedSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,

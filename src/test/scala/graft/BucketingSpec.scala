@@ -10,6 +10,22 @@ class BucketingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("q_join_bucketed: the only exchange in the plan is the final rollup") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val df = RelOps.qJoinBucketed(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1,
+        s"join sides must read bucketed (no exchange before the SMJ):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("co-bucketed tables sort-merge join without a shuffle") {
     Tables.orders(spark, sf)
       .write.mode("overwrite")
