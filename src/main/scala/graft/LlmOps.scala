@@ -365,6 +365,55 @@ object LlmOps {
       |FROM comp GROUP BY label
       |ORDER BY rep_doc_id""".stripMargin
 
+  // --------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the train/test-overlap check every
+    * training pipeline runs before a data release: the distinct 3-shingle
+    * sets of a (small) benchmark corpus (here: doc_id < 10) are broadcast
+    * against the candidate corpus; each candidate doc's overlap fraction
+    * |doc ∩ bench| / |doc| flags it contaminated at ≥ 0.5. The flag
+    * compares the UNROUNDED ratio (both engines), and all reported
+    * aggregates are integer sums — exact at any scale. Topology: one
+    * shingle scan (checkpointed — it feeds both sides), benchmark set
+    * broadcast, one keyed shuffle per rollup. */
+  def qTextContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).localCheckpoint()
+    val bench = sh.filter(col("doc_id") < 10).select(col("v")).distinct()
+      .withColumn("hit", lit(1L))
+    val ds = sh.filter(col("doc_id") >= 10).distinct()
+    val perDoc = ds.join(broadcast(bench), Seq("v"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_ov"))
+    perDoc
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_ov").cast(DoubleType) / col("n_sh").cast(DoubleType) >= 0.5,
+          1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_ov")).as("sum_overlap"),
+        sum(col("n_sh")).as("sum_shingles"))
+      .orderBy(col("lang"))
+  }
+
+  val qTextContaminationSql: String =
+    s"""WITH $shinglesSqlCte,
+      |bench AS (SELECT DISTINCT v FROM sh WHERE doc_id < 10),
+      |ds AS (SELECT DISTINCT doc_id, v FROM sh WHERE doc_id >= 10),
+      |per_doc AS (
+      |  SELECT ds.doc_id, COUNT(*) AS n_sh,
+      |    CAST(SUM(CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ov
+      |  FROM ds LEFT JOIN bench b ON ds.v = b.v
+      |  GROUP BY ds.doc_id)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN CAST(n_ov AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(n_ov) AS BIGINT) AS sum_overlap,
+      |  CAST(SUM(n_sh) AS BIGINT) AS sum_shingles
+      |FROM per_doc JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // --------------------------------------------------- cosine top-k search
 
   /** Brute-force cosine top-k: 10 probe vectors (vec_id < 10) against all
@@ -479,6 +528,7 @@ object LlmOps {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_text_contamination" -> (qTextContamination _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -491,6 +541,7 @@ object LlmOps {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_dedup_components" -> qDedupComponentsSql,
+    "q_text_contamination" -> qTextContaminationSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,

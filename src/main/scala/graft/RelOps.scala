@@ -324,7 +324,20 @@ object RelOps {
     * part of the operator (mode=overwrite keeps reruns idempotent) — the
     * amortized pattern where the bucketed table is written once and joined
     * many times. Results are graded against the plain-join oracle. */
+  /** Drop a managed table AND its warehouse location: the location
+    * survives across JVMs while the in-memory catalog does not, so a
+    * fresh session's overwrite would hit LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    dropManaged(s, "graft_bkt_orders")
+    dropManaged(s, "graft_bkt_lineitem")
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")

@@ -186,7 +186,9 @@ object TextOps {
     * 4096; bit j of the signature is 1 iff the vote sum is positive.
     * Buckets holding ≥2 docs are Hamming-distance-0 near-dup candidates.
     * One explode + one grouped aggregate — fully shuffle-scalable. */
-  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, simhash): 12-bit per-doc SimHash signatures — shared by the
+    * bucket query and the Hamming-pairs query. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val h = "(CAST(48271 AS BIGINT) * tid + 11) % 4096"
     val bitSums = (0 until 12).map { j =>
       sum(when(expr(s"(($h) div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
@@ -197,15 +199,13 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", sig)
-      .groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .orderBy(col("simhash"))
+      .select(col("doc_id"), col("simhash"))
   }
 
-  val qDedupSimhashSql: String = {
+  /** Matching DuckDB CTE ending in `sig(doc_id, simhash)`. */
+  private val simhashSqlCte: String = {
     val h = "(48271 * tid + 11) % 4096"
-    s"""WITH $toksSqlCte,
+    s"""$toksSqlCte,
        |bits AS (
        |  SELECT doc_id,
        |    ${(0 until 12).map(j => s"SUM(CASE WHEN (($h) // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
@@ -213,11 +213,105 @@ object TextOps {
        |sig AS (
        |  SELECT doc_id,
        |    ${(0 until 12).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
-       |  FROM bits)
+       |  FROM bits)""".stripMargin
+  }
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d)
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("simhash"))
+
+  val qDedupSimhashSql: String =
+    s"""WITH $simhashSqlCte
        |SELECT simhash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
        |FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
        |ORDER BY simhash""".stripMargin
+
+  /** SimHash near-dup PAIRS within Hamming distance ≤ 2: the 12-bit
+    * signature splits into 3 bands of 4 bits, and by pigeonhole any pair
+    * within distance 2 agrees on ≥1 whole band — so candidates come from
+    * a band equi-join (never all-pairs), then the exact popcount of the
+    * XOR verifies. Signatures are checkpointed once for both join sides;
+    * bit_count is a built-in in both engines. */
+  def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(s, d).localCheckpoint()
+    val bandCols = (0 until 3).map(b =>
+      (col("simhash") / lit(1L << (4 * b))).cast(LongType) % 16)
+    val bandRows = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 2)
+      .select(col("va"), col("vb"), col("hamming"))
+      .orderBy(col("va"), col("vb"))
   }
+
+  val qDedupSimhashPairsSql: String =
+    s"""WITH $simhashSqlCte,
+       |bands AS (
+       |  ${(0 until 3).map(b => s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS bv FROM sig").mkString("\n  UNION ALL\n  ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS va, b.doc_id AS vb,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT va, vb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sa, sb)) <= 2
+       |ORDER BY va, vb""".stripMargin
+
+  // -------------------------------------------------- repetition scoring
+
+  /** Repetition detection — the boilerplate/spam heuristic: repeated
+    * 3-shingle fraction per doc, (total − distinct) / total, reported as a
+    * per-(lang, decile) histogram with the exact repeated-shingle sum. The
+    * ratio is one double division of two exact integers, so bucketing is
+    * engine-identical without rounding tricks. */
+  def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = tokensWithId(s, d)
+      .withColumn("t2", lead(col("tid"), 1).over(wd))
+      .withColumn("t3", lead(col("tid"), 2).over(wd))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (((col("tid") * 1024L + col("t2")) * 1024L + col("t3")) % P).as("v"))
+    sh.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("v")).as("n_dist"))
+      .withColumn("rep",
+        (col("n_total") - col("n_dist")).cast(DoubleType) /
+          col("n_total").cast(DoubleType))
+      .withColumn("bucket", floor(col("rep") * 10).cast(IntegerType))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_total") - col("n_dist")).as("sum_repeated"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val qTextRepetitionSql: String =
+    s"""WITH $toksSqlCte,
+       |led AS (SELECT doc_id, lang, tid,
+       |          LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |          LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |        FROM tt),
+       |sh AS (SELECT doc_id, lang, ((tid * 1024 + t2) * 1024 + t3) % 2147483647 AS v
+       |       FROM led WHERE t3 IS NOT NULL),
+       |per_doc AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_total, COUNT(DISTINCT v) AS n_dist
+       |  FROM sh GROUP BY doc_id, lang)
+       |SELECT lang,
+       |  CAST(FLOOR(CAST(n_total - n_dist AS DOUBLE) / CAST(n_total AS DOUBLE) * 10) AS INTEGER) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_total - n_dist) AS BIGINT) AS sum_repeated
+       |FROM per_doc GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
 
   /** Document chunking for training pipelines: fixed 32-token windows with
     * stride 16 (50% overlap). Chunk assignment is pure integer arithmetic
@@ -363,6 +457,8 @@ object TextOps {
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
+    "q_text_repetition" -> (qTextRepetition _),
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
   )
@@ -374,6 +470,8 @@ object TextOps {
     "q_text_tokens" -> qTextTokensSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
+    "q_text_repetition" -> qTextRepetitionSql,
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
   )
