@@ -151,15 +151,53 @@ object SortOps {
         max(col("key_str")).as("max_key"))
       .orderBy(col("pid"))
 
+  // -------------------------------------------- binary file I/O, graded
+
+  /** The reference's whole FILE pipeline under the oracle: teragen →
+    * raw fixed-width binary sink (RawRecordOutputFormat) → DSv2
+    * `terarecord` scan (record-aligned splits, column pruning, session
+    * Hadoop conf) → count + order-independent modular checksum + key
+    * range. The oracle reproduces the generator arithmetic in SQL, so a
+    * single flipped byte anywhere in the write→read path breaks the
+    * checksum. Record count tracks lineitem, scaling with sf. */
+  def qSourceTerarecord(s: SparkSession, d: String): DataFrame = {
+    val n = recordCount(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_terarecord_src"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    graft.sources.BinaryRecords.write(
+      graft.sources.BinaryRecords.teragen(s, n), dir)
+    s.read.format("terarecord").load(dir)
+      .select(col("key").cast(StringType).as("key_str"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(key_str AS BIGINT) % 1000003")).as("checksum"),
+        min(col("key_str")).as("min_key"),
+        max(col("key_str")).as("max_key"))
+  }
+
+  val qSourceTerarecordSql: String =
+    """WITH g AS (
+      |  SELECT (1103515245 * i + 12345) % 2147483647 AS k
+      |  FROM (SELECT ROW_NUMBER() OVER () - 1 AS i FROM lineitem) t)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(k % 1000003) AS BIGINT) AS checksum,
+      |  lpad(CAST(MIN(k) AS VARCHAR), 10, '0') AS min_key,
+      |  lpad(CAST(MAX(k) AS VARCHAR), 10, '0') AS max_key
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_terarecord" -> (qSourceTerarecord _),
     "q_sort_global" -> (qSortGlobal _),
     "q_sort_validate" -> (qSortValidate _),
     "q_sort_range_partition" -> (qSortRangePartition _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_terarecord" -> qSourceTerarecordSql,
     "q_sort_global" -> qSortGlobalSql,
     "q_sort_validate" -> qSortValidateSql,
     // q_sort_range_partition: intentionally no oracle (engine-specific pids)
