@@ -360,9 +360,50 @@ object RelOps {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- JSON/CSV round-trip
+
+  /** Source-format coverage, graded: orders written to BOTH json and csv,
+    * read back with explicit schemas (no inference pass), rolled up
+    * side-by-side — the oracle emits identical columns from parquet, so
+    * any value corrupted by either text round-trip (float formatting,
+    * quoting, header handling) breaks the hash. Timestamps cross the text
+    * boundary as epoch seconds (FIXTURES §C: never raw). */
+  def qSourceJsonCsv(s: SparkSession, d: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val jDir = s"$tmp/graft_src_json"
+    val cDir = s"$tmp/graft_src_csv"
+    val base = orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      unix_seconds(col("o_orderdate").cast(TimestampType)).as("od"))
+    base.write.mode("overwrite").json(jDir)
+    base.write.mode("overwrite").option("header", "true").csv(cDir)
+    val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, od BIGINT"
+    def rollup(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          dsum(col("o_totalprice")).as(s"sum_price_$tag"),
+          sum(col("od")).as(s"sum_od_$tag"))
+    rollup(s.read.schema(schema).json(jDir), "json")
+      .join(rollup(s.read.schema(schema).option("header", "true").csv(cDir), "csv"),
+        Seq("o_orderstatus"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qSourceJsonCsvSql: String =
+    """WITH r AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT) AS sum_od
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n AS n_json, sum_price AS sum_price_json,
+      |  sum_od AS sum_od_json, n AS n_csv, sum_price AS sum_price_csv,
+      |  sum_od AS sum_od_csv
+      |FROM r ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
@@ -381,6 +422,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,

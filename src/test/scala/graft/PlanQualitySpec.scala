@@ -51,4 +51,30 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_dedup_embed")
     assert(p.contains("graft_dot"), "codegen'd dot kernel missing from plan")
   }
+
+  test("stratified sample scan prunes to the four referenced columns") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      s"unused lineitem columns not pruned:\n$p")
+  }
+
+  test("redaction is row-local: exactly one exchange (the lang rollup)") {
+    val p = plan("q_text_redact")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size === 1,
+      s"redaction should shuffle only the final rollup:\n$p")
+  }
+
+  test("contamination plans a broadcast of the benchmark set, never all-pairs") {
+    val p = plan("q_text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs operator allowed:\n$p")
+  }
+
+  test("simhash pairs come from a band equi-join, never all-pairs") {
+    val p = plan("q_dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+  }
 }
