@@ -360,6 +360,53 @@ object RelOps {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------- merge / upsert
+
+  /** Snapshot MERGE (the CDC/upsert pattern without a table format):
+    * base ⟕⟖ changes on the key, coalescing changed columns — updates
+    * (key%7=0: repriced, status U) overwrite in place, inserts (key%13=0,
+    * re-keyed) append. One full-outer shuffle on the key is the whole
+    * cost; at scale the same plan co-locates via bucketing on the key
+    * (q_join_bucketed's lever). Rolled up per status so the oracle sees
+    * every merged row exactly once. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+    val updates = base.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("U").as("u_st"), (col("price") + lit(100.0)).as("u_price"))
+    // ×3 keeps the true value at 2 decimal places with no .xx5 ties
+    // (halving would create exact ties where Spark's HALF_UP and DuckDB's
+    // HALF_EVEN decimal casts diverge)
+    val inserts = base.filter(col("k") % 13 === 0)
+      .select((col("k") + lit(100000000L)).as("k"), lit("I").as("u_st"),
+        (col("price") * lit(3.0)).as("u_price"))
+    val changes = updates.unionByName(inserts)
+    base.join(changes, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("u_st"), col("st")).as("status"),
+        coalesce(col("u_price"), col("price")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      |              FROM orders),
+      |changes AS (
+      |  SELECT k, 'U' AS u_st, price + 100.0 AS u_price FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k + 100000000 AS k, 'I' AS u_st, price * 3.0 AS u_price
+      |  FROM base WHERE k % 13 = 0),
+      |merged AS (
+      |  SELECT COALESCE(c.u_st, b.st) AS status,
+      |         COALESCE(c.u_price, b.price) AS price
+      |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
   // ------------------------------------------------- JSON/CSV round-trip
 
   /** Source-format coverage, graded: orders written to BOTH json and csv,
@@ -403,6 +450,7 @@ object RelOps {
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_agg_hash" -> (qAggHash _),
@@ -422,6 +470,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_agg_hash" -> qAggHashSql,

@@ -166,10 +166,57 @@ object StreamOps {
     s.table(sink).orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Stateful SESSIONIZATION through the real streaming engine:
+    * `session_window` (dynamic, gap-merged window state) over the
+    * file-stream source, complete mode + AvailableNow so the converged
+    * sessions equal the batch gap-trick answer. Session identity crosses
+    * the oracle boundary as epoch seconds of the session start (= first
+    * event time). */
+  def qStreamLiveSession(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_seconds(col("w.start")).as("sess_start"),
+        col("n_events"))
+    val sink = "graft_stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val qStreamLiveSessionSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (SELECT user_id, event_id, ts,
+      |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM e),
+      |n AS (SELECT user_id, ts,
+      |        CASE WHEN prev_ts IS NULL
+      |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM l),
+      |sid AS (SELECT user_id, ts,
+      |          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |        FROM n)
+      |SELECT user_id, epoch_us(MIN(ts)) // 1000000 AS sess_start,
+      |  COUNT(*) AS n_events
+      |FROM sid GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live" -> (qStreamLive _),
+    "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -178,6 +225,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
+    "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,
