@@ -56,7 +56,11 @@ object ScaleOps {
   def qSampleStratified(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity"),
-        expr("((l_orderkey % 2147483647) * 48271 + l_linenumber * 16807 + 11) % 2147483647")
+        // the multiplier must exceed the modulus so the product WRAPS even
+        // for small sequential keys (a sub-modulus multiplier like 48271 is
+        // monotone over small key ranges — no mixing, wrong rates);
+        // (key % P) * 2654435761 ≤ 5.7e18 stays within Long
+        expr("((l_orderkey % 2147483647) * 2654435761 + l_linenumber * 40503 + 11) % 2147483647")
           .as("h"))
       .withColumn("thresh",
         when(col("l_returnflag") === "A", lit(2147483647L / 20))
@@ -73,7 +77,7 @@ object ScaleOps {
   val qSampleStratifiedSql: String =
     """WITH h AS (
       |  SELECT l_returnflag, l_quantity,
-      |    ((l_orderkey % 2147483647) * 48271 + l_linenumber * 16807 + 11) % 2147483647 AS h,
+      |    ((l_orderkey % 2147483647) * 2654435761 + l_linenumber * 40503 + 11) % 2147483647 AS h,
       |    CASE l_returnflag WHEN 'A' THEN 2147483647 // 20
       |                      WHEN 'N' THEN 2147483647 // 10
       |                      ELSE 2147483647 // 5 END AS thresh

@@ -247,10 +247,13 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
+      // popcount BEFORE distinct: the verify is a cheap row-local bit op,
+      // so dedup of multi-band collisions runs over the surviving
+      // near-pairs only, not the full candidate stream
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= 2)
       .select(col("va"), col("vb"), col("hamming"))
+      .distinct()
       .orderBy(col("va"), col("vb"))
   }
 

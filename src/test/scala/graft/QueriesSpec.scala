@@ -163,6 +163,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: per-stratum rates near targets and rerun-identical") {
+    val rows = ScaleOps.qSampleStratified(spark, sf).collect()
+    val totals = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("A" -> 0.05, "N" -> 0.10, "R" -> 0.20)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val rate = r.getLong(1).toDouble / totals(flag)
+      assert(math.abs(rate - targets(flag)) < 0.03,
+        s"stratum $flag sampled at $rate, target ${targets(flag)}")
+    }
+    // determinism: a rerun yields the identical sample (hash, not rand)
+    val rerun = ScaleOps.qSampleStratified(spark, sf).collect()
+    assert(rows.map(_.toSeq).sameElements(rerun.map(_.toSeq)))
+  }
+
   test("multimodal decode: empty payload yields first_byte 0, not a crash") {
     import spark.implicits._
     val docs = Seq((1L, "hello", "en"), (2L, "", "en"))
