@@ -338,11 +338,16 @@ object RelOps {
   def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
     dropManaged(s, "graft_bkt_orders")
     dropManaged(s, "graft_bkt_lineitem")
+    // repartition on the bucket key first: bucket assignment uses the same
+    // hash family, so each write task produces one bucket file instead of
+    // every task writing a sliver of all 16 buckets
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(16, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_bkt_orders")
     lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(16, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_bkt_lineitem")
