@@ -88,6 +88,31 @@ object ScaleOps {
       |FROM h WHERE h < thresh
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+
+  /** Heavy hitters per key through the native Misra-Gries sketch
+    * (graft.functions.MisraGriesAgg — K counters per group, mergeable
+    * partials, O(K) state at any input size). event_type has 5 distinct
+    * values ≤ K = 8, so the sketch is provably exact here and the plain
+    * GROUP BY oracle hash-checks the whole sketch path: per-partition
+    * update, partial serialization, merge, final eval. The >K
+    * approximation regime is covered by MisraGriesSpec. */
+  def qAggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    events(s, d)
+      .select(pmod(col("user_id"), lit(8)).as("bucket"), col("event_type"))
+      .groupBy(col("bucket"))
+      .agg(expr("graft_topk_freq(event_type)").as("hh"))
+      .select(col("bucket"), explode(col("hh")).as("e"))
+      .select(col("bucket"), col("e.value").as("event_type"), col("e.cnt").as("n"))
+      .orderBy(col("bucket"), col("n").desc, col("event_type"))
+  }
+
+  val qAggHeavyHittersSql: String =
+    """SELECT user_id % 8 AS bucket, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY bucket, n DESC, event_type""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
@@ -261,6 +286,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted" -> (qAggSalted _),
+    "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_trained" -> (qSimAnnIvfTrained _),
@@ -268,6 +294,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" -> qAggSaltedSql,
+    "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrainedSql,

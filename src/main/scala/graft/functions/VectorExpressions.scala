@@ -153,6 +153,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSketchAgg].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashSketchAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_topk_freq"),
+      (es: Seq[Expression]) => MisraGriesAgg(es.head).toAggregateExpression()),
   )
 
   /** Session-local registration (idempotent) — lets any query use the
