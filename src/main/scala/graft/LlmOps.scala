@@ -203,15 +203,16 @@ object LlmOps {
     * pairs: |A∩B| / |A∪B| on the distinct 3-shingle sets. The candidate
     * restriction keeps this far from all-pairs — the standard
     * LSH-then-verify topology. */
-  def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
-    // Materialize the shingle scan ONCE: it feeds the sketch (via bands)
-    // and the exact sets (sa/sb/sizes). Without the checkpoints the
-    // posexplode→window→md5 subtree re-executes per reference (the r2
-    // 2.6× bench regression). The band list (2 rows/doc) and distinct
-    // shingle set are both small relative to the input scan.
+  /** (va, vb, n_inter, sza, szb) for every MinHash-band candidate pair —
+    * the LSH-then-verify midpoint shared by the Jaccard and containment
+    * queries. The shingle scan is materialized ONCE: it feeds the sketch
+    * (via bands) and the exact sets (sa/sb/sizes); without the
+    * checkpoints the posexplode→window→md5 subtree re-executes per
+    * reference (the r2 2.6× bench regression). Band tag intentionally
+    * dropped: a cross-band (ka, kb) collision is a candidate too —
+    * matches the oracle's untagged UNION ALL. */
+  private def candidateIntersections(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).localCheckpoint()
-    // band tag intentionally dropped: a cross-band (ka, kb) collision is a
-    // candidate too — matches the oracle's untagged UNION ALL
     val bands = bandsOf(minhashOf(sh))
       .select(col("ka"), col("kb"), col("doc_id"))
       .localCheckpoint()
@@ -222,26 +223,18 @@ object LlmOps {
       .distinct()
     val ds = sh.distinct().localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    pairs
       .join(ds.as("sa"), col("va") === col("sa.doc_id"))
       .join(ds.as("sb"), col("vb") === col("sb.doc_id") && col("sa.v") === col("sb.v"))
       .groupBy(col("va"), col("vb")).agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.select(col("doc_id").as("va"), col("sz").as("sza")), Seq("va"))
       .join(sizes.select(col("doc_id").as("vb"), col("sz").as("szb")), Seq("vb"))
-      // filter on the UNROUNDED ratio (exactly what the oracle's WHERE
-      // does), then round for output — a true jaccard in [0.09995, 0.1)
-      // must be dropped by both engines, not kept by one
-      .withColumn("jaccard_raw",
-        col("n_inter").cast(DoubleType) /
-          (col("sza") + col("szb") - col("n_inter")).cast(DoubleType))
-      .filter(col("jaccard_raw") >= 0.1)
-      .select(col("va"), col("vb"), round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy(col("va"), col("vb"))
   }
 
-  val qDedupJaccardSql: String =
-    s"""WITH $shinglesSqlCte,
+  /** The matching DuckDB CTE block ending in
+    * `withsizes(va, vb, n_inter, sza, szb)`. */
+  private val candidateIntersectionsSqlCte: String =
+    s"""$shinglesSqlCte,
       |mh AS (SELECT doc_id,
       |         MIN((48271 * v + 11) % 2147483647) AS m0,
       |         MIN((69621 * v + 17) % 2147483647) AS m1,
@@ -263,13 +256,53 @@ object LlmOps {
       |  FROM pairs
       |  JOIN ds sa ON sa.doc_id = va
       |  JOIN ds sb ON sb.doc_id = vb AND sa.v = sb.v
-      |  GROUP BY va, vb)
+      |  GROUP BY va, vb),
+      |withsizes AS (
+      |  SELECT va, vb, n_inter, a.sz AS sza, b.sz AS szb
+      |  FROM inter
+      |  JOIN sizes a ON a.doc_id = va
+      |  JOIN sizes b ON b.doc_id = vb)""".stripMargin
+
+  def qDedupJaccard(s: SparkSession, d: String): DataFrame =
+    candidateIntersections(s, d)
+      // filter on the UNROUNDED ratio (exactly what the oracle's WHERE
+      // does), then round for output — a true jaccard in [0.09995, 0.1)
+      // must be dropped by both engines, not kept by one
+      .withColumn("jaccard_raw",
+        col("n_inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard_raw") >= 0.1)
+      .select(col("va"), col("vb"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col("va"), col("vb"))
+
+  /** Asymmetric CONTAINMENT |A∩B| / min(|A|,|B|) over the same candidate
+    * pairs — catches sub-document duplication (a small doc wholly inside
+    * a larger one) that symmetric Jaccard under-scores: a 100-shingle doc
+    * inside a 10000-shingle doc has jaccard ≈ 0.01 but containment 1.0. */
+  def qDedupContainment(s: SparkSession, d: String): DataFrame =
+    candidateIntersections(s, d)
+      .withColumn("containment_raw",
+        col("n_inter").cast(DoubleType) /
+          least(col("sza"), col("szb")).cast(DoubleType))
+      .filter(col("containment_raw") >= 0.2)
+      .select(col("va"), col("vb"),
+        round(col("containment_raw"), 4).as("containment"))
+      .orderBy(col("va"), col("vb"))
+
+  val qDedupContainmentSql: String =
+    s"""WITH $candidateIntersectionsSqlCte
       |SELECT va, vb,
-      |  round(CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE), 4) AS jaccard
-      |FROM inter
-      |JOIN sizes a ON a.doc_id = va
-      |JOIN sizes b ON b.doc_id = vb
-      |WHERE CAST(n_inter AS DOUBLE) / CAST(a.sz + b.sz - n_inter AS DOUBLE) >= 0.1
+      |  round(CAST(n_inter AS DOUBLE) / CAST(LEAST(sza, szb) AS DOUBLE), 4) AS containment
+      |FROM withsizes
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(sza, szb) AS DOUBLE) >= 0.2
+      |ORDER BY va, vb""".stripMargin
+
+  val qDedupJaccardSql: String =
+    s"""WITH $candidateIntersectionsSqlCte
+      |SELECT va, vb,
+      |  round(CAST(n_inter AS DOUBLE) / CAST(sza + szb - n_inter AS DOUBLE), 4) AS jaccard
+      |FROM withsizes
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sza + szb - n_inter AS DOUBLE) >= 0.1
       |ORDER BY va, vb""".stripMargin
 
   /** Min-label connected components over an undirected edge list (va, vb).
@@ -526,6 +559,7 @@ object LlmOps {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_text_contamination" -> (qTextContamination _),
@@ -539,6 +573,7 @@ object LlmOps {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_text_contamination" -> qTextContaminationSql,
