@@ -470,7 +470,46 @@ object AggWinOps {
 
   // ------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------- gap filling
+
+  /** Time-series gap-fill (resample-to-daily with zero fill): the dense
+    * (event_type × day) grid is generated with `sequence` + explode from
+    * the global min/max day — a few thousand rows built from a 1-row
+    * aggregate, regardless of input size — then left-joined against the
+    * sparse daily counts. The classic dashboard/feature-store resample
+    * shape: grid generation never touches the fact table beyond one
+    * min/max aggregate. */
+  def qWindowGapfill(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qWindowGapfillSql: String =
+    """WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |           FROM events),
+      |daily AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+      |grid AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                                     CAST(d1 AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |types AS (SELECT DISTINCT event_type FROM e)
+      |SELECT t.event_type, g.day, COALESCE(d.n, 0) AS n
+      |FROM grid g CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+      |ORDER BY t.event_type, g.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_gapfill" -> (qWindowGapfill _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -495,6 +534,7 @@ object AggWinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_gapfill" -> qWindowGapfillSql,
     "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_approx_distinct" -> qAggApproxDistinctSql,
     "q_agg_rollup" -> qAggRollupSql,

@@ -398,6 +398,59 @@ object LlmOps {
       |FROM comp GROUP BY label
       |ORDER BY rep_doc_id""".stripMargin
 
+  // --------------------------------------------------- curation funnel
+
+  /** The composed curation funnel of a data release — raw → quality
+    * filter → exact-dedup survivors — reported as per-stage counts. The
+    * quality score is the TextOps formula re-expressed with array
+    * functions (no explode, one pass per row); the dedup stage counts
+    * distinct canonical token-set keys among the quality survivors. Each
+    * stage is one aggregate over the stage before; the funnel unions
+    * three 1-row aggregates. */
+  def qPipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = documents(s, d).select(col("doc_id"), col("text"),
+        size(toks).cast(DoubleType).as("n_tok"),
+        size(array_distinct(toks)).cast(DoubleType).as("n_uniq"),
+        size(filter(toks, t => t === "the" || t === "a")).cast(DoubleType).as("n_stop"))
+      .withColumn("score",
+        lit(0.4) * (col("n_uniq") / col("n_tok")) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tok")) +
+          lit(0.3) * least(lit(1.0), col("n_tok") / lit(100.0)))
+    val kept = scored.filter(col("score") >= 0.5)
+    val stage1 = scored.agg(count(lit(1)).as("n_docs"))
+      .select(lit(1).as("stage"), lit("raw").as("label"), col("n_docs"))
+    val stage2 = kept.agg(count(lit(1)).as("n_docs"))
+      .select(lit(2).as("stage"), lit("quality").as("label"), col("n_docs"))
+    val stage3 = kept
+      .withColumn("canon",
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+      .agg(countDistinct(col("canon")).as("n_docs"))
+      .select(lit(3).as("stage"), lit("dedup").as("label"), col("n_docs"))
+    stage1.unionByName(stage2).unionByName(stage3).orderBy(col("stage"))
+  }
+
+  val qPipelineFunnelSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, text,
+      |    0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                                        t -> t IN ('the', 'a'))) AS DOUBLE)
+      |             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+      |      AS score
+      |  FROM documents),
+      |kept AS (SELECT * FROM scored WHERE score >= 0.5)
+      |SELECT 1 AS stage, 'raw' AS label, COUNT(*) AS n_docs FROM scored
+      |UNION ALL
+      |SELECT 2 AS stage, 'quality' AS label, COUNT(*) AS n_docs FROM kept
+      |UNION ALL
+      |SELECT 3 AS stage, 'dedup' AS label,
+      |  COUNT(DISTINCT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS n_docs
+      |FROM kept
+      |ORDER BY stage""".stripMargin
+
   // --------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the train/test-overlap check every
@@ -563,6 +616,7 @@ object LlmOps {
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_text_contamination" -> (qTextContamination _),
+    "q_pipeline_funnel" -> (qPipelineFunnel _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -577,6 +631,7 @@ object LlmOps {
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_text_contamination" -> qTextContaminationSql,
+    "q_pipeline_funnel" -> qPipelineFunnelSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,
