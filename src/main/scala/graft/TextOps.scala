@@ -271,6 +271,50 @@ object TextOps {
        |WHERE bit_count(xor(sa, sb)) <= 2
        |ORDER BY va, vb""".stripMargin
 
+  // -------------------------------------------------- bigram LM statistics
+
+  /** Bigram language-model statistics: P(w2|w1) = count(w1,w2)/count(w1·)
+    * as a ratio of exact integers, top-3 continuations for the 20 most
+    * frequent head tokens. Head selection uses orderBy+limit
+    * (TakeOrderedAndProject — per-partition top-k, no global window over
+    * the vocabulary) and the tiny head set broadcasts back against the
+    * bigram counts. */
+  def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks(s, d)
+      .withColumn("w2", lead(col("tok"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val pairCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val topHeads = pairCounts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
+      .orderBy(col("n_head").desc, col("w1")).limit(20)
+    val wPer = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    pairCounts.join(broadcast(topHeads), Seq("w1"))
+      .withColumn("rn", row_number().over(wPer))
+      .filter(col("rn") <= 3)
+      .select(col("w1"), col("w2"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_head").cast(DoubleType), 4).as("p"),
+        col("rn"))
+      .orderBy(col("w1"), col("rn"))
+  }
+
+  val qTextBigramLmSql: String =
+    s"""WITH $toksSqlCte,
+       |led AS (SELECT doc_id, tok,
+       |          LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |        FROM toks),
+       |bg AS (SELECT tok AS w1, w2 FROM led WHERE w2 IS NOT NULL),
+       |pc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+       |th AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM pc GROUP BY w1
+       |       ORDER BY n_head DESC, w1 LIMIT 20),
+       |r AS (SELECT pc.w1, pc.w2, pc.n, th.n_head,
+       |        ROW_NUMBER() OVER (PARTITION BY pc.w1 ORDER BY pc.n DESC, pc.w2) AS rn
+       |      FROM pc JOIN th ON pc.w1 = th.w1)
+       |SELECT w1, w2, n,
+       |  round(CAST(n AS DOUBLE) / CAST(n_head AS DOUBLE), 4) AS p, rn
+       |FROM r WHERE rn <= 3
+       |ORDER BY w1, rn""".stripMargin
+
   // -------------------------------------------------- repetition scoring
 
   /** Repetition detection — the boilerplate/spam heuristic: repeated
@@ -462,6 +506,7 @@ object TextOps {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_bigram_lm" -> (qTextBigramLm _),
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
   )
@@ -475,6 +520,7 @@ object TextOps {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
     "q_text_repetition" -> qTextRepetitionSql,
+    "q_text_bigram_lm" -> qTextBigramLmSql,
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
   )

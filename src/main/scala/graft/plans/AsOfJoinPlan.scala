@@ -223,10 +223,14 @@ object AsOfJoinApi {
   }
 
   /** asofJoin(left, right): left rows + the latest right row per key at or
-    * before the left time. Columns are resolved by name on each side. */
+    * before the left time. Columns are resolved by name on each side.
+    * Types are validated here because the exec reads keys and times as
+    * raw longs (getLong) — an int key or date time would silently read
+    * garbage instead of failing. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -235,8 +239,22 @@ object AsOfJoinApi {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    def requireType(a: Attribute, what: String, ok: Boolean): Attribute = {
+      if (!ok) throw new IllegalArgumentException(
+        s"asofJoin: $what column ${a.name} must be of the required type, got ${a.dataType}")
+      a
+    }
+    def keyAttr(p: LogicalPlan, n: String): Attribute = {
+      val a = attr(p, n)
+      requireType(a, "key", a.dataType == LongType)
+    }
+    def timeAttr(p: LogicalPlan, n: String): Attribute = {
+      val a = attr(p, n)
+      requireType(a, "time",
+        a.dataType == TimestampType || a.dataType == TimestampNTZType)
+    }
     GraftShim.ofRows(spark,
-      AsOfJoin(lp, rp, attr(lp, leftKey), attr(lp, leftTime),
-        attr(rp, rightKey), attr(rp, rightTime)))
+      AsOfJoin(lp, rp, keyAttr(lp, leftKey), timeAttr(lp, leftTime),
+        keyAttr(rp, rightKey), timeAttr(rp, rightTime)))
   }
 }

@@ -86,6 +86,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).isNullAt(2) && out(0).isNullAt(4))
   }
 
+  test("non-long keys and non-timestamp times are rejected at the API") {
+    import spark.implicits._
+    val intKey = Seq((1, "2024-01-10 00:00:00")).toDF("k", "t_s")
+      .select(col("k"), col("t_s").cast("timestamp").as("t")) // k is IntegerType
+    val longKey = Seq((1L, "2024-01-10 00:00:00")).toDF("k", "t_s")
+      .select(col("k"), col("t_s").cast("timestamp").as("t"))
+    val dateTime = Seq((1L, "2024-01-10")).toDF("k", "d_s")
+      .select(col("k"), col("d_s").cast("date").as("t")) // t is DateType
+    assertThrows[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(intKey, longKey, "k", "t", "k", "t")
+    }
+    assertThrows[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(longKey, dateTime, "k", "t", "k", "t")
+    }
+  }
+
   test("left time bound pushes into the right scan (AsOfJoinTimeFilterPushdown)") {
     val bound = Tables.events(spark, sf)
       .agg(expr("percentile_approx(ts, 0.5)")).collect()(0).getTimestamp(0)
