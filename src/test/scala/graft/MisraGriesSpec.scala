@@ -1,15 +1,58 @@
 package graft
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.VectorFunctions
+import scala.util.Random
+
+import graft.functions.{MisraGriesAgg, VectorFunctions}
 
 /** Misra-Gries sketch properties: exact when the value domain fits the
   * counter budget (the graded regime) and within the n/(K+1) undercount
   * bound when it does not. */
 class MisraGriesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+
+  private def freshAgg = MisraGriesAgg(BoundReference(0, StringType, nullable = true))
+
+  test("property: <= K distinct — exact counts under any partition/merge order") {
+    val agg = freshAgg
+    val rnd = new Random(42)
+    (1 to 50).foreach { _ =>
+      val stream = List.fill(200)(s"v${rnd.nextInt(8)}")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // split the stream at random cut points, sketch each slice, merge
+      val cuts = List.fill(3)(rnd.nextInt(stream.length + 1))
+      val slices = (0 :: cuts ::: List(stream.length))
+        .distinct.sorted.sliding(2).collect { case List(a, b) => stream.slice(a, b) }
+      val partials = slices.map { slice =>
+        slice.foldLeft(agg.createAggregationBuffer()) { (buf, s) =>
+          agg.update(buf, InternalRow(UTF8String.fromString(s)))
+        }
+      }.toList
+      val merged = partials match {
+        case Nil => agg.createAggregationBuffer()
+        case h :: t => t.foldLeft(h)(agg.merge)
+      }
+      assert(merged.toMap === truth)
+    }
+  }
+
+  test("property: serialize/deserialize round-trips any buffer") {
+    val agg = freshAgg
+    val rnd = new Random(7)
+    (1 to 50).foreach { _ =>
+      val buf = scala.collection.mutable.HashMap.from(
+        List.fill(rnd.nextInt(8) + 1)(
+          (rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString,
+            rnd.nextLong().abs + 1)).toMap)
+      assert(agg.deserialize(agg.serialize(buf)) === buf)
+    }
+  }
 
   test("<= K distinct values: sketch counts are exact under partial merge") {
     import spark.implicits._
