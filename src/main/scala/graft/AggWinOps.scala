@@ -480,12 +480,17 @@ object AggWinOps {
     * shape: grid generation never touches the fact table beyond one
     * min/max aggregate. */
   def qWindowGapfill(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"))
-    val daily = e.groupBy(col("event_type"), col("day"))
+    // ONE scan of the fact table: bounds and the type list both derive
+    // from the checkpointed daily aggregate (types × days rows), not from
+    // re-scanning events
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    val grid = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .localCheckpoint()
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      .crossJoin(e.select(col("event_type")).distinct())
+      .crossJoin(daily.select(col("event_type")).distinct())
     grid.join(daily, Seq("event_type", "day"), "left_outer")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
