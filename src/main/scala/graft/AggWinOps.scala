@@ -470,6 +470,38 @@ object AggWinOps {
 
   // ------------------------------------------------------------- registry
 
+  // ----------------------------------------------------- RANGE-frame window
+
+  /** Rolling 7-day totals via a RANGE window frame (value-based bounds —
+    * the frame the ROWS-based queries can't express when days are
+    * missing): per event type, sum of daily counts over the value range
+    * [day−6, day]. Days are epoch-day integers on both sides so the
+    * range arithmetic is exact. Runs over the daily AGGREGATE (types ×
+    * days rows), never the raw events. */
+  def qWindowRolling(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast(LongType).as("day_num"))
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .orderBy(col("event_type"), col("day_num"))
+  }
+
+  val qWindowRollingSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day_num, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+      |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM daily ORDER BY event_type, day_num""".stripMargin
+
   // ---------------------------------------------------------- gap filling
 
   /** Time-series gap-fill (resample-to-daily with zero fill): the dense
@@ -513,8 +545,40 @@ object AggWinOps {
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
       |ORDER BY t.event_type, g.day""".stripMargin
 
+  // ------------------------------------------- null-safe + bitwise scalars
+
+  /** Null-safe comparison and bitwise scalar surface: `<=>` (IS NOT
+    * DISTINCT FROM), NULLIF/COALESCE chains, &, |, xor, shifts, and
+    * popcount — all row-local, over a bounded key range. */
+  def qScalarNullBitwise(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") <=> col("o_custkey")).as("nse"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        col("o_orderkey").bitwiseAND(col("o_custkey")).as("k_and"),
+        col("o_orderkey").bitwiseOR(col("o_custkey")).as("k_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("k_shl"),
+        expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("k_pop"))
+      .orderBy(col("o_orderkey"))
+
+  val qScalarNullBitwiseSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  (o_orderkey IS NOT DISTINCT FROM o_custkey) AS nse,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  o_orderkey & o_custkey AS k_and,
+      |  o_orderkey | o_custkey AS k_or,
+      |  xor(o_orderkey, o_custkey) AS k_xor,
+      |  o_orderkey << 2 AS k_shl,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
+      |FROM orders WHERE o_orderkey < 200
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_gapfill" -> (qWindowGapfill _),
+    "q_window_rolling" -> (qWindowRolling _),
+    "q_scalar_null_bitwise" -> (qScalarNullBitwise _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -540,6 +604,8 @@ object AggWinOps {
 
   val oracle: Map[String, String] = Map(
     "q_window_gapfill" -> qWindowGapfillSql,
+    "q_window_rolling" -> qWindowRollingSql,
+    "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
     "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_approx_distinct" -> qAggApproxDistinctSql,
     "q_agg_rollup" -> qAggRollupSql,
