@@ -470,6 +470,36 @@ object AggWinOps {
 
   // ------------------------------------------------------------- registry
 
+  // ------------------------------------------------------------- unpivot
+
+  /** UNPIVOT (melt): the pivoted wide per-day matrix back to long form —
+    * round-tripping pivot⇄unpivot proves both directions preserve every
+    * cell. The unpivot itself is a row-local projection (each wide row
+    * becomes 5 narrow rows), no shuffle beyond the pivot's own. */
+  def qAggUnpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    wide.unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val qAggUnpivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT day, event_type, 0 AS n
+      |FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      |CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) t(event_type)
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events e
+      |  WHERE CAST(e.ts AS DATE) = day AND e.event_type = t.event_type)
+      |ORDER BY day, event_type""".stripMargin
+
   // ----------------------------------------------------- RANGE-frame window
 
   /** Rolling 7-day totals via a RANGE window frame (value-based bounds —
@@ -576,6 +606,7 @@ object AggWinOps {
       |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_unpivot" -> (qAggUnpivot _),
     "q_window_gapfill" -> (qWindowGapfill _),
     "q_window_rolling" -> (qWindowRolling _),
     "q_scalar_null_bitwise" -> (qScalarNullBitwise _),
@@ -603,6 +634,7 @@ object AggWinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_unpivot" -> qAggUnpivotSql,
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
