@@ -409,25 +409,30 @@ object LlmOps {
     * three 1-row aggregates. */
   def qPipelineFunnel(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val scored = documents(s, d).select(col("doc_id"), col("text"),
+    // ONE scan, one aggregate: all three stage counts are conditional
+    // aggregates of the same per-row score/canon projection (a naive
+    // per-stage formulation would rescan the corpus three times)
+    val scored = documents(s, d).select(
         size(toks).cast(DoubleType).as("n_tok"),
         size(array_distinct(toks)).cast(DoubleType).as("n_uniq"),
-        size(filter(toks, t => t === "the" || t === "a")).cast(DoubleType).as("n_stop"))
+        size(filter(toks, t => t === "the" || t === "a")).cast(DoubleType).as("n_stop"),
+        array_join(array_sort(array_distinct(toks)), " ").as("canon"))
       .withColumn("score",
         lit(0.4) * (col("n_uniq") / col("n_tok")) +
           lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tok")) +
           lit(0.3) * least(lit(1.0), col("n_tok") / lit(100.0)))
-    val kept = scored.filter(col("score") >= 0.5)
-    val stage1 = scored.agg(count(lit(1)).as("n_docs"))
-      .select(lit(1).as("stage"), lit("raw").as("label"), col("n_docs"))
-    val stage2 = kept.agg(count(lit(1)).as("n_docs"))
-      .select(lit(2).as("stage"), lit("quality").as("label"), col("n_docs"))
-    val stage3 = kept
-      .withColumn("canon",
-        array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
-      .agg(countDistinct(col("canon")).as("n_docs"))
-      .select(lit(3).as("stage"), lit("dedup").as("label"), col("n_docs"))
-    stage1.unionByName(stage2).unionByName(stage3).orderBy(col("stage"))
+    scored.agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+        countDistinct(when(col("score") >= 0.5, col("canon"))).as("n_dedup"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("raw").as("label"), col("n_raw").as("n_docs")),
+        struct(lit(2).as("stage"), lit("quality").as("label"), col("n_quality").as("n_docs")),
+        struct(lit(3).as("stage"), lit("dedup").as("label"), col("n_dedup").as("n_docs"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.label").as("label"),
+        col("r.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
   }
 
   val qPipelineFunnelSql: String =
