@@ -378,15 +378,20 @@ object RelOps {
     val base = orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         col("o_totalprice").as("price"))
-    val updates = base.filter(col("k") % 7 === 0)
-      .select(col("k"), lit("U").as("u_st"), (col("price") + lit(100.0)).as("u_price"))
-    // ×3 keeps the true value at 2 decimal places with no .xx5 ties
-    // (halving would create exact ties where Spark's HALF_UP and DuckDB's
-    // HALF_EVEN decimal casts diverge)
-    val inserts = base.filter(col("k") % 13 === 0)
-      .select((col("k") + lit(100000000L)).as("k"), lit("I").as("u_st"),
-        (col("price") * lit(3.0)).as("u_price"))
-    val changes = updates.unionByName(inserts)
+    // both change sets derived in ONE pass over the snapshot (a union of
+    // two filters would rescan it); ×3 keeps the insert price at 2dp with
+    // no .xx5 ties (halving creates exact ties where Spark's HALF_UP and
+    // DuckDB's HALF_EVEN decimal casts diverge)
+    val changes = base.filter(col("k") % 7 === 0 || col("k") % 13 === 0)
+      .select(explode(array(
+        when(col("k") % 7 === 0, struct(col("k").as("k"),
+          lit("U").as("u_st"), (col("price") + lit(100.0)).as("u_price"))),
+        when(col("k") % 13 === 0, struct((col("k") + lit(100000000L)).as("k"),
+          lit("I").as("u_st"), (col("price") * lit(3.0)).as("u_price")))))
+        .as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c.k").as("k"), col("c.u_st").as("u_st"),
+        col("c.u_price").as("u_price"))
     base.join(changes, Seq("k"), "full_outer")
       .select(col("k"),
         coalesce(col("u_st"), col("st")).as("status"),
