@@ -470,6 +470,37 @@ object AggWinOps {
 
   // ------------------------------------------------------------- registry
 
+  // ------------------------------------------- correlated scalar subquery
+
+  /** Correlated scalar subqueries (count + max per outer row), exercising
+    * Catalyst's decorrelation: RewriteCorrelatedScalarSubquery turns each
+    * subquery into an aggregate + left outer join on the correlation key —
+    * no per-row re-execution anywhere. The COALESCE(0) arm covers outer
+    * rows with an empty subquery result. */
+  def qSubqueryScalar(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_sq_customer")
+    orders(s, d).createOrReplaceTempView("graft_sq_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  COALESCE((SELECT COUNT(*) FROM graft_sq_orders o
+        |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders,
+        |  (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM graft_sq_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM graft_sq_customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSubqueryScalarSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  COALESCE((SELECT COUNT(*) FROM orders o
+      |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders,
+      |  (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------- unpivot
 
   /** UNPIVOT (melt): the pivoted wide per-day matrix back to long form —
@@ -607,6 +638,7 @@ object AggWinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_unpivot" -> (qAggUnpivot _),
+    "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_window_gapfill" -> (qWindowGapfill _),
     "q_window_rolling" -> (qWindowRolling _),
     "q_scalar_null_bitwise" -> (qScalarNullBitwise _),
@@ -635,6 +667,7 @@ object AggWinOps {
 
   val oracle: Map[String, String] = Map(
     "q_agg_unpivot" -> qAggUnpivotSql,
+    "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
