@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rerun-safety and batch-equivalence for the queries with side effects
+  * (table writes, temp dirs, streaming sinks): the driver may construct a
+  * query more than once per session, and the streaming forms must converge
+  * to exactly the batch answer. */
+class RerunSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("live tumbling stream equals the batch aggregation row-for-row") {
+    val live = StreamOps.qStreamLive(spark, sf).collect().map(_.toSeq)
+    val batch = StreamOps.qStreamTumbling(spark, sf).collect().map(_.toSeq)
+    assert(live.length === batch.length)
+    assert(live.sameElements(batch))
+  }
+
+  test("bucketed-join query is rerun-idempotent in one session") {
+    val a = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
+    val b = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("source round-trip queries are rerun-idempotent in one session") {
+    val a = RelOps.qSourceJsonCsv(spark, sf).collect().map(_.toSeq)
+    val b = RelOps.qSourceJsonCsv(spark, sf).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    val ta = SortOps.qSourceTerarecord(spark, sf).collect().map(_.toSeq)
+    val tb = SortOps.qSourceTerarecord(spark, sf).collect().map(_.toSeq)
+    assert(ta.sameElements(tb))
+  }
+}
