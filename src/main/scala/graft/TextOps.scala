@@ -186,14 +186,16 @@ object TextOps {
     * 4096; bit j of the signature is 1 iff the vote sum is positive.
     * Buckets holding ≥2 docs are Hamming-distance-0 near-dup candidates.
     * One explode + one grouped aggregate — fully shuffle-scalable. */
-  /** (doc_id, simhash): 12-bit per-doc SimHash signatures — shared by the
-    * bucket query and the Hamming-pairs query. */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val h = "(CAST(48271 AS BIGINT) * tid + 11) % 4096"
-    val bitSums = (0 until 12).map { j =>
+  /** (doc_id, simhash): per-doc SimHash signatures of the given width —
+    * 12-bit for the bucket query (Hamming-0 collapse wants a coarse
+    * space), 24-bit for the Hamming-pairs query (a 12-bit space saturates
+    * with random collisions once the corpus outgrows 2^12). */
+  private def simhashSigs(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val h = s"(CAST(48271 AS BIGINT) * tid + 11) % ${1L << bits}"
+    val bitSums = (0 until bits).map { j =>
       sum(when(expr(s"(($h) div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
     }
-    val sig = (0 until 12).map(j =>
+    val sig = (0 until bits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     tokensWithId(s, d)
       .groupBy(col("doc_id"))
@@ -203,42 +205,44 @@ object TextOps {
   }
 
   /** Matching DuckDB CTE ending in `sig(doc_id, simhash)`. */
-  private val simhashSqlCte: String = {
-    val h = "(48271 * tid + 11) % 4096"
+  private def simhashSqlCte(bits: Int): String = {
+    val h = s"(48271 * tid + 11) % ${1L << bits}"
     s"""$toksSqlCte,
        |bits AS (
        |  SELECT doc_id,
-       |    ${(0 until 12).map(j => s"SUM(CASE WHEN (($h) // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
+       |    ${(0 until bits).map(j => s"SUM(CASE WHEN (($h) // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
        |  FROM tt GROUP BY doc_id),
        |sig AS (
        |  SELECT doc_id,
-       |    ${(0 until 12).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |    ${(0 until bits).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
        |  FROM bits)""".stripMargin
   }
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhashSigs(s, d)
+    simhashSigs(s, d, 12)
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("simhash"))
 
   val qDedupSimhashSql: String =
-    s"""WITH $simhashSqlCte
+    s"""WITH ${simhashSqlCte(12)}
        |SELECT simhash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
        |FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
        |ORDER BY simhash""".stripMargin
 
-  /** SimHash near-dup PAIRS within Hamming distance ≤ 2: the 12-bit
-    * signature splits into 3 bands of 4 bits, and by pigeonhole any pair
+  /** SimHash near-dup PAIRS within Hamming distance ≤ 2: the 24-bit
+    * signature splits into 3 bands of 8 bits, and by pigeonhole any pair
     * within distance 2 agrees on ≥1 whole band — so candidates come from
     * a band equi-join (never all-pairs), then the exact popcount of the
-    * XOR verifies. Signatures are checkpointed once for both join sides;
-    * bit_count is a built-in in both engines. */
+    * XOR verifies. 24 bits (vs the bucket query's 12) keeps the random
+    * collision rate negligible as the corpus grows — at 12 bits a 5000-doc
+    * corpus emitted 2.2M noise pairs. Signatures are checkpointed once
+    * for both join sides; bit_count is a built-in in both engines. */
   def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d).localCheckpoint()
+    val sigs = simhashSigs(s, d, 24).localCheckpoint()
     val bandCols = (0 until 3).map(b =>
-      (col("simhash") / lit(1L << (4 * b))).cast(LongType) % 16)
+      (col("simhash") / lit(1L << (8 * b))).cast(LongType) % 256)
     val bandRows = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
     bandRows.as("a")
@@ -258,9 +262,9 @@ object TextOps {
   }
 
   val qDedupSimhashPairsSql: String =
-    s"""WITH $simhashSqlCte,
+    s"""WITH ${simhashSqlCte(24)},
        |bands AS (
-       |  ${(0 until 3).map(b => s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS bv FROM sig").mkString("\n  UNION ALL\n  ")}),
+       |  ${(0 until 3).map(b => s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (8 * b)}) % 256 AS bv FROM sig").mkString("\n  UNION ALL\n  ")}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS va, b.doc_id AS vb,
        |    a.simhash AS sa, b.simhash AS sb
