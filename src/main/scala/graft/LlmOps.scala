@@ -205,23 +205,26 @@ object LlmOps {
     * LSH-then-verify topology. */
   /** (va, vb, n_inter, sza, szb) for every MinHash-band candidate pair —
     * the LSH-then-verify midpoint shared by the Jaccard and containment
-    * queries. The shingle scan is materialized ONCE: it feeds the sketch
-    * (via bands) and the exact sets (sa/sb/sizes); without the
-    * checkpoints the posexplode→window→md5 subtree re-executes per
-    * reference (the r2 2.6× bench regression). Band tag intentionally
-    * dropped: a cross-band (ka, kb) collision is a candidate too —
-    * matches the oracle's untagged UNION ALL. */
+    * queries. ONLY the shingle scan is materialized (it feeds both the
+    * sketch via bands and the exact sets via sa/sb/sizes — without this
+    * one checkpoint the posexplode→window→md5 subtree re-executes per
+    * reference, the r2 2.6× bench regression). The band self-join and the
+    * sa/sb/sizes re-reads are deliberately NOT checkpointed: each branch
+    * reads the same child, so Spark's ReusedExchange dedupes the physical
+    * work — the r4 triple-checkpoint chain ran 3 extra eager jobs per
+    * query and made jaccard the slowest query in the suite (7.9 s).
+    * Band tag intentionally dropped: a cross-band (ka, kb) collision is a
+    * candidate too — matches the oracle's untagged UNION ALL. */
   private def candidateIntersections(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).localCheckpoint()
     val bands = bandsOf(minhashOf(sh))
       .select(col("ka"), col("kb"), col("doc_id"))
-      .localCheckpoint()
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
-    val ds = sh.distinct().localCheckpoint()
+    val ds = sh.distinct()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     pairs
       .join(ds.as("sa"), col("va") === col("sa.doc_id"))

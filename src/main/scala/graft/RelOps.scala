@@ -326,13 +326,21 @@ object RelOps {
     * many times. Results are graded against the plain-join oracle. */
   /** Drop a managed table AND its warehouse location: the location
     * survives across JVMs while the in-memory catalog does not, so a
-    * fresh session's overwrite would hit LOCATION_ALREADY_EXISTS. */
+    * fresh session's overwrite would hit LOCATION_ALREADY_EXISTS. The
+    * location is resolved from the CATALOG when the table exists (a
+    * session parked on a non-default database would otherwise write under
+    * <db>.db/<table> while the cleanup deleted <warehouse>/<table>); the
+    * default-db layout is only the fallback for paths orphaned by an
+    * earlier JVM. All graft tables are created default-qualified. */
   private def dropManaged(s: SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), name)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    val cat = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name, Some("default"))
+    val loc =
+      if (cat.tableExists(ident)) new org.apache.hadoop.fs.Path(cat.getTableMetadata(ident).location)
+      else new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), name)
+    s.sql(s"DROP TABLE IF EXISTS default.$name")
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
@@ -345,14 +353,14 @@ object RelOps {
       .repartition(16, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
+      .saveAsTable("default.graft_bkt_orders")
     lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .repartition(16, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .saveAsTable("default.graft_bkt_lineitem")
+    s.table("default.graft_bkt_orders")
+      .join(s.table("default.graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
@@ -426,9 +434,13 @@ object RelOps {
     * quoting, header handling) breaks the hash. Timestamps cross the text
     * boundary as epoch seconds (FIXTURES §C: never raw). */
   def qSourceJsonCsv(s: SparkSession, d: String): DataFrame = {
+    // per-application namespace: two drivers sharing a host must not
+    // overwrite each other's staging data mid-query (rerun within one
+    // session still hits the same dir, keeping reruns idempotent)
     val tmp = System.getProperty("java.io.tmpdir")
-    val jDir = s"$tmp/graft_src_json"
-    val cDir = s"$tmp/graft_src_csv"
+    val app = s.sparkContext.applicationId
+    val jDir = s"$tmp/graft_src_json_$app"
+    val cDir = s"$tmp/graft_src_csv_$app"
     val base = orders(s, d).select(
       col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
       unix_seconds(col("o_orderdate").cast(TimestampType)).as("od"))

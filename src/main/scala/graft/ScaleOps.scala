@@ -100,7 +100,9 @@ object ScaleOps {
   def qAggHeavyHitters(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     events(s, d)
-      .select(pmod(col("user_id"), lit(8)).as("bucket"), col("event_type"))
+      // sign-preserving % (not pmod) — matches the oracle's user_id % 8
+      // semantics even if a fixture ever carries a negative user_id
+      .select((col("user_id") % 8).as("bucket"), col("event_type"))
       .groupBy(col("bucket"))
       .agg(expr("graft_topk_freq(event_type)").as("hh"))
       .select(col("bucket"), explode(col("hh")).as("e"))

@@ -155,8 +155,11 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
       .select(unix_seconds(col("w.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
-    val sink = "graft_stream_live_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    // fixed per-query sink name: the memory sink registers the result via
+    // createOrReplaceTempView, so a rerun REPLACES the prior run's table
+    // instead of accumulating a fresh UUID-named copy in driver memory
+    // for the session lifetime (bench loops run this repeatedly)
+    val sink = "graft_stream_live_sink"
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
@@ -182,8 +185,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_seconds(col("w.start")).as("sess_start"),
         col("n_events"))
-    val sink = "graft_stream_sess_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    // fixed sink name — reruns replace instead of accumulate (see above)
+    val sink = "graft_stream_sess_sink"
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")

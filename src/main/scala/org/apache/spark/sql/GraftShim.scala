@@ -14,7 +14,15 @@ object GraftShim {
     * (or a projection over one). `Dataset.unpersist` only talks to the
     * CacheManager, which knows nothing about checkpoint RDDs — the blocks
     * live on the `LogicalRDD` leaf's RDD, so that is what must be freed.
-    * No-op for plans without a LogicalRDD leaf. */
+    * No-op for plans without a LogicalRDD leaf.
+    *
+    * SCOPE WARNING: this frees EVERY LogicalRDD leaf reachable from the
+    * plan, not just the frame's own checkpoint. Do not call it on a frame
+    * that still shares a checkpointed input with live frames (e.g.
+    * anything derived from a checkpointed edge list another frame reads)
+    * — the shared blocks would be silently freed under the survivor. Call
+    * it only when ALL checkpoints in the plan are exclusively owned and
+    * fully consumed (the connectedComponents round loop is the model). */
   def freeCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
