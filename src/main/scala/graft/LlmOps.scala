@@ -81,25 +81,25 @@ object LlmOps {
   // ------------------------------------------------------- MinHash near-dup
 
   /** Near-dup candidate clusters via MinHash + LSH banding.
-    * Pipeline: tokenize (posexplode) → 3-token shingles (lead windows,
-    * partitioned per doc — never global) → v = 31-bit md5 content hash of
-    * the shingle TEXT (no vocabulary dimension: the hash is computed
-    * row-locally, so the stage is embarrassingly parallel at any scale) →
-    * 4 MinHash signatures (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each →
-    * band-buckets with ≥2 docs are candidate near-dup clusters.
+    * Pipeline: tokenize → 3-token shingles → v = 31-bit md5 content hash
+    * of the shingle TEXT (no vocabulary dimension) → 4 MinHash signatures
+    * (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each → band-buckets with
+    * ≥2 docs are candidate near-dup clusters.
     * Every stage is a keyed shuffle or row-local — no driver-side state. */
   /** (doc_id, v) 3-token shingle values — shared by the near-dup,
-    * fingerprint-style, and UDAF-sketch queries. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    * fingerprint-style, and UDAF-sketch queries. Shingling is ROW-LOCAL:
+    * an array `transform` over token indices inside each document row —
+    * no per-doc window, no shuffle, embarrassingly parallel at any corpus
+    * size (the r4 lead-window form shuffled every token on doc_id before
+    * a single shingle existed). Docs under 3 tokens yield no shingles,
+    * exactly as the oracle's LEAD(t3) IS NOT NULL filter. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(wd))
-      .withColumn("t3", lead(col("tok"), 2).over(wd))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        expr(textHash("concat_ws(' ', tok, t2, t3)")).as("v"))
-  }
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          textHash("concat_ws(' ', tk[i-1], tk[i], tk[i+1])") + ")")).as("v"))
 
   /** The matching DuckDB shingle CTE (doc_id, v). */
   private val shinglesSqlCte: String =
@@ -216,15 +216,20 @@ object LlmOps {
     * Band tag intentionally dropped: a cross-band (ka, kb) collision is a
     * candidate too — matches the oracle's untagged UNION ALL. */
   private def candidateIntersections(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).localCheckpoint()
-    val bands = bandsOf(minhashOf(sh))
+    // the sketch is built from the DISTINCT shingle set: MinHash minima
+    // are duplicate-insensitive (min over a multiset = min over its set),
+    // so every branch — sketch, sizes, sa/sb — hangs off the ONE distinct
+    // exchange and the shingle scan runs exactly once, with ReusedExchange
+    // deduping the self-joins (r4 shipped 3 eager checkpoints here; the
+    // r5 form has zero)
+    val ds = shingles(s, d).distinct().localCheckpoint()
+    val bands = bandsOf(minhashOf(ds))
       .select(col("ka"), col("kb"), col("doc_id"))
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
-    val ds = sh.distinct()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     pairs
       .join(ds.as("sa"), col("va") === col("sa.doc_id"))
@@ -359,7 +364,9 @@ object LlmOps {
     * component. */
   def qDedupComponents(s: SparkSession, d: String): DataFrame = {
     // untagged bands (cross-band collisions count), matching the oracle;
-    // checkpointed because the band list is self-joined
+    // checkpointed because the edge-list union duplicates the self-join
+    // subtree in BOTH directions — ReusedExchange alone leaves the join
+    // running twice inside the edges job (measured 1.8×)
     val bands = bandsOf(minhashOf(shingles(s, d)))
       .select(col("ka"), col("kb"), col("doc_id"))
       .localCheckpoint()

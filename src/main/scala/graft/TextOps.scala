@@ -87,16 +87,19 @@ object TextOps {
     * divisions (deterministic); the score is rounded to 4dp before
     * bucketing so both engines bucket identically. */
   def qTextQuality(s: SparkSession, d: String): DataFrame = {
-    val perDoc = toks(s, d)
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(
-        count(lit(1)).as("n_tok"),
-        countDistinct(col("tok")).as("n_uniq"),
-        sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+    // row-local: token/unique/stopword counts are array expressions over
+    // the split — no explode, no per-doc groupBy (same shape as
+    // qPipelineFunnel); the only shuffle is the (lang, bucket) rollup
+    val tk = split(col("text"), " ")
+    val perDoc = documents(s, d)
+      .select(col("lang"),
+        size(tk).cast(DoubleType).as("n_tok"),
+        size(array_distinct(tk)).cast(DoubleType).as("n_uniq"),
+        size(filter(tk, t => t === "the" || t === "a")).cast(DoubleType).as("n_stop"))
       .withColumn("score", round(
-        lit(0.4) * (col("n_uniq").cast(DoubleType) / col("n_tok").cast(DoubleType)) +
-          lit(0.3) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok").cast(DoubleType)) +
-          lit(0.3) * least(lit(1.0), col("n_tok").cast(DoubleType) / lit(100.0)), 4))
+        lit(0.4) * (col("n_uniq") / col("n_tok")) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tok")) +
+          lit(0.3) * least(lit(1.0), col("n_tok") / lit(100.0)), 4))
     perDoc
       .withColumn("bucket", floor(col("score") * 10).cast(IntegerType))
       .groupBy(col("lang"), col("bucket"))
@@ -152,20 +155,23 @@ object TextOps {
     * values mod 2^31-1 (rolling-hash-family: order-sensitive through the
     * shingles, repetition-insensitive through DISTINCT). Each shingle value
     * is itself reduced mod 2^31-1 so the per-doc distinct sum stays far
-    * from Long overflow at any document length. Self-join-free; one
-    * shuffle per stage. */
-  def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokensWithId(s, d)
-      .withColumn("t2", lead(col("tid"), 1).over(wd))
-      .withColumn("t3", lead(col("tid"), 2).over(wd))
-      .filter(col("t3").isNotNull)
+    * from Long overflow at any document length. Fully ROW-LOCAL: token
+    * hashes, shingle values, distinct, and the modular sum are all array
+    * expressions inside one projection — zero shuffles before the final
+    * ORDER BY (the r4 form shuffled every token through a per-doc window
+    * plus a grouped sum-distinct). */
+  def qTextFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"),
-        (((col("tid") * 1024L + col("t2")) * 1024L + col("t3")) % P).as("v"))
-      .groupBy(col("doc_id"))
-      .agg((sum_distinct(col("v")) % P).as("fingerprint"))
+        expr(s"transform(split(text, ' '), t -> ${LlmOps.textHash("t")})").as("tids"))
+      .filter(size(col("tids")) >= 3)
+      .select(col("doc_id"), expr(
+        s"""aggregate(
+           |  array_distinct(transform(sequence(1, size(tids) - 2),
+           |    i -> ((tids[i-1] * 1024 + tids[i]) * 1024 + tids[i+1]) % $P)),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc + x) % $P""".stripMargin)
+        .as("fingerprint"))
       .orderBy(col("doc_id"))
-  }
 
   val qTextFingerprintSql: String =
     s"""WITH $toksSqlCte,
@@ -289,11 +295,16 @@ object TextOps {
     * the vocabulary) and the tiny head set broadcasts back against the
     * bigram counts. */
   def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = toks(s, d)
-      .withColumn("w2", lead(col("tok"), 1).over(wd))
-      .filter(col("w2").isNotNull)
-      .select(col("tok").as("w1"), col("w2"))
+    // bigram extraction is row-local (array transform over adjacent token
+    // pairs) — the first shuffle in the plan is already the (w1, w2)
+    // count aggregate, not a per-doc lead window
+    val bg = documents(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val pairCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val topHeads = pairCounts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
       .orderBy(col("n_head").desc, col("w1")).limit(20)
@@ -332,15 +343,20 @@ object TextOps {
     * ratio is one double division of two exact integers, so bucketing is
     * engine-identical without rounding tricks. */
   def qTextRepetition(s: SparkSession, d: String): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = tokensWithId(s, d)
-      .withColumn("t2", lead(col("tid"), 1).over(wd))
-      .withColumn("t3", lead(col("tid"), 2).over(wd))
-      .filter(col("t3").isNotNull)
+    // row-local: per-doc shingle values, total and distinct counts are all
+    // array expressions — no explode, no per-doc window, no per-doc
+    // groupBy; the only shuffle is the final tiny (lang, bucket) rollup
+    val sh = documents(s, d)
       .select(col("doc_id"), col("lang"),
-        (((col("tid") * 1024L + col("t2")) * 1024L + col("t3")) % P).as("v"))
-    sh.groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_total"), countDistinct(col("v")).as("n_dist"))
+        expr(s"transform(split(text, ' '), t -> ${LlmOps.textHash("t")})").as("tids"))
+      .filter(size(col("tids")) >= 3)
+      .select(col("lang"), expr(
+        s"""transform(sequence(1, size(tids) - 2),
+           |  i -> ((tids[i-1] * 1024 + tids[i]) * 1024 + tids[i+1]) % $P)""".stripMargin)
+        .as("vs"))
+    sh.select(col("lang"),
+        size(col("vs")).cast(LongType).as("n_total"),
+        size(array_distinct(col("vs"))).cast(LongType).as("n_dist"))
       .withColumn("rep",
         (col("n_total") - col("n_dist")).cast(DoubleType) /
           col("n_total").cast(DoubleType))
