@@ -120,8 +120,12 @@ object ScaleOps {
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
     * vector is assigned to its nearest centroid by L2 (argmin over
     * na − 2·dot + nc, ties to the lower cell id); probes (vec_id 10–19)
-    * search only their own cell. One broadcast of the tiny centroid set,
-    * one windowed argmin, one cell equi-join — no all-pairs work. */
+    * search their nearest TWO cells (nprobe=2) — the standard recall
+    * lever for points near a cell boundary, at 2× candidate cost. One
+    * broadcast of the tiny centroid set, one windowed rank, one cell
+    * equi-join — no all-pairs work. A neighbor sits in exactly one cell
+    * (arn=1) while the probe fans out to 2, so no per-pair dedup is
+    * needed. */
   def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -131,16 +135,18 @@ object ScaleOps {
         col("na").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cell_id"))
-    // checkpointed: the assignment feeds both the probe filter and the
-    // candidate join — without it the crossJoin+argmin subtree runs twice
-    val assigned = e.crossJoin(broadcast(cents))
+    // checkpointed: the ranked assignment feeds both the candidate set
+    // (nearest cell only) and the probes (nearest 2 cells) — without it
+    // the crossJoin+rank subtree runs twice
+    val ranked = e.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"), col("arn"))
       .localCheckpoint()
-    val probes = assigned.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val assigned = ranked.filter(col("arn") === 1)
+    val probes = ranked.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
         col("na").as("pna"), col("cell_id").as("pcell"))
     val scored = assigned.join(broadcast(probes),
@@ -164,13 +170,14 @@ object ScaleOps {
       |  SELECT e.vec_id, e.emb, e.na, c.cell_id,
       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
       |  FROM e, cents c),
-      |assigned AS (
-      |  SELECT vec_id, emb, na, cell_id FROM (
+      |ranked AS (
+      |  SELECT vec_id, emb, na, cell_id, arn FROM (
       |    SELECT vec_id, emb, na, cell_id,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
-      |    FROM dists) t WHERE arn = 1),
+      |    FROM dists) t WHERE arn <= 2),
+      |assigned AS (SELECT vec_id, emb, na, cell_id FROM ranked WHERE arn = 1),
       |probes AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, cell_id AS pcell
-      |           FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+      |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
       |scored AS (
       |  SELECT probe_id, a.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(list_zip(a.emb, p.pemb), x -> x[1] * x[2]))
