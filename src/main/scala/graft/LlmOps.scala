@@ -82,9 +82,10 @@ object LlmOps {
 
   /** Near-dup candidate clusters via MinHash + LSH banding.
     * Pipeline: tokenize → 3-token shingles → v = 31-bit md5 content hash
-    * of the shingle TEXT (no vocabulary dimension) → 4 MinHash signatures
-    * (LCGs mod 2^31-1) → 2 LSH bands of 2 rows each → band-buckets with
-    * ≥2 docs are candidate near-dup clusters.
+    * of the shingle TEXT (no vocabulary dimension) → 16 MinHash
+    * signatures (LCGs mod 2^31-1, graft.functions.MinHash) → 4 LSH bands
+    * of 4 rows each → band-buckets with ≥2 docs are candidate near-dup
+    * clusters.
     * Every stage is a keyed shuffle or row-local — no driver-side state. */
   /** (doc_id, v) 3-token shingle values — shared by the near-dup,
     * fingerprint-style, and UDAF-sketch queries. Shingling is ROW-LOCAL:
@@ -115,26 +116,51 @@ object LlmOps {
        |         ${textHashSql("tok || ' ' || t2 || ' ' || t3")} AS v
        |       FROM led WHERE t3 IS NOT NULL)""".stripMargin
 
-  /** Per-doc 4-permutation MinHash sketch over (doc_id, v) shingles. */
-  private def minhashOf(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(
-      min(expr("(48271 * v + 11) % 2147483647")).as("m0"),
-      min(expr("(69621 * v + 17) % 2147483647")).as("m1"),
-      min(expr("(16807 * v + 23) % 2147483647")).as("m2"),
-      min(expr("(40692 * v + 31) % 2147483647")).as("m3"))
+  import graft.functions.{MinHash => MH}
 
-  /** LSH band rows (band, ka, kb, doc_id) from the sketch — ONE posexplode
-    * pass over the aggregate instead of a self-union, which would execute
-    * the whole upstream aggregation once per branch. */
-  private def bandsOf(mh: DataFrame): DataFrame =
-    mh.select(col("doc_id"), posexplode(array(
-        struct(col("m0").as("ka"), col("m1").as("kb")),
-        struct(col("m2").as("ka"), col("m3").as("kb")))).as(Seq("band", "bk")))
-      .select(col("band"), col("bk.ka").as("ka"), col("bk.kb").as("kb"), col("doc_id"))
+  /** Per-doc K-permutation MinHash sketch over (doc_id, v) shingles —
+    * constants from graft.functions.MinHash, the shared source of truth
+    * for all three sketch implementations and every oracle. */
+  private def minhashOf(sh: DataFrame): DataFrame = {
+    val mins = (0 until MH.K).map(j => min(expr(MH.sparkExpr(j))).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The matching DuckDB sketch CTE `mh(doc_id, m0..m{K-1})`. */
+  private val mhSqlCte: String =
+    s"""mh AS (SELECT doc_id,
+       |         ${(0 until MH.K).map(j => s"MIN(${MH.duckExpr(j)}) AS m$j").mkString(",\n         ")}
+       |       FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** LSH band rows (band, k0..k{R-1}, doc_id) from the sketch — ONE
+    * posexplode pass over the aggregate instead of a self-union, which
+    * would execute the whole upstream aggregation once per branch. */
+  private def bandsOf(mh: DataFrame): DataFrame = {
+    val bandStructs = (0 until MH.Bands).map(b =>
+      struct((0 until MH.R).map(r => col(s"m${MH.R * b + r}").as(s"k$r")): _*))
+    mh.select(col("doc_id"), posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+      .select(col("band") +:
+        (0 until MH.R).map(r => col(s"bk.k$r").as(s"k$r")) :+ col("doc_id"): _*)
+  }
+
+  /** Band-key column list (k0..k{R-1}) and the matching self-join
+    * predicate over aliases x/y. */
+  private val bandKeys: Seq[String] = (0 until MH.R).map(r => s"k$r")
+  private def bandJoinCond: Column =
+    bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.doc_id") < col("y.doc_id")
+
+  /** DuckDB bands CTE: one UNION ALL branch per band (tagged). */
+  private def bandsSqlCte(tagged: Boolean): String =
+    (0 until MH.Bands).map { b =>
+      val cols = (0 until MH.R).map(r => s"m${MH.R * b + r} AS k$r").mkString(", ")
+      if (tagged) s"SELECT $b AS band, $cols, doc_id FROM mh"
+      else s"SELECT $cols, doc_id FROM mh"
+    }.mkString("bands AS (\n  ", "\n  UNION ALL\n  ", ")")
 
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
     val bands = bandsOf(minhashOf(shingles(s, d)))
-    bands.groupBy(col("band"), col("ka"), col("kb"))
+    bands.groupBy(col("band") +: bandKeys.map(col): _*)
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("band"), col("rep_doc_id"), col("n_docs"))
@@ -143,18 +169,10 @@ object LlmOps {
 
   val qDedupNearSql: String =
     s"""WITH $shinglesSqlCte,
-      |mh AS (SELECT doc_id,
-      |         MIN((48271 * v + 11) % 2147483647) AS m0,
-      |         MIN((69621 * v + 17) % 2147483647) AS m1,
-      |         MIN((16807 * v + 23) % 2147483647) AS m2,
-      |         MIN((40692 * v + 31) % 2147483647) AS m3
-      |       FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT 0 AS band, m0 AS ka, m1 AS kb, doc_id FROM mh
-      |  UNION ALL
-      |  SELECT 1 AS band, m2 AS ka, m3 AS kb, doc_id FROM mh)
+      |$mhSqlCte,
+      |${bandsSqlCte(tagged = true)}
       |SELECT band, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
-      |FROM bands GROUP BY band, ka, kb
+      |FROM bands GROUP BY band, ${bandKeys.mkString(", ")}
       |HAVING COUNT(*) >= 2
       |ORDER BY band, rep_doc_id""".stripMargin
 
@@ -166,21 +184,15 @@ object LlmOps {
     shingles(s, d)
       .groupBy(col("doc_id"))
       .agg(mh(col("v")).as("sketch"))
-      .select(col("doc_id"),
-        element_at(col("sketch"), 1).as("m0"),
-        element_at(col("sketch"), 2).as("m1"),
-        element_at(col("sketch"), 3).as("m2"),
-        element_at(col("sketch"), 4).as("m3"))
+      .select(col("doc_id") +:
+        (0 until MH.K).map(j => element_at(col("sketch"), j + 1).as(s"m$j")): _*)
       .orderBy(col("doc_id"))
   }
 
   val qDedupMinhashAggSql: String =
     s"""WITH $shinglesSqlCte
       |SELECT doc_id,
-      |  MIN((48271 * v + 11) % 2147483647) AS m0,
-      |  MIN((69621 * v + 17) % 2147483647) AS m1,
-      |  MIN((16807 * v + 23) % 2147483647) AS m2,
-      |  MIN((40692 * v + 31) % 2147483647) AS m3
+      |  ${(0 until MH.K).map(j => s"MIN(${MH.duckExpr(j)}) AS m$j").mkString(",\n  ")}
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The same minima through the catalyst-native TypedImperativeAggregate
@@ -191,11 +203,8 @@ object LlmOps {
     shingles(s, d)
       .groupBy(col("doc_id"))
       .agg(expr("graft_minhash(v)").as("sketch"))
-      .select(col("doc_id"),
-        element_at(col("sketch"), 1).as("m0"),
-        element_at(col("sketch"), 2).as("m1"),
-        element_at(col("sketch"), 3).as("m2"),
-        element_at(col("sketch"), 4).as("m3"))
+      .select(col("doc_id") +:
+        (0 until MH.K).map(j => element_at(col("sketch"), j + 1).as(s"m$j")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -224,10 +233,8 @@ object LlmOps {
     // r5 form has zero)
     val ds = shingles(s, d).distinct().localCheckpoint()
     val bands = bandsOf(minhashOf(ds))
-      .select(col("ka"), col("kb"), col("doc_id"))
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
-          col("x.doc_id") < col("y.doc_id"))
+      .select(bandKeys.map(col) :+ col("doc_id"): _*)
+    val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -243,20 +250,12 @@ object LlmOps {
     * `withsizes(va, vb, n_inter, sza, szb)`. */
   private val candidateIntersectionsSqlCte: String =
     s"""$shinglesSqlCte,
-      |mh AS (SELECT doc_id,
-      |         MIN((48271 * v + 11) % 2147483647) AS m0,
-      |         MIN((69621 * v + 17) % 2147483647) AS m1,
-      |         MIN((16807 * v + 23) % 2147483647) AS m2,
-      |         MIN((40692 * v + 31) % 2147483647) AS m3
-      |       FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT m0 AS ka, m1 AS kb, doc_id FROM mh
-      |  UNION ALL
-      |  SELECT m2 AS ka, m3 AS kb, doc_id FROM mh),
+      |$mhSqlCte,
+      |${bandsSqlCte(tagged = false)},
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
       |  FROM bands x JOIN bands y
-      |    ON x.ka = y.ka AND x.kb = y.kb AND x.doc_id < y.doc_id),
+      |    ON ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")} AND x.doc_id < y.doc_id),
       |ds AS (SELECT DISTINCT doc_id, v FROM sh),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
       |inter AS (
@@ -368,11 +367,9 @@ object LlmOps {
     // subtree in BOTH directions — ReusedExchange alone leaves the join
     // running twice inside the edges job (measured 1.8×)
     val bands = bandsOf(minhashOf(shingles(s, d)))
-      .select(col("ka"), col("kb"), col("doc_id"))
+      .select(bandKeys.map(col) :+ col("doc_id"): _*)
       .localCheckpoint()
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.ka") === col("y.ka") && col("x.kb") === col("y.kb") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
     connectedComponents(pairs)
@@ -383,20 +380,12 @@ object LlmOps {
 
   val qDedupComponentsSql: String =
     s"""WITH RECURSIVE $shinglesSqlCte,
-      |mh AS (SELECT doc_id,
-      |         MIN((48271 * v + 11) % 2147483647) AS m0,
-      |         MIN((69621 * v + 17) % 2147483647) AS m1,
-      |         MIN((16807 * v + 23) % 2147483647) AS m2,
-      |         MIN((40692 * v + 31) % 2147483647) AS m3
-      |       FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT m0 AS ka, m1 AS kb, doc_id FROM mh
-      |  UNION ALL
-      |  SELECT m2 AS ka, m3 AS kb, doc_id FROM mh),
+      |$mhSqlCte,
+      |${bandsSqlCte(tagged = false)},
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
       |  FROM bands x JOIN bands y
-      |    ON x.ka = y.ka AND x.kb = y.kb AND x.doc_id < y.doc_id),
+      |    ON ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")} AND x.doc_id < y.doc_id),
       |edges AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
       |reach(a, b) AS (
       |  SELECT va, vb FROM edges

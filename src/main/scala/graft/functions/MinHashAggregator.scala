@@ -15,9 +15,9 @@ import org.apache.spark.sql.Encoder
   * (group, partition) — the property that makes MinHash viable at 100 TB.
   */
 class MinHashAggregator extends Aggregator[Long, Array[Long], Seq[Long]] {
-  private val P = 2147483647L
-  private val A = Array(48271L, 69621L, 16807L, 40692L)
-  private val B = Array(11L, 17L, 23L, 31L)
+  private val P = MinHash.P
+  private val A = MinHash.A
+  private val B = MinHash.B
   val k: Int = A.length
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)

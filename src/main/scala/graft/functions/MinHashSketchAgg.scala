@@ -18,7 +18,7 @@ import java.nio.ByteBuffer
   * this one too.
   *
   * Registered in the FunctionRegistry as `graft_minhash(bigint) →
-  * array<bigint>[4]`.
+  * array<bigint>[k]` (k = MinHash.K shared constants).
   */
 case class MinHashSketchAgg(
     child: Expression,
@@ -26,9 +26,9 @@ case class MinHashSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  private val P = 2147483647L
-  private val A = Array(48271L, 69621L, 16807L, 40692L)
-  private val B = Array(11L, 17L, 23L, 31L)
+  private val P = MinHash.P
+  private val A = MinHash.A
+  private val B = MinHash.B
   private val K = A.length
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(K)(Long.MaxValue)
