@@ -318,32 +318,32 @@ object LlmOps {
     * label (one extra self-join — the pointer jump), so the distance a
     * label travels doubles per round and the loop converges in
     * O(log diameter) rounds instead of O(diameter). Lineage is cut per
-    * round with localCheckpoint; the PREVIOUS round's checkpoint blocks
-    * are freed once the new round is materialized, so executor storage
-    * stays O(|labels|) instead of growing linearly with iterations.
+    * round through Checkpoints.cut — localCheckpoint by default, a
+    * RELIABLE checkpoint under spark.graft.reliableCheckpoint=true
+    * (executor loss then costs one re-read instead of the whole run; see
+    * Checkpoints). The PREVIOUS round's checkpoint blocks are freed once
+    * the new round is materialized, so executor storage stays O(|labels|)
+    * instead of growing linearly with iterations.
     * THROWS if the cap is reached without convergence — a silent partial
     * labeling is a wrong answer. */
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("vb").as("va"), col("va").as("vb")))
-      .localCheckpoint()
-    var labels = edges.select(col("va").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("vb").as("va"), col("va").as("vb"))))
+    var labels = Checkpoints.cut(edges.select(col("va").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, col("vb") === col("node"))
         .groupBy(col("va")).agg(min(col("label")).as("nmin"))
       val jump = labels.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val updated = labels
+      val updated = Checkpoints.cut(labels
         .join(neighborMin, col("node") === col("va"), "left_outer")
         .join(jump, col("label") === col("jnode"), "left_outer")
         .select(col("node"), col("label"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("new_label"))
-        .localCheckpoint()
+            coalesce(col("jlabel"), col("label"))).as("new_label")))
       changed = updated.filter(col("new_label") < col("label")).count()
       // updated is materialized (eager checkpoint + the count above), so
       // the prior round's blocks are dead — free them now
