@@ -10,11 +10,12 @@ import graft.functions.VectorFunctions
 /** Approximate-nearest-neighbor and embedding near-dup operators plus the
   * multimodal binary-column pipeline (BASELINE.json north star).
   *
-  * LSH design: 8 signed random hyperplanes over the 64-dim embedding
-  * space. The hyperplanes are deterministic ±1 vectors generated from a
-  * fixed arithmetic formula and embedded as LITERALS into both the Spark
-  * plan and the oracle SQL — zero cross-engine arithmetic risk. Bit j of a
-  * vector's signature = (dot(v, plane_j) >= 0).
+  * LSH design: signed random hyperplanes over the 64-dim embedding space
+  * (8 for the ANN probe bucket, 24 for near-dup banding). The hyperplanes
+  * are deterministic ±1 vectors generated from a fixed arithmetic formula
+  * and embedded as LITERALS into both the Spark plan and the oracle SQL —
+  * zero cross-engine arithmetic risk. Bit j of a vector's signature =
+  * (dot(v, plane_j) >= 0).
   *
   * Vector math runs on the custom codegen'd Catalyst expressions
   * graft_dot / graft_norm_sq (graft.functions.VectorExpressions) — one
@@ -29,13 +30,28 @@ object AnnOps {
   import Tables._
 
   private val Dim = 64
+  /** Coarse bucket width for the ANN probe query (full-signature lookup —
+    * a 256-bucket table is the point: probes land in a populated cell). */
   private val Bits = 8
+  /** Near-dup banding width: 24 planes in 4 bands of 6 bits. 2-bit band
+    * keys (the r4 shape) give 4 buckets per band — candidate generation
+    * degenerates to O(n²/4) PER BAND, quadratic at any corpus size (the
+    * same saturation failure as a 12-bit SimHash space). 6-bit keys put
+    * 64 buckets in every band, cutting candidates 16× while keeping
+    * high-cosine recall (p = 1 − θ/π ≈ 0.86 at cos 0.9 → band hit
+    * p⁶ ≈ 0.39 → 4-band recall ≈ 0.86). */
+  private val DedupBits = 24
+  private val BandBits = 6
+  private val NBands = DedupBits / BandBits
 
-  /** plane(j)(d) ∈ {-1.0, +1.0}, deterministic. */
-  private val planes: Array[Array[Double]] =
-    Array.tabulate(Bits, Dim) { (j, dd) =>
+  /** plane(j)(d) ∈ {-1.0, +1.0}, deterministic — the formula depends only
+    * on (j, d), so the first 8 planes of the 24-plane family ARE the ANN
+    * query's planes. */
+  private def planesFor(bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits, Dim) { (j, dd) =>
       if (((j * Dim + dd) * 48271 + 7) % 97 % 2 == 0) 1.0 else -1.0
     }
+  private val planes: Array[Array[Double]] = planesFor(DedupBits)
 
   /** Spark: dot(emb, plane_j) through the codegen'd kernel, plane inlined
     * as an array literal. */
@@ -56,18 +72,18 @@ object AnnOps {
   private def bitSql(embExpr: String, j: Int): String =
     s"(CASE WHEN ${planeDotSql(embExpr, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
 
-  /** (vec_id, embedding, na, bucket): one scan, all 8 plane dots fused. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, embedding, na, bucket): one scan, all plane dots fused. */
+  private def signatures(s: SparkSession, d: String, bits: Int = Bits): DataFrame = {
     VectorFunctions.register(s)
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .withColumn("na", expr("graft_norm_sq(embedding)"))
       .withColumn("bucket",
-        (0 until Bits).map(j => bitCol("embedding", j)).reduce(_ + _))
+        (0 until bits).map(j => bitCol("embedding", j)).reduce(_ + _))
   }
 
-  private val signaturesSqlCte: String = {
-    val bucket = (0 until Bits).map(j => bitSql("emb", j)).mkString(" + ")
+  private def signaturesSqlCte(bits: Int): String = {
+    val bucket = (0 until bits).map(j => bitSql("emb", j)).mkString(" + ")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sigs AS (
        |  SELECT vec_id, emb,
@@ -76,7 +92,7 @@ object AnnOps {
        |  FROM e),
        |banded AS (
        |  SELECT vec_id, emb, na, bucket,
-       |    ${(0 until 4).map(b => s"(bucket // ${1L << (2 * b)}) % 4 AS s$b").mkString(", ")}
+       |    ${(0 until NBands).map(b => s"(bucket // ${1L << (BandBits * b)}) % ${1 << BandBits} AS s$b").mkString(", ")}
        |  FROM sigs)""".stripMargin
   }
 
@@ -103,7 +119,7 @@ object AnnOps {
   }
 
   val qSimAnnLshSql: String =
-    s"""WITH $signaturesSqlCte,
+    s"""WITH ${signaturesSqlCte(Bits)},
        |p AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, bucket AS pbucket
        |      FROM banded WHERE vec_id < 10),
        |scored AS (
@@ -120,21 +136,23 @@ object AnnOps {
 
   // ------------------------------------------------ embedding near-dup
 
-  /** Embedding-cosine near-dup via banded LSH (4 bands × 2 bits): a pair
+  /** Embedding-cosine near-dup via banded LSH (4 bands × 6 bits): a pair
     * is a candidate iff it collides in ≥1 band; candidates above cosine
     * 0.35 are emitted. Band rows come from ONE signature computation via
     * posexplode (not a 4-way union rescanning the pipeline); candidate
     * generation is an equi-join + distinct — never an all-pairs cross
-    * join. */
+    * join, and the 64-bucket band space keeps the candidate count
+    * ~n²/64 per band instead of the quadratic n²/4 a 2-bit key gives
+    * (see DedupBits). */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     // one materialization of the signature scan (embedding + norm + bucket):
     // it feeds the band self-join AND both sides of the verify join, so
-    // without the checkpoint the 8-plane-dot subtree executes 4× — and the
+    // without the checkpoint the 24-plane-dot subtree executes 4× — and the
     // precomputed na replaces per-pair norm recomputation (the oracle's
     // banded CTE reads ea.na/eb.na the same way)
-    val sigs = signatures(s, d).localCheckpoint()
-    val bandCols = (0 until 4).map(b =>
-      (col("bucket") / lit(1L << (2 * b))).cast(LongType) % 4)
+    val sigs = signatures(s, d, DedupBits).localCheckpoint()
+    val bandCols = (0 until NBands).map(b =>
+      (col("bucket") / lit(1L << (BandBits * b))).cast(LongType) % (1 << BandBits))
     val bandRows = sigs
       .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val pairs = bandRows.as("a")
@@ -157,9 +175,9 @@ object AnnOps {
   }
 
   val qDedupEmbedSql: String =
-    s"""WITH $signaturesSqlCte,
+    s"""WITH ${signaturesSqlCte(DedupBits)},
        |band_rows AS (
-       |  ${(0 until 4).map(b => s"SELECT $b AS band, s$b AS sig, vec_id FROM banded").mkString("\n  UNION ALL\n  ")}),
+       |  ${(0 until NBands).map(b => s"SELECT $b AS band, s$b AS sig, vec_id FROM banded").mkString("\n  UNION ALL\n  ")}),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |  FROM band_rows a JOIN band_rows b
