@@ -115,6 +115,33 @@ object ScaleOps {
       |FROM events GROUP BY 1, 2
       |ORDER BY bucket, n DESC, event_type""".stripMargin
 
+  // ------------------------------------------------- KMV distinct sketch
+
+  /** Distinct users per event type through the native KMV cardinality
+    * sketch (graft.functions.KmvDistinctAgg — K minima per group,
+    * mergeable partials, O(K) state at any input size): the sketch answer
+    * to COUNT(DISTINCT) once the value domain outgrows an exact
+    * aggregate. user_id is folded to a ≤200-value domain so the sketch
+    * runs in its provably-exact regime (< K = 256 distinct) and the plain
+    * COUNT(DISTINCT) oracle hash-checks the entire native path: update,
+    * partial serialization, set-union merge, final eval. The >K estimator
+    * regime ((K−1)·P/θ_K, ~6% RSE) is covered by KmvSketchSpec. */
+  def qAggDistinctSketch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    events(s, d)
+      .select(col("event_type"), (col("user_id") % 200).as("u"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_approx_distinct(u)").as("n_distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val qAggDistinctSketchSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id % 200) AS BIGINT) AS n_distinct_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
@@ -296,6 +323,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
+    "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_trained" -> (qSimAnnIvfTrained _),
@@ -304,6 +332,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "q_agg_salted" -> qAggSaltedSql,
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
+    "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrainedSql,

@@ -156,6 +156,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_topk_freq"),
       (es: Seq[Expression]) => MisraGriesAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_approx_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "graft_approx_distinct"),
+      (es: Seq[Expression]) => KmvDistinctAgg(es.head).toAggregateExpression()),
   )
 
   /** Session-local registration (idempotent) — lets any query use the
