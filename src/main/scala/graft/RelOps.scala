@@ -469,9 +469,44 @@ object RelOps {
       |  sum_od AS sum_od_csv
       |FROM r ORDER BY o_orderstatus""".stripMargin
 
+  /** ORC round-trip, graded like the JSON/CSV pair: lineitem measures
+    * written to ORC (the second columnar format Spark ships in-box),
+    * read back, rolled up — the oracle computes the identical rollup
+    * from parquet, so any value corrupted by the ORC encode/decode
+    * (decimal/timestamp logical types, dictionary pages, nulls) breaks
+    * the hash. Exercises pushdown through the ORC reader too: the
+    * rollup's filter reaches the ORC scan as a SearchArgument. */
+  def qSourceOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_orc_" +
+      s.sparkContext.applicationId
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"),
+        unix_seconds(col("l_shipdate").cast(TimestampType)).as("sd"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_quantity") >= 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        sum(col("sd")).as("sum_sd"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_checksum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSourceOrcSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(epoch(l_shipdate) AS BIGINT)) AS BIGINT) AS sum_sd,
+      |  CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_checksum
+      |FROM lineitem
+      |WHERE l_quantity >= 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_orc" -> (qSourceOrc _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
@@ -492,6 +527,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_orc" -> qSourceOrcSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,

@@ -196,6 +196,52 @@ object StreamOps {
     s.table(sink).orderBy(col("user_id"), col("sess_start"))
   }
 
+  /** ARBITRARY STATEFUL processing through the real streaming engine:
+    * `flatMapGroupsWithState` keeps a custom (count, sum) state per user
+    * and emits the running totals on every update — the API for state
+    * machines that windowed aggregation can't express (the
+    * `KeyValueGroupedDataset` surface of the brief). Update output mode
+    * writes one row per (user, micro-batch) to the memory sink; both
+    * emitted measures are MONOTONE (count strictly, modular-token sum
+    * non-decreasing since event_id ≥ 0), so max-per-user over the sink
+    * equals the converged state and the plain batch aggregate oracle
+    * hash-checks the whole stateful path. At scale the same code runs
+    * unbounded with a timeout policy (`GroupStateTimeout`) bounding
+    * state. */
+  def qStreamCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .select(col("user_id").cast(LongType), (col("event_id") % 1000L).as("tok"))
+      .as[(Long, Long)]
+    val updates = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          Iterator((user, n, sum))
+      }
+      .toDF("user_id", "n_events", "tok_sum")
+    val sink = "graft_stream_state_sink"
+    val q = updates.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("tok_sum")).as("tok_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamCustomStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(event_id % 1000) AS BIGINT) AS tok_sum
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val qStreamLiveSessionSql: String =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |l AS (SELECT user_id, event_id, ts,
@@ -220,6 +266,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live" -> (qStreamLive _),
     "q_stream_live_session" -> (qStreamLiveSession _),
+    "q_stream_custom_state" -> (qStreamCustomState _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -229,6 +276,7 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
     "q_stream_live_session" -> qStreamLiveSessionSql,
+    "q_stream_custom_state" -> qStreamCustomStateSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,
