@@ -77,4 +77,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must be an equi-join:\n$p")
   }
+
+  test("fingerprint is a zero-shuffle plan (row-local shingling)") {
+    val p = plan("q_text_fingerprint")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprint must not shuffle — shingling is row-local:\n$p")
+    assert(!p.contains("Window"),
+      s"fingerprint must not use a per-doc window:\n$p")
+  }
+
+  test("repetition and quality shuffle only the (lang, bucket) rollup") {
+    Seq("q_text_repetition", "q_text_quality").foreach { n =>
+      val p = plan(n)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(p).size === 1,
+        s"$n should shuffle only the final rollup:\n$p")
+      assert(!p.contains("Window"), s"$n must not use a per-doc window:\n$p")
+    }
+  }
+
+  test("ORC round-trip pushes the quantity filter into the ORC scan") {
+    val p = plan("q_source_orc")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"quantity predicate not pushed to the ORC scan:\n$p")
+  }
 }
