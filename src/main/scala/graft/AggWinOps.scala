@@ -501,6 +501,49 @@ object AggWinOps {
       |FROM customer c
       |ORDER BY c_custkey""".stripMargin
 
+  /** NOT IN (subquery) — the three-valued-logic trap, graded: the clean
+    * list (no NULLs) plans Spark's null-aware anti join and matches NOT
+    * EXISTS; a single NULL injected into the IN-list flips NOT IN to
+    * UNKNOWN for every row without a positive match, so the poisoned
+    * variant must count zero survivors in BOTH engines. Both variants
+    * union into one labeled result so one hash gate covers the whole
+    * semantics table. */
+  def qSubqueryNotIn(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_ni_customer")
+    orders(s, d).createOrReplaceTempView("graft_ni_orders")
+    s.sql(
+      """SELECT 'clean' AS variant, COUNT(*) AS n_customers
+        |FROM graft_ni_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM graft_ni_orders WHERE o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT 'null_poisoned' AS variant, COUNT(*) AS n_customers
+        |FROM graft_ni_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey = (SELECT MIN(o_orderkey)
+        |                                  FROM graft_ni_orders
+        |                                  WHERE o_orderstatus = 'P')
+        |               THEN NULL ELSE o_custkey END
+        |   FROM graft_ni_orders WHERE o_orderstatus = 'P')
+        |ORDER BY variant""".stripMargin)
+  }
+
+  val qSubqueryNotInSql: String =
+    """SELECT 'clean' AS variant, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |UNION ALL
+      |SELECT 'null_poisoned' AS variant, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey = (SELECT MIN(o_orderkey)
+      |                                  FROM orders
+      |                                  WHERE o_orderstatus = 'P')
+      |               THEN NULL ELSE o_custkey END
+      |   FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY variant""".stripMargin
+
   // ------------------------------------------------------------- unpivot
 
   /** UNPIVOT (melt): the pivoted wide per-day matrix back to long form —
@@ -639,6 +682,7 @@ object AggWinOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_unpivot" -> (qAggUnpivot _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
+    "q_subquery_not_in" -> (qSubqueryNotIn _),
     "q_window_gapfill" -> (qWindowGapfill _),
     "q_window_rolling" -> (qWindowRolling _),
     "q_scalar_null_bitwise" -> (qScalarNullBitwise _),
@@ -668,6 +712,7 @@ object AggWinOps {
   val oracle: Map[String, String] = Map(
     "q_agg_unpivot" -> qAggUnpivotSql,
     "q_subquery_scalar" -> qSubqueryScalarSql,
+    "q_subquery_not_in" -> qSubqueryNotInSql,
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
