@@ -30,5 +30,14 @@ class RerunSpec extends AnyFunSuite {
     val ta = SortOps.qSourceTerarecord(spark, sf).collect().map(_.toSeq)
     val tb = SortOps.qSourceTerarecord(spark, sf).collect().map(_.toSeq)
     assert(ta.sameElements(tb))
+    val oa = RelOps.qSourceOrc(spark, sf).collect().map(_.toSeq)
+    val ob = RelOps.qSourceOrc(spark, sf).collect().map(_.toSeq)
+    assert(oa.nonEmpty && oa.sameElements(ob))
+  }
+
+  test("custom-state stream is rerun-idempotent (fixed sink name replaces)") {
+    val a = StreamOps.qStreamCustomState(spark, sf).collect().map(_.toSeq)
+    val b = StreamOps.qStreamCustomState(spark, sf).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
   }
 }
