@@ -679,7 +679,93 @@ object AggWinOps {
       |FROM orders WHERE o_orderkey < 200
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------- window navigation functions
+
+  /** Window NAVIGATION surface: first_value / last_value / nth_value over
+    * the full partition frame plus ntile quartiles — per customer, ordered
+    * by (o_orderdate, o_orderkey) so every function is deterministic. The
+    * frame is explicit ROWS UNBOUNDED PRECEDING..FOLLOWING: the default
+    * RANGE..CURRENT ROW frame would make last_value degenerate (and differ
+    * between engines on date ties). One shuffle on o_custkey — the same
+    * cost class as every other per-key window at 100 TB. */
+  def qWindowNavigation(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("first_key", first(col("o_orderkey")).over(full))
+      .withColumn("last_key", last(col("o_orderkey")).over(full))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(full))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .select(col("o_custkey"), col("o_orderkey"), col("first_key"),
+        col("last_key"), col("third_key"), col("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowNavigationSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w2 AS first_key,
+      |  LAST_VALUE(o_orderkey) OVER w2 AS last_key,
+      |  NTH_VALUE(o_orderkey, 3) OVER w2 AS third_key,
+      |  CAST(NTILE(4) OVER w1 AS BIGINT) AS quartile
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW
+      |  w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------- statistical moments (corr etc.)
+
+  /** Statistical aggregates — corr / covar_samp / stddev_samp per group —
+    * computed from EXACT decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy)
+    * with the closed-form combination done in double at the end. Built-in
+    * corr/stddev stream doubles in partition order, so their low bits vary
+    * run-to-run with task scheduling; the moment form is bit-stable under
+    * any partitioning AND map-side partial-aggregable — strictly better at
+    * 100 TB, where the built-ins pay the same shuffle but lose
+    * determinism. */
+  def qAggStatsMoments(s: SparkSession, d: String): DataFrame = {
+    def m(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        m(x).as("sx"), m(y).as("sy"),
+        m(x * x).as("sxx"), m(y * y).as("syy"), m(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - lit(1L))), 4).as("covar_samp"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1L)))), 6).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qAggStatsMomentsSql: String =
+    """WITH mo AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) /
+      |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+      |  round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp,
+      |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
+      |FROM mo ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_navigation" -> (qWindowNavigation _),
+    "q_agg_stats_moments" -> (qAggStatsMoments _),
     "q_agg_unpivot" -> (qAggUnpivot _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_subquery_not_in" -> (qSubqueryNotIn _),
@@ -710,6 +796,8 @@ object AggWinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_navigation" -> qWindowNavigationSql,
+    "q_agg_stats_moments" -> qAggStatsMomentsSql,
     "q_agg_unpivot" -> qAggUnpivotSql,
     "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_subquery_not_in" -> qSubqueryNotInSql,

@@ -503,9 +503,38 @@ object RelOps {
       |WHERE l_quantity >= 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- null-safe equi-join
+
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM as the JOIN key):
+    * both sides NULL out nation key 13, so the nation-13 customers only
+    * reach their nation row because NULL <=> NULL matches. Catalyst plans
+    * this as a plain hash/broadcast join on a coalesced key struct — same
+    * single-shuffle (here: broadcast, zero-shuffle) cost as an ordinary
+    * equi-join, NOT a degenerate theta join, which is what makes the
+    * operator usable on a 100 TB fact side. The rollup row for nation 13
+    * (600 customers at sf0.1) is the proof the NULL group matched. */
+  def qJoinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"),
+      nullif(col("c_nationkey").cast(LongType), lit(13L)).as("ck"))
+    val n = nation(s, d).select(col("n_name"),
+      nullif(col("n_nationkey").cast(LongType), lit(13L)).as("nk"))
+    c.join(broadcast(n), col("ck") <=> col("nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("n_name"))
+  }
+
+  val qJoinNullSafeSql: String =
+    """SELECT n_name, COUNT(*) AS n_custs, MIN(c_custkey) AS min_custkey
+      |FROM customer JOIN nation
+      |  ON NULLIF(CAST(c_nationkey AS BIGINT), 13)
+      |     IS NOT DISTINCT FROM NULLIF(CAST(n_nationkey AS BIGINT), 13)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_null_safe" -> (qJoinNullSafe _),
     "q_source_orc" -> (qSourceOrc _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
@@ -527,6 +556,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_null_safe" -> qJoinNullSafeSql,
     "q_source_orc" -> qSourceOrcSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,

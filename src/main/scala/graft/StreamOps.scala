@@ -132,6 +132,21 @@ object StreamOps {
 
   // ----------------------------------------- true readStream (graded)
 
+  /** Run `body` with the streaming query's shuffle-partition count pinned
+    * low. Every stateful streaming operator materializes state-store
+    * instances PER shuffle partition (a stream-stream join: four per
+    * partition), and the count is frozen into the query at start — at the
+    * session's 32 partitions that is pure fixed overhead against these
+    * single-micro-batch state volumes. Production sizing is the same
+    * decision: state-store parallelism follows state volume, not the
+    * batch session's scan parallelism. Batch queries are unaffected (conf
+    * restored on exit). */
+  private def withStreamParts[T](s: SparkSession, parts: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The SAME tumbling aggregation as q_stream_tumbling, but executed
     * through the real Structured Streaming engine: parquet file-stream
     * source → event-time watermark → windowed aggregation → memory sink,
@@ -142,7 +157,7 @@ object StreamOps {
     * window-state) works, not just its batch-shaped equivalent. At scale
     * the same topology runs unbounded: the watermark bounds window state,
     * and the file source becomes Kafka/object-store listing. */
-  def qStreamLive(s: SparkSession, d: String): DataFrame = {
+  def qStreamLive(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // glob form: the file source requires a directory basePath, and the
@@ -175,7 +190,7 @@ object StreamOps {
     * sessions equal the batch gap-trick answer. Session identity crosses
     * the oracle boundary as epoch seconds of the session start (= first
     * event time). */
-  def qStreamLiveSession(s: SparkSession, d: String): DataFrame = {
+  def qStreamLiveSession(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
@@ -208,7 +223,7 @@ object StreamOps {
     * hash-checks the whole stateful path. At scale the same code runs
     * unbounded with a timeout policy (`GroupStateTimeout`) bounding
     * state. */
-  def qStreamCustomState(s: SparkSession, d: String): DataFrame = {
+  def qStreamCustomState(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -236,6 +251,62 @@ object StreamOps {
       .agg(max(col("n_events")).as("n_events"), max(col("tok_sum")).as("tok_sum"))
       .orderBy(col("user_id"))
   }
+
+  /** STREAM-STREAM inner join through the real streaming engine: two
+    * file-stream readers over the events table (clicks / purchases), each
+    * event-time watermarked, joined on user_id with the time-range
+    * constraint purchase ∈ [click, click + 30 min] — the canonical
+    * attribution join. The range bound + both watermarks are what let the
+    * engine EXPIRE join state (a click older than watermark − 30 min can
+    * never match again), so the state store stays bounded on an unbounded
+    * stream — the property that makes this run forever at 100 TB/day.
+    * Inner join emits each matched pair exactly once (append mode), so
+    * the drained sink equals the batch join and the plain-SQL oracle
+    * hash-gates the whole stream-join path. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withStreamParts(s)(qStreamJoinInner(s, d))
+  }
+
+  private def qStreamJoinInner(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    def src = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(buys,
+        col("user_id") === col("b_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) /
+          lit(1000000L)).cast(LongType).as("secs_to_purchase"))
+    val sink = "graft_stream_join_sink"
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  (epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)))
+      |    // 1000000 AS secs_to_purchase
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   val qStreamCustomStateSql: String =
     """SELECT user_id, COUNT(*) AS n_events,
@@ -267,6 +338,7 @@ object StreamOps {
     "q_stream_live" -> (qStreamLive _),
     "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_custom_state" -> (qStreamCustomState _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -277,6 +349,7 @@ object StreamOps {
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
     "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_custom_state" -> qStreamCustomStateSql,
+    "q_stream_join" -> qStreamJoinSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,

@@ -524,9 +524,47 @@ object TextOps {
       |  CAST(SUM(len(txt) - len(re2)) AS BIGINT) AS chars_delta
       |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- edit-distance fuzzy dedup
+
+  /** Edit-distance (Levenshtein) fuzzy near-dup over PREFIX-BLOCKED
+    * candidates: docs sharing (lang, first 8 chars) form a candidate
+    * block — an equi-join, so candidate generation stays O(block²) per
+    * key, never corpus-wide all-pairs — then pairs are verified on the
+    * 48-char prefix with the THRESHOLDED DP kernel (`levenshtein(a,b,12)`
+    * prunes to the |12|-wide band and early-exits, O(k·n) not O(n²)).
+    * Prefix blocking is deliberately one band of a multi-band scheme: at
+    * scale you add a suffix block and/or the MinHash band keys
+    * (q_dedup_near) to recover pairs whose edits hit the first 8 chars —
+    * same union-of-bands recall argument as every LSH operator here. */
+  def qTextEditdist(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 8).as("blk"),
+      substring(col("text"), 1, 48).as("pfx"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      col("blk"), col("pfx").as("pa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("blk").as("blk_b"), col("pfx").as("pb"))
+    a.join(b, col("lang") === col("lang_b") && col("blk") === col("blk_b") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", expr("levenshtein(pa, pb, 12)"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast(LongType).as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qTextEditdistSql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND substr(a.text, 1, 8) = substr(b.text, 1, 8)
+      | AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_editdist" -> (qTextEditdist _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -541,6 +579,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_editdist" -> qTextEditdistSql,
     "q_text_redact" -> qTextRedactSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
