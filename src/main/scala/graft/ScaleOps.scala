@@ -318,9 +318,58 @@ object ScaleOps {
        |FROM n JOIN c2 c ON n.cell_id = c.cell_id
        |ORDER BY n.cell_id""".stripMargin
 
+  // ------------------------------------------------- Count-Min sketch
+
+  /** Per-user frequency estimates through the native Count-Min sketch
+    * (graft.functions.CountMinAgg — 3×256 counter matrix, elementwise-add
+    * merge, 6 KB of state at ANY input size): ONE global sketch over all
+    * events, then every probe user's estimate is min over its 3 cells,
+    * read by plain array indexing from the broadcast 1-row aggregate.
+    * The 1,500-user fixture genuinely collides in a 256-wide row, so this
+    * grades the ESTIMATOR regime, not a degenerate exact case — possible
+    * because the LCG hash family is explicit arithmetic the oracle
+    * reproduces: cell(r,i) = Σ counts of keys hashing there, a GROUP BY.
+    * est ≥ exact always (upper-biased by construction); both columns are
+    * emitted so the grade pins the overcount itself. */
+  def qAggCountMin(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    import graft.functions.{CountMinAgg => CM}
+    val sk = events(s, d).agg(expr("graft_count_min(user_id)").as("sk"))
+    val probes = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("user_id") % 37 === 0)
+    val est = (0 until CM.Depth).map { r =>
+      element_at(col("sk"),
+        (expr(CM.cellSql(r, "user_id")) + lit(r * CM.Width + 1)).cast(IntegerType))
+    }.reduce(least(_, _))
+    probes.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("exact_cnt"), est.as("est_cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  val qAggCountMinSql: String = {
+    import graft.functions.{CountMinAgg => CM}
+    val rowCtes = (0 until CM.Depth).map { r =>
+      s"c$r AS (SELECT ${CM.cellSql(r, "user_id")} AS cell, " +
+        "CAST(SUM(c) AS BIGINT) AS s FROM cnt GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until CM.Depth).map { r =>
+      s"JOIN c$r ON c$r.cell = ${CM.cellSql(r, "p.user_id")}"
+    }.mkString("\n")
+    s"""WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+       |$rowCtes,
+       |p AS (SELECT user_id, c FROM cnt WHERE user_id % 37 = 0)
+       |SELECT p.user_id, p.c AS exact_cnt,
+       |  LEAST(${(0 until CM.Depth).map(r => s"c$r.s").mkString(", ")}) AS est_cnt
+       |FROM p
+       |$joins
+       |ORDER BY p.user_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_count_min" -> (qAggCountMin _),
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
@@ -330,6 +379,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_count_min" -> qAggCountMinSql,
     "q_agg_salted" -> qAggSaltedSql,
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,

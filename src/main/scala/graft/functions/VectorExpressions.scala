@@ -159,6 +159,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_approx_distinct"),
       new ExpressionInfo(classOf[KmvDistinctAgg].getName, "graft_approx_distinct"),
       (es: Seq[Expression]) => KmvDistinctAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
+      (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
   )
 
   /** Session-local registration (idempotent) — lets any query use the

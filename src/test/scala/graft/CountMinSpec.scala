@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CountMinAgg, VectorFunctions}
+
+/** Count-Min sketch invariants beyond the oracle-gated graded query. */
+class CountMinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** min-over-depth estimate for key k from a collected sketch array. */
+  private def estimate(sk: Seq[Long], k: Long): Long =
+    (0 until CountMinAgg.Depth)
+      .map(r => sk(r * CountMinAgg.Width + CountMinAgg.cell(r, k)))
+      .min
+
+  test("estimates upper-bound exact counts for every key") {
+    VectorFunctions.register(spark)
+    val df = spark.range(100000).select((col("id") % 1777).as("k"))
+    val sk = df.agg(expr("graft_count_min(k)").as("sk"))
+      .collect()(0).getSeq[Long](0)
+    val exact = df.groupBy(col("k")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (k, cnt) =>
+      val est = estimate(sk, k)
+      assert(est >= cnt, s"key $k: est $est < exact $cnt")
+    }
+  }
+
+  test("no-collision regime is exact") {
+    VectorFunctions.register(spark)
+    // 20 keys in a 256-wide row: verify this family maps them injectively
+    // per row, then the min-over-rows estimate must be exact
+    val keys = (0L until 20L)
+    (0 until CountMinAgg.Depth).foreach { r =>
+      val cells = keys.map(k => CountMinAgg.cell(r, k))
+      assert(cells.distinct.size === keys.size, s"row $r collides on the test keys")
+    }
+    val df = spark.range(20000).select((col("id") % 20).as("k"))
+    val sk = df.agg(expr("graft_count_min(k)").as("sk"))
+      .collect()(0).getSeq[Long](0)
+    keys.foreach(k => assert(estimate(sk, k) === 1000L))
+  }
+
+  test("merge-order invariance: sketch is identical across partitionings") {
+    VectorFunctions.register(spark)
+    val base = spark.range(50000).select((col("id") % 997).as("k"))
+    val sketches = Seq(1, 3, 17).map { p =>
+      base.repartition(p).agg(expr("graft_count_min(k)"))
+        .collect()(0).getSeq[Long](0)
+    }
+    assert(sketches.distinct.size === 1)
+  }
+
+  test("counters are linear: sketch of a union is the elementwise sum") {
+    VectorFunctions.register(spark)
+    def sketch(lo: Long, hi: Long): Seq[Long] =
+      spark.range(lo, hi).select((col("id") % 313).as("k"))
+        .agg(expr("graft_count_min(k)")).collect()(0).getSeq[Long](0)
+    val whole = sketch(0, 30000)
+    val a = sketch(0, 11000)
+    val b = sketch(11000, 30000)
+    assert(whole === a.zip(b).map { case (x, y) => x + y })
+  }
+}
