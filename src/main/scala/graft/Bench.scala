@@ -22,10 +22,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal timings: the full-precision line was ~3.5 KB and the
+    // driver's r4/r5 log-tail captures truncated its head (BENCH_r05
+    // "parsed": null); millisecond resolution keeps the line well inside
+    // the tail window without losing anything a ±15%-noisy bench can use
+    val qs = results.map { case (k, v) =>
+      "\"%s\":%.3f".formatLocal(java.util.Locale.ROOT, k, v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line =
+      """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"sf":"%s"}"""
+        .formatLocal(java.util.Locale.ROOT, total, qs, sfDir)
     println(line)
     // also land the JSON in a file: the r4 driver log tail truncated 22
     // per-query timings — a file copy makes the capture lossless
