@@ -192,6 +192,121 @@ object AnnOps {
        |SELECT va, vb, score FROM scored WHERE score >= 0.35
        |ORDER BY va, vb""".stripMargin
 
+  // --------------------------------------------- product quantization ANN
+
+  /** Subspace count (64 dims → 4 × 16-dim subvectors) and per-subspace
+    * codebook size for the PQ query. */
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+  private val PqK = 16
+
+  /** Spark SQL: squared L2 distance between subspace m of two vector
+    * expressions — a sequential left fold over the 16-element slices, the
+    * same evaluation order as the oracle's list_sum (bit-identical
+    * doubles). */
+  private def pqSubdist(v: String, c: String, m: Int): String = {
+    val start = m * PqSub + 1
+    s"aggregate(zip_with(slice($v, $start, $PqSub), slice($c, $start, $PqSub), " +
+      "(aa, bb) -> (CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE)) * " +
+      "(CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE))), 0.0D, (s0, e0) -> s0 + e0)"
+  }
+
+  /** DuckDB: the identical subspace distance over list_slice. */
+  private def pqSubdistSql(v: String, c: String, mExpr: String): String =
+    s"list_sum(list_transform(list_zip(" +
+      s"list_slice($v, $mExpr * $PqSub + 1, $mExpr * $PqSub + $PqSub), " +
+      s"list_slice($c, $mExpr * $PqSub + 1, $mExpr * $PqSub + $PqSub)), " +
+      "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** Product-quantization ANN (IVF-PQ's compression half): every vector is
+    * encoded as M=4 one-byte codes — per subspace, the argmin-distance
+    * entry of a 16-centroid codebook — and probe-to-candidate distance is
+    * the ADC (asymmetric distance computation) sum of 4 table lookups,
+    * never a touch of the original vector. At 100 TB this is THE memory
+    * lever: 64 floats (256 B) become 4 B per vector, the code table is
+    * scanned, and the per-probe ADC table (M × 16 doubles) is a broadcast.
+    *
+    * Topology: the codebook (here: the first 16 vectors' subvectors —
+    * deterministic selection; production trains it with the same
+    * fixed-point Lloyd machinery as q_sim_ann_ivf_trained) is a 1-row
+    * broadcast array; ENCODING is a row-local fold over that array (no
+    * shuffle — each vector computes its own codes in place, exactly what
+    * a custom expression would do); scoring joins the exploded (vec, m,
+    * code) rows to the broadcast ADC table and sums the 4 partials
+    * through an exact decimal cast (order-independent, so the doubles
+    * survive the strict oracle compare). Top-3 per probe by (distance,
+    * vec_id). */
+  def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // 1-row broadcast codebook: array of (c, cv) structs sorted by c, so
+    // the encoding fold visits centroids in id order and ties keep the
+    // smallest id — same tie rule as the oracle's MIN(c_id) on minima
+    val cbArr = emb.filter(col("vec_id") < PqK)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast(IntegerType).as("c"), col("embedding").as("cv"))))
+        .as("cb"))
+    def codeExpr(m: Int): String =
+      s"aggregate(cb, named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
+        s"(acc, x) -> IF(${pqSubdist("embedding", "x.cv", m)} < acc.d, " +
+        s"named_struct('d', ${pqSubdist("embedding", "x.cv", m)}, 'c', x.c), acc)).c"
+    val enc = emb.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(m => expr(codeExpr(m)).cast(IntegerType)): _*))
+        .as(Seq("m", "code")))
+    val cbRows = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
+    val adc = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .crossJoin(broadcast(cbRows))
+      .select(col("probe_id"), col("c_id"), posexplode(array(
+        (0 until PqM).map(m => expr(pqSubdist("pv", "cv", m))): _*))
+        .as(Seq("pm", "pd")))
+    val scored = enc.join(broadcast(adc),
+        col("m") === col("pm") && col("code") === col("c_id") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
+       |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |d AS (
+       |  SELECT e.vec_id, cb.c_id, ms.m,
+       |    ${pqSubdistSql("e.v", "cb.cv", "ms.m")} AS dist
+       |  FROM e, cb, ms),
+       |mn AS (SELECT vec_id, m, MIN(dist) AS md FROM d GROUP BY 1, 2),
+       |code AS (
+       |  SELECT d.vec_id, d.m, MIN(d.c_id) AS code
+       |  FROM d JOIN mn ON d.vec_id = mn.vec_id AND d.m = mn.m AND d.dist = mn.md
+       |  GROUP BY 1, 2),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+       |adc AS (
+       |  SELECT probe_id, c_id, ms.m,
+       |    ${pqSubdistSql("p.pv", "cb.cv", "ms.m")} AS pd
+       |  FROM p, cb, ms),
+       |scored AS (
+       |  SELECT adc.probe_id, code.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
+       |  FROM code JOIN adc ON adc.m = code.m AND adc.c_id = code.code
+       |  WHERE code.vec_id <> adc.probe_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY adist, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, adist, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------- multimodal binary pipeline
 
   /** Multimodal binary-column pipeline: text re-encoded as an opaque binary
@@ -242,12 +357,14 @@ object AnnOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_sim_ann_lsh" -> qSimAnnLshSql,
+    "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
   )
