@@ -100,4 +100,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("l_quantity"),
       s"quantity predicate not pushed to the ORC scan:\n$p")
   }
+
+  test("null-safe join plans as a hash join on coalesced keys, not a theta join") {
+    val p = plan("q_join_null_safe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"<=> join key should plan as a broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe equality degenerated to a nested-loop join:\n$p")
+  }
+
+  test("edit-distance dedup candidates come from an equi-join, never all-pairs") {
+    val p = plan("q_text_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix blocking must be an equi-join:\n$p")
+  }
+
+  test("PQ encoding is row-local: codebook and ADC table reach it as broadcasts") {
+    val p = plan("q_sim_ann_pq")
+    assert(p.contains("BroadcastExchange"),
+      s"codebook/ADC table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scoring must join on (m, code), never cross vectors with vectors:\n$p")
+  }
+
+  test("count-min probes read the one-row sketch via broadcast") {
+    val p = plan("q_agg_count_min")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row sketch aggregate should broadcast to the probes:\n$p")
+  }
+
+  test("moment statistics partial-aggregate before the group shuffle") {
+    val p = plan("q_agg_stats_moments")
+    // two HashAggregate layers around one exchange = map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final hash aggregation:\n$p")
+  }
 }

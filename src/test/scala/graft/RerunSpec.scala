@@ -40,4 +40,13 @@ class RerunSpec extends AnyFunSuite {
     val b = StreamOps.qStreamCustomState(spark, sf).collect().map(_.toSeq)
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("stream-stream join is rerun-idempotent and restores shuffle partitions") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = StreamOps.qStreamJoin(spark, sf).collect().map(_.toSeq)
+    val b = StreamOps.qStreamJoin(spark, sf).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "withStreamParts must restore the session's partition count")
+  }
 }
