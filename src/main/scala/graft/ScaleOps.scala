@@ -42,6 +42,43 @@ object ScaleOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- salted join
+
+  /** Skew-resistant JOIN — the join-side counterpart of q_agg_salted and
+    * the static alternative to AQE's runtime skew split (SkewJoinSpec):
+    * the build side replicates each row SALT ways (explode over the salt
+    * range), the probe side tags each row with a row-local deterministic
+    * salt (l_linenumber mod SALT), and the join key becomes (key, salt) —
+    * so a hot orderkey's probe rows spread across SALT reducers instead
+    * of melting one. Build-side cost is ×SALT rows (the standard trade);
+    * the result is exactly the plain join, which is what the oracle
+    * grades. Use when the skew is KNOWN ahead of run (AQE handles the
+    * discovered-at-runtime case); at 100 TB salt only the known-hot keys
+    * and join the rest unsalted. */
+  def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val SALT = 4
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(SALT)).as("salt"))
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(lit((0 until SALT).toArray)))
+    o.as("o").join(li.as("li"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("o.salt") === col("li.salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qJoinSaltedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------- deterministic stratified sample
 
   /** Stratified sampling with per-stratum rates — the training-data
@@ -370,6 +407,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_count_min" -> (qAggCountMin _),
+    "q_join_salted" -> (qJoinSalted _),
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
@@ -380,6 +418,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_agg_count_min" -> qAggCountMinSql,
+    "q_join_salted" -> qJoinSaltedSql,
     "q_agg_salted" -> qAggSaltedSql,
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
