@@ -238,23 +238,28 @@ object AnnOps {
     * vec_id). */
   def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the 16-entry codebook, once — feeds both the 1-row encode array and
+    // the ADC table rows (one definition to keep in sync, one scan)
+    val cbRows = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
     // 1-row broadcast codebook: array of (c, cv) structs sorted by c, so
     // the encoding fold visits centroids in id order and ties keep the
     // smallest id — same tie rule as the oracle's MIN(c_id) on minima
-    val cbArr = emb.filter(col("vec_id") < PqK)
-      .agg(sort_array(collect_list(struct(
-        col("vec_id").cast(IntegerType).as("c"), col("embedding").as("cv"))))
+    val cbArr = cbRows
+      .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
+    // transform computes each centroid distance ONCE, then the fold is a
+    // pure (d, c) min — inlining the distance into both IF branches would
+    // double the encode cost (no CSE inside lambdas)
     def codeExpr(m: Int): String =
-      s"aggregate(cb, named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
-        s"(acc, x) -> IF(${pqSubdist("embedding", "x.cv", m)} < acc.d, " +
-        s"named_struct('d', ${pqSubdist("embedding", "x.cv", m)}, 'c', x.c), acc)).c"
+      s"aggregate(transform(cb, x -> named_struct(" +
+        s"'d', ${pqSubdist("embedding", "x.cv", m)}, 'c', x.c)), " +
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
+        "(acc, y) -> IF(y.d < acc.d, y, acc)).c"
     val enc = emb.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), posexplode(array(
         (0 until PqM).map(m => expr(codeExpr(m)).cast(IntegerType)): _*))
         .as(Seq("m", "code")))
-    val cbRows = emb.filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
     val adc = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       .crossJoin(broadcast(cbRows))

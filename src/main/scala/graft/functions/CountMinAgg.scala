@@ -92,14 +92,17 @@ object CountMinAgg {
   val Depth: Int = 3
   val Width: Int = 256
 
-  /** Row-r cell index of key k — non-negative k expected (reduce wider
-    * domains first). Same arithmetic as the SQL oracle, by construction. */
+  /** Row-r cell index of key k. The key is floorMod-reduced into [0, P)
+    * first, so ANY bigint key — negative or wider than 2^31 — lands in a
+    * valid cell and the product A·k' stays under 2^62; cellSql applies
+    * the IDENTICAL reduction, so native sketch cells and SQL-side
+    * probe/oracle arithmetic agree for every key, not just the
+    * small-non-negative fixtures. */
   def cell(r: Int, k: Long): Int =
-    (((MinHash.A(r) * (k % P) + MinHash.B(r)) % P) % Width).toInt
+    (((MinHash.A(r) * java.lang.Math.floorMod(k, P) + MinHash.B(r)) % P) % Width).toInt
 
-  /** The Spark/DuckDB SQL expression for cell(r, k) — both engines share
-    * C-style sign-preserving % and 64-bit multiply (k < 2^31 keeps
-    * A·k < 2^62). */
+  /** The Spark/DuckDB SQL expression for cell(r, k): both engines' % is
+    * C-style sign-preserving, so floorMod is spelled ((k % P) + P) % P. */
   def cellSql(r: Int, k: String): String =
-    s"((${MinHash.A(r)} * $k + ${MinHash.B(r)}) % $P) % ${Width}"
+    s"((${MinHash.A(r)} * ((($k) % $P + $P) % $P) + ${MinHash.B(r)}) % $P) % ${Width}"
 }

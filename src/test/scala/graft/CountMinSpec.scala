@@ -53,6 +53,27 @@ class CountMinSpec extends AnyFunSuite {
     assert(sketches.distinct.size === 1)
   }
 
+  test("negative and huge keys land in valid cells, same as the SQL arithmetic") {
+    VectorFunctions.register(spark)
+    // keys that break sign-preserving % (negative) and 63-bit products
+    // (A * k overflows without the mod-P reduction)
+    val df = spark.range(4).selectExpr(
+      "element_at(array(-1L, -9223372036854775808L, 9223372036854775807L, 1345678901234567L), CAST(id + 1 AS INT)) AS k")
+    val sk = df.agg(expr("graft_count_min(k)").as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(sk.sum === 4L * CountMinAgg.Depth)
+    // the Spark-SQL spelling of cell() reads the same cells the native
+    // update wrote: every probe estimate is >= 1 (here: == 1, no collision
+    // among 4 keys is asserted by the exact total above)
+    val est = (0 until CountMinAgg.Depth).map(r =>
+      expr(s"element_at(sk, CAST(${CountMinAgg.cellSql(r, "k")} + ${r * CountMinAgg.Width + 1} AS INT))"))
+      .reduce(least(_, _))
+    val out = df.crossJoin(broadcast(
+        df.agg(expr("graft_count_min(k)").as("sk"))))
+      .select(est.as("est")).collect().map(_.getLong(0))
+    assert(out.forall(_ >= 1L))
+  }
+
   test("counters are linear: sketch of a union is the elementwise sum") {
     VectorFunctions.register(spark)
     def sketch(lo: Long, hi: Long): Seq[Long] =
