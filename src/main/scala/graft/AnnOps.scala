@@ -236,36 +236,49 @@ object AnnOps {
     * through an exact decimal cast (order-independent, so the doubles
     * survive the strict oracle compare). Top-3 per probe by (distance,
     * vec_id). */
-  def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // the 16-entry codebook, once — feeds both the 1-row encode array and
-    // the ADC table rows (one definition to keep in sync, one scan)
-    val cbRows = emb.filter(col("vec_id") < PqK)
+  /** The 16-entry codebook rows (c_id, cv) — ONE definition feeding both
+    * the 1-row encode array and the ADC table rows. */
+  private def pqCbRows(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
-    // 1-row broadcast codebook: array of (c, cv) structs sorted by c, so
-    // the encoding fold visits centroids in id order and ties keep the
-    // smallest id — same tie rule as the oracle's MIN(c_id) on minima
-    val cbArr = cbRows
+
+  /** PQ codes (vec_id, m, code) for every vector: a row-local argmin fold
+    * over the broadcast codebook array — no shuffle to encode. The array
+    * is sorted by centroid id, so the fold visits centroids in id order
+    * and ties keep the smallest id — same tie rule as the oracle's
+    * MIN(c_id) on minima. transform computes each centroid distance ONCE;
+    * inlining it into both IF branches would double the encode cost (no
+    * CSE inside lambdas). */
+  private def pqCodes(emb: DataFrame): DataFrame = {
+    val cbArr = pqCbRows(emb)
       .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
-    // transform computes each centroid distance ONCE, then the fold is a
-    // pure (d, c) min — inlining the distance into both IF branches would
-    // double the encode cost (no CSE inside lambdas)
     def codeExpr(m: Int): String =
       s"aggregate(transform(cb, x -> named_struct(" +
         s"'d', ${pqSubdist("embedding", "x.cv", m)}, 'c', x.c)), " +
         "named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
         "(acc, y) -> IF(y.d < acc.d, y, acc)).c"
-    val enc = emb.crossJoin(broadcast(cbArr))
+    emb.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), posexplode(array(
         (0 until PqM).map(m => expr(codeExpr(m)).cast(IntegerType)): _*))
         .as(Seq("m", "code")))
-    val adc = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-      .crossJoin(broadcast(cbRows))
+  }
+
+  /** Per-probe ADC table (probe_id, c_id, pm, pd): probe-to-centroid
+    * subspace distances — M × 16 doubles per probe, a broadcast. */
+  private def pqAdc(probes: DataFrame, emb: DataFrame): DataFrame =
+    probes.crossJoin(broadcast(pqCbRows(emb)))
       .select(col("probe_id"), col("c_id"), posexplode(array(
         (0 until PqM).map(m => expr(pqSubdist("pv", "cv", m))): _*))
         .as(Seq("pm", "pd")))
+
+  def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val enc = pqCodes(emb)
+    val adc = pqAdc(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+      emb)
     val scored = enc.join(broadcast(adc),
         col("m") === col("pm") && col("code") === col("c_id") &&
           col("vec_id") =!= col("probe_id"))
@@ -280,9 +293,10 @@ object AnnOps {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  val qSimAnnPqSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
+  /** Shared oracle CTEs: codebook + per-vector codes, assuming a CTE
+    * `e(vec_id, v, …)` is in scope. */
+  private val pqCodeSqlCtes: String =
+    s"""cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
        |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
        |d AS (
        |  SELECT e.vec_id, cb.c_id, ms.m,
@@ -292,17 +306,124 @@ object AnnOps {
        |code AS (
        |  SELECT d.vec_id, d.m, MIN(d.c_id) AS code
        |  FROM d JOIN mn ON d.vec_id = mn.vec_id AND d.m = mn.m AND d.dist = mn.md
-       |  GROUP BY 1, 2),
-       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
-       |adc AS (
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle ADC CTE over a probe CTE `p(probe_id, pv)`. */
+  private val pqAdcSqlCte: String =
+    s"""adc AS (
        |  SELECT probe_id, c_id, ms.m,
        |    ${pqSubdistSql("p.pv", "cb.cv", "ms.m")} AS pd
-       |  FROM p, cb, ms),
+       |  FROM p, cb, ms)""".stripMargin
+
+  val qSimAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCodeSqlCtes,
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+       |$pqAdcSqlCte,
        |scored AS (
        |  SELECT adc.probe_id, code.vec_id AS neighbor_id,
        |    round(CAST(SUM(CAST(pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
        |  FROM code JOIN adc ON adc.m = code.m AND adc.c_id = code.code
        |  WHERE code.vec_id <> adc.probe_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY adist, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, adist, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ — the production ANN architecture, composed from the two
+    * graded halves: the IVF coarse quantizer (8 seeded cells, nprobe=2
+    * probe fan-out — ScaleOps.qSimAnnIvf's topology) restricts WHICH
+    * vectors are scored, and PQ ADC decides HOW they are scored (4
+    * one-byte codes against the broadcast codebook — this file's
+    * qSimAnnPq). At 100 TB: candidates shrink ~C× by the cell equi-join
+    * and each candidate costs 4 table lookups against a 4 B code instead
+    * of a 256 B vector read — the two levers multiply. Everything small
+    * (centroids, codebook, per-probe ADC tables, probe cell fan-out)
+    * broadcasts; the only shuffles are the argmin window and the final
+    * per-pair rollup. */
+  def qSimAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    // one materialization: the ranked cell assignment feeds candidates
+    // (arn=1) AND the probes' 2-cell fan-out
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("cell_id"), col("arn"))
+      .localCheckpoint()
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    val probeCells = ranked
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+    val enc = pqCodes(emb)
+    val adc = pqAdc(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+      emb)
+      .withColumnRenamed("probe_id", "a_probe_id")
+    // candidate pairs: cell equi-join (a vector sits in exactly one cell,
+    // the probe fans out to 2 — no pair dedup needed), then ADC-score
+    val cand = assigned.join(broadcast(probeCells),
+      col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+    val scored = cand.join(enc, Seq("vec_id"))
+      .join(broadcast(adc),
+        col("m") === col("pm") && col("code") === col("c_id") &&
+          col("probe_id") === col("a_probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimAnnIvfPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS cvec, na AS nc FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.na, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, arn FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM dists) t WHERE arn <= 2),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE arn = 1),
+       |pcells AS (SELECT vec_id AS probe_id, cell_id AS pcell
+       |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
+       |$pqCodeSqlCtes,
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 20),
+       |$pqAdcSqlCte,
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(adc.pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
+       |  FROM assigned a
+       |  JOIN pcells pc ON a.cell_id = pc.pcell AND a.vec_id <> pc.probe_id
+       |  JOIN code ON code.vec_id = a.vec_id
+       |  JOIN adc ON adc.probe_id = pc.probe_id
+       |           AND adc.m = code.m AND adc.c_id = code.code
        |  GROUP BY 1, 2),
        |r AS (
        |  SELECT probe_id, neighbor_id, adist,
@@ -363,6 +484,7 @@ object AnnOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
+    "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
   )
@@ -370,6 +492,7 @@ object AnnOps {
   val oracle: Map[String, String] = Map(
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
+    "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
   )

@@ -123,6 +123,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"PQ scoring must join on (m, code), never cross vectors with vectors:\n$p")
   }
 
+  test("IVF-PQ candidates come from the cell equi-join; all small sides broadcast") {
+    val p = plan("q_sim_ann_ivf_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ scoring must never cross vectors with vectors:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"centroids/codebook/ADC tables should broadcast:\n$p")
+  }
+
   test("count-min probes read the one-row sketch via broadcast") {
     val p = plan("q_agg_count_min")
     assert(p.contains("BroadcastExchange"),
