@@ -356,15 +356,16 @@ object AnnOps {
         col("na").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cell_id"))
-    // one materialization: the ranked cell assignment feeds candidates
-    // (arn=1) AND the probes' 2-cell fan-out
+    // the ranked cell assignment feeds candidates (arn=1) AND the probes'
+    // 2-cell fan-out; both sit over the SAME hash exchange on vec_id, so
+    // ReusedExchange computes the dot products once — no eager checkpoint
+    // needed (the window re-runs per consumer, but over 2k tiny rows)
     val ranked = e.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
-      .localCheckpoint()
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("cell_id"))
     val probeCells = ranked
