@@ -463,6 +463,57 @@ object AnnOps {
     }.toDF("doc_id", "lang", "n_bytes", "first_byte")
   }
 
+  /** Frame SAMPLING over the multimodal binary payload — the video-shaped
+    * half of the decode pipeline: each payload is treated as a sequence
+    * of fixed-size "frames" (16 bytes), every 4th frame is sampled, and a
+    * stub per-frame feature (the frame's leading byte — where a real
+    * pipeline runs the frame decoder / vision encoder) is extracted in
+    * the same partition-batched imperative pass as decodeBinary. One
+    * doc-row fans out to its sampled frames ROW-LOCALLY (no shuffle, no
+    * state), so the operator is scan-bound at any corpus size and the
+    * frame stride directly throttles downstream volume — the knob a
+    * 100 TB video pipeline turns first. Payloads are ASCII here, so the
+    * oracle reproduces the byte arithmetic with char positions. */
+  private val FrameBytes = 16
+  private val FrameStride = 4
+
+  private[graft] def sampleFrames(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val payloads = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("lang"))
+      .as[(Long, Array[Byte], String)]
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes, lang) =>
+        val frames = bytes.length / FrameBytes
+        (0 until frames by FrameStride).iterator.map { fi =>
+          (id, lang, fi.toLong, (bytes(fi * FrameBytes) & 0xff).toLong)
+        }
+      }
+    }.toDF("doc_id", "lang", "frame_idx", "feature")
+  }
+
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(s, documents(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("feature")).as("feature_sum"),
+        max(col("frame_idx")).as("max_frame_idx"))
+      .orderBy(col("lang"))
+
+  val qMultimodalFramesSql: String =
+    s"""WITH f AS (SELECT doc_id, lang, text, len(text) // $FrameBytes AS nf
+       |           FROM documents),
+       |sampled AS (
+       |  SELECT doc_id, lang, text, unnest(range(0, nf, $FrameStride)) AS fi
+       |  FROM f)
+       |SELECT lang, COUNT(*) AS n_frames,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(ascii(substr(text, fi * $FrameBytes + 1, 1))) AS BIGINT) AS feature_sum,
+       |  CAST(MAX(fi) AS BIGINT) AS max_frame_idx
+       |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+
   def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
     decodeBinary(s, documents(s, d))
       .groupBy(col("lang"))
@@ -488,6 +539,7 @@ object AnnOps {
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -496,5 +548,6 @@ object AnnOps {
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
+    "q_multimodal_frames" -> qMultimodalFramesSql,
   )
 }

@@ -188,4 +188,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 'h'.toLong)
     assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
   }
+
+  test("frame sampling: stride-4 indices, sub-frame docs emit nothing") {
+    import spark.implicits._
+    // 80 bytes = 5 frames -> indices 0 and 4; 100 bytes = 6 -> 0, 4;
+    // 15 bytes < one frame -> no rows
+    val docs = Seq(
+      (1L, "a" * 80, "en"), (2L, "b" * 100, "en"), (3L, "c" * 15, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = AnnOps.sampleFrames(spark, docs)
+      .orderBy(col("doc_id"), col("frame_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 'a'.toLong), (1L, 4L, 'a'.toLong),
+      (2L, 0L, 'b'.toLong), (2L, 4L, 'b'.toLong)))
+  }
 }
