@@ -335,6 +335,62 @@ object TextOps {
        |FROM r WHERE rn <= 3
        |ORDER BY w1, rn""".stripMargin
 
+  // ------------------------------------------------------ LM quality score
+
+  /** LM-based quality scoring — the perplexity-filter shape of a curation
+    * pipeline: a bigram model is trained on the corpus itself (exact
+    * (w1,w2) and head counts), then EVERY document's bigrams are scored
+    * against it: mean conditional probability and rare-bigram fraction
+    * (corpus count ≤ 2 — the "this text is unlike the corpus" signal).
+    * Scoring is one shuffle join of doc-bigrams against the model on
+    * (w1,w2) — the standard LM-scoring topology; at 100 TB the model
+    * side is pruned to the vocabulary actually present and the join is
+    * the only vocabulary-sized shuffle. Means go through exact decimal
+    * sums of p = n/n_head (one IEEE division of exact ints per bigram),
+    * so the rollup is bit-stable — no log(), whose last ulp differs
+    * between engines. */
+  def qTextLmScore(s: SparkSession, d: String): DataFrame = {
+    val bgd = documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCounts = bgd.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val heads = pairCounts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
+    val model = pairCounts.join(heads, Seq("w1"))
+    bgd.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), col("lang"),
+        (col("n").cast(DoubleType) / col("n_head").cast(DoubleType)).as("p"),
+        when(col("n") <= 2, lit(1L)).otherwise(lit(0L)).as("rare"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("rare")).as("n_rare"),
+        round(sum(col("p").cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_p"))
+      .orderBy(col("lang"))
+  }
+
+  val qTextLmScoreSql: String =
+    s"""WITH $toksSqlCte,
+       |led AS (SELECT doc_id, lang, tok,
+       |          LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |        FROM toks),
+       |bg AS (SELECT doc_id, lang, tok AS w1, w2 FROM led WHERE w2 IS NOT NULL),
+       |pc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |th AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM pc GROUP BY 1),
+       |sc AS (SELECT bg.doc_id, bg.lang,
+       |         CAST(pc.n AS DOUBLE) / CAST(th.n_head AS DOUBLE) AS p,
+       |         CASE WHEN pc.n <= 2 THEN 1 ELSE 0 END AS rare
+       |       FROM bg JOIN pc ON bg.w1 = pc.w1 AND bg.w2 = pc.w2
+       |                JOIN th ON bg.w1 = th.w1)
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(rare) AS BIGINT) AS n_rare,
+       |  round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------- repetition scoring
 
   /** Repetition detection — the boilerplate/spam heuristic: repeated
@@ -574,6 +630,7 @@ object TextOps {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_bigram_lm" -> (qTextBigramLm _),
+    "q_text_lm_score" -> (qTextLmScore _),
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
   )
@@ -589,6 +646,7 @@ object TextOps {
     "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_bigram_lm" -> qTextBigramLmSql,
+    "q_text_lm_score" -> qTextLmScoreSql,
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
   )
