@@ -469,6 +469,45 @@ object RelOps {
       |  sum_od AS sum_od_csv
       |FROM r ORDER BY o_orderstatus""".stripMargin
 
+  /** ROBUST ingestion — the dirty-data path every real pipeline hits:
+    * a CSV staged with deliberately malformed rows (every orderkey
+    * divisible by 97 carries a non-numeric price field) is read back
+    * under PERMISSIVE mode with a corrupt-record column. Good rows
+    * aggregate normally; corrupt rows are counted and keyed (the parser
+    * still recovers the valid orderkey field), so the grade pins BOTH
+    * sides of the malformed-row contract: nothing is dropped silently,
+    * nothing corrupt leaks into the measures. At 100 TB this is the
+    * quarantine topology: the corrupt stream forks to a dead-letter sink
+    * instead of killing the job. */
+  def qSourceCsvRobust(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_dirty_" +
+      s.sparkContext.applicationId
+    orders(s, d)
+      .select(concat_ws(",",
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 97 === 0, lit("NOT_A_PRICE"))
+          .otherwise(col("o_totalprice").cast(StringType))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, _bad STRING"
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(dir)
+    back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_bad").isNotNull, col("o_orderkey"))).as("corrupt_key_sum"),
+        dsum(when(col("_bad").isNull, col("o_totalprice"))).as("good_price_sum"))
+  }
+
+  val qSourceCsvRobustSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey END) AS BIGINT) AS corrupt_key_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS good_price_sum
+      |FROM orders""".stripMargin
+
   /** ORC round-trip, graded like the JSON/CSV pair: lineitem measures
     * written to ORC (the second columnar format Spark ships in-box),
     * read back, rolled up — the oracle computes the identical rollup
@@ -535,6 +574,7 @@ object RelOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_null_safe" -> (qJoinNullSafe _),
+    "q_source_csv_robust" -> (qSourceCsvRobust _),
     "q_source_orc" -> (qSourceOrc _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
@@ -557,6 +597,7 @@ object RelOps {
 
   val oracle: Map[String, String] = Map(
     "q_join_null_safe" -> qJoinNullSafeSql,
+    "q_source_csv_robust" -> qSourceCsvRobustSql,
     "q_source_orc" -> qSourceOrcSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,

@@ -33,6 +33,9 @@ class RerunSpec extends AnyFunSuite {
     val oa = RelOps.qSourceOrc(spark, sf).collect().map(_.toSeq)
     val ob = RelOps.qSourceOrc(spark, sf).collect().map(_.toSeq)
     assert(oa.nonEmpty && oa.sameElements(ob))
+    val ra = RelOps.qSourceCsvRobust(spark, sf).collect().map(_.toSeq)
+    val rb = RelOps.qSourceCsvRobust(spark, sf).collect().map(_.toSeq)
+    assert(ra.nonEmpty && ra.sameElements(rb))
   }
 
   test("custom-state stream is rerun-idempotent (fixed sink name replaces)") {
