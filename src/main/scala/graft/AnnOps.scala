@@ -200,16 +200,13 @@ object AnnOps {
   private val PqSub = Dim / PqM
   private val PqK = 16
 
-  /** Spark SQL: squared L2 distance between subspace m of two vector
-    * expressions — a sequential left fold over the 16-element slices, the
-    * same evaluation order as the oracle's list_sum (bit-identical
-    * doubles). */
-  private def pqSubdist(v: String, c: String, m: Int): String = {
-    val start = m * PqSub + 1
-    s"aggregate(zip_with(slice($v, $start, $PqSub), slice($c, $start, $PqSub), " +
-      "(aa, bb) -> (CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE)) * " +
-      "(CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE))), 0.0D, (s0, e0) -> s0 + e0)"
-  }
+  // Spark-side subspace distances and argmin codes run on the codegen'd
+  // graft_pq_subdists / graft_pq_encode kernels (VectorExpressions.scala):
+  // same sequential left-to-right double accumulation and strict-< argmin
+  // as the HOF chain they replaced (bit-identical results — VectorExprSpec
+  // asserts it), but one fused loop instead of ~4 KB of generated lambda
+  // source per subspace, which was the PQ queries' dominant bench cost
+  // (janino cold compile, ~2 s).
 
   /** DuckDB: the identical subspace distance over list_slice. */
   private def pqSubdistSql(v: String, c: String, mExpr: String): String =
@@ -242,37 +239,31 @@ object AnnOps {
     emb.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
 
-  /** PQ codes (vec_id, m, code) for every vector: a row-local argmin fold
+  /** PQ codes (vec_id, m, code) for every vector: a row-local argmin loop
     * over the broadcast codebook array — no shuffle to encode. The array
-    * is sorted by centroid id, so the fold visits centroids in id order
-    * and ties keep the smallest id — same tie rule as the oracle's
-    * MIN(c_id) on minima. transform computes each centroid distance ONCE;
-    * inlining it into both IF branches would double the encode cost (no
-    * CSE inside lambdas). */
+    * is sorted by centroid id, so the kernel visits centroids in id order
+    * and strict-< keeps the smallest id on ties — same tie rule as the
+    * oracle's MIN(c_id) on minima. */
   private def pqCodes(emb: DataFrame): DataFrame = {
     val cbArr = pqCbRows(emb)
       .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
-    def codeExpr(m: Int): String =
-      s"aggregate(transform(cb, x -> named_struct(" +
-        s"'d', ${pqSubdist("embedding", "x.cv", m)}, 'c', x.c)), " +
-        "named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
-        "(acc, y) -> IF(y.d < acc.d, y, acc)).c"
     emb.crossJoin(broadcast(cbArr))
-      .select(col("vec_id"), posexplode(array(
-        (0 until PqM).map(m => expr(codeExpr(m)).cast(IntegerType)): _*))
-        .as(Seq("m", "code")))
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_pq_encode(embedding, cb, $PqM)"))
+          .as(Seq("m", "code")))
   }
 
   /** Per-probe ADC table (probe_id, c_id, pm, pd): probe-to-centroid
     * subspace distances — M × 16 doubles per probe, a broadcast. */
   private def pqAdc(probes: DataFrame, emb: DataFrame): DataFrame =
     probes.crossJoin(broadcast(pqCbRows(emb)))
-      .select(col("probe_id"), col("c_id"), posexplode(array(
-        (0 until PqM).map(m => expr(pqSubdist("pv", "cv", m))): _*))
-        .as(Seq("pm", "pd")))
+      .select(col("probe_id"), col("c_id"),
+        posexplode(expr(s"graft_pq_subdists(pv, cv, $PqM)"))
+          .as(Seq("pm", "pd")))
 
   def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val enc = pqCodes(emb)
     val adc = pqAdc(

@@ -142,7 +142,203 @@ case class NormSq(child: Expression)
     copy(child = newChild)
 }
 
+/** pq_subdists(a, b) = the M per-subspace squared L2 distances between two
+  * vectors: element m = Σ_{t<sub} ((double)a[m·sub+t] − (double)b[m·sub+t])²
+  * with sub = len(a)/M, accumulated sequentially left-to-right — the exact
+  * evaluation order of the `aggregate(zip_with(slice…))` HOF chain it
+  * replaces (and of the oracle's list_sum), so results are bit-identical.
+  * Why custom: the HOF form generates ~M·sub inlined lambda evaluations of
+  * interpreted expression trees AND several KB of generated source per
+  * subspace — the janino compile of the 4-subspace array dominated the PQ
+  * queries' bench cost (~2 s cold). This is one tight fused loop. */
+case class PqSubDistances(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) if m > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_subdists expects two float/double arrays and a positive subspace count, " +
+        s"got ${left.dataType}, ${right.dataType}, m=$m")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_subdists"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sub = x.numElements() / m
+    val out = new Array[Double](m)
+    var mi = 0
+    while (mi < m) {
+      var acc = 0.0
+      var t = 0
+      while (t < sub) {
+        val i = mi * sub + t
+        if (i < y.numElements() && !x.isNullAt(i) && !y.isNullAt(i)) {
+          val d = VectorKernels.read(x, left.dataType, i) -
+            VectorKernels.read(y, right.dataType, i)
+          acc += d * d
+        }
+        t += 1
+      }
+      out(mi) = acc
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lg, rg) = (VectorKernels.getter(left.dataType), VectorKernels.getter(right.dataType))
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sub = ctx.freshName("sub")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $sub = $a.numElements() / $m;
+         |double[] $out = new double[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $acc = 0.0;
+         |  for (int $t = 0; $t < $sub; $t++) {
+         |    int $i = $mi * $sub + $t;
+         |    if ($i < $b.numElements() && !$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      double $dd = ((double) $a.$lg($i)) - ((double) $b.$rg($i));
+         |      $acc += $dd * $dd;
+         |    }
+         |  }
+         |  $out[$mi] = $acc;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pq_encode(v, cb) = the M one-byte PQ codes of vector v against a
+  * codebook array<struct<c: int, cv: array>> SORTED ASCENDING by c: code m
+  * is the c of the centroid with the smallest subspace-m distance
+  * (PqSubDistances semantics), strict `<` comparison so ties keep the
+  * first (= smallest) c — exactly the `aggregate(transform(cb, …))` argmin
+  * fold it replaces. A centroid whose distance is NaN never wins (NaN < x
+  * is false), matching the fold's IF. */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(StructType(Array(f0, f1)), _))
+        if m > 0 && f0.dataType == IntegerType &&
+          (f1.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true
+            case _ => false
+          }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (float/double array, array<struct<int, float/double array>>, m > 0), " +
+        s"got ${left.dataType}, ${right.dataType}, m=$m")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  private def cvType: DataType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType](1).dataType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val sub = v.numElements() / m
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.PositiveInfinity
+      var code = -1
+      var j = 0
+      while (j < cb.numElements()) {
+        if (!cb.isNullAt(j)) {
+          val row = cb.getStruct(j, 2)
+          val cv = row.getArray(1)
+          var acc = 0.0
+          var t = 0
+          while (t < sub) {
+            val i = mi * sub + t
+            if (i < cv.numElements() && !v.isNullAt(i) && !cv.isNullAt(i)) {
+              val d = VectorKernels.read(v, left.dataType, i) -
+                VectorKernels.read(cv, cvType, i)
+              acc += d * d
+            }
+            t += 1
+          }
+          if (acc < best) { best = acc; code = row.getInt(0) }
+        }
+        j += 1
+      }
+      codes(mi) = code
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vg = VectorKernels.getter(left.dataType)
+    val cg = VectorKernels.getter(cvType)
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val adCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val sub = ctx.freshName("sub")
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val best = ctx.freshName("best")
+      val code = ctx.freshName("code")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $sub = $v.numElements() / $m;
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $code = -1;
+         |  for (int $j = 0; $j < $cb.numElements(); $j++) {
+         |    if ($cb.isNullAt($j)) continue;
+         |    $rowCls $row = $cb.getStruct($j, 2);
+         |    $adCls $cv = $row.getArray(1);
+         |    double $acc = 0.0;
+         |    for (int $t = 0; $t < $sub; $t++) {
+         |      int $i = $mi * $sub + $t;
+         |      if ($i < $cv.numElements() && !$v.isNullAt($i) && !$cv.isNullAt($i)) {
+         |        double $dd = ((double) $v.$vg($i)) - ((double) $cv.$cg($i));
+         |        $acc += $dd * $dd;
+         |      }
+         |    }
+         |    if ($acc < $best) { $best = $acc; $code = $row.getInt(0); }
+         |  }
+         |  $codes[$mi] = $code;
+         |}
+         |${ev.value} = new $gad($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
+  private def litInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -162,6 +358,12 @@ object VectorFunctions {
     (FunctionIdentifier("graft_count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_pq_subdists"),
+      new ExpressionInfo(classOf[PqSubDistances].getName, "graft_pq_subdists"),
+      (es: Seq[Expression]) => PqSubDistances(es(0), es(1), litInt(es(2)))),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), litInt(es(2)))),
   )
 
   /** Session-local registration (idempotent) — lets any query use the

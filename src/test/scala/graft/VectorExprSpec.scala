@@ -42,6 +42,40 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("graft_pq_subdists and graft_pq_encode match the HOF argmin fold bit-for-bit") {
+    VectorFunctions.register(spark)
+    val m = 4
+    val sub = 16
+    def hofSubdist(v: String, c: String, mi: Int): String = {
+      val start = mi * sub + 1
+      s"aggregate(zip_with(slice($v, $start, $sub), slice($c, $start, $sub), " +
+        "(aa, bb) -> (CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE)) * " +
+        "(CAST(aa AS DOUBLE) - CAST(bb AS DOUBLE))), 0.0D, (s0, e0) -> s0 + e0)"
+    }
+    def hofCode(mi: Int): String =
+      s"aggregate(transform(cb, x -> named_struct(" +
+        s"'d', ${hofSubdist("embedding", "x.cv", mi)}, 'c', x.c)), " +
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), " +
+        "(acc, y) -> IF(y.d < acc.d, y, acc)).c"
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("cv"))
+      .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv")))).as("cb"))
+    val rows = e.limit(64).crossJoin(broadcast(cb))
+      .select(
+        expr(s"graft_pq_encode(embedding, cb, $m)").as("native_codes"),
+        array((0 until m).map(mi => expr(hofCode(mi)).cast("int")): _*).as("hof_codes"),
+        expr(s"graft_pq_subdists(embedding, cb[0].cv, $m)").as("native_d"),
+        array((0 until m).map(mi => expr(hofSubdist("embedding", "cb[0].cv", mi))): _*).as("hof_d"))
+      .collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), "codes differ from HOF fold")
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3), "subdists differ from HOF fold")
+    }
+  }
+
   test("GraftExtensions wiring applies cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
