@@ -72,15 +72,24 @@ object AnnOps {
   private def bitSql(embExpr: String, j: Int): String =
     s"(CASE WHEN ${planeDotSql(embExpr, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
 
-  /** (vec_id, embedding, na, bucket): one scan, all plane dots fused. */
+  /** (vec_id, embedding, na, bucket): one scan, the whole signature in one
+    * fused kernel call. graft_lsh_sig bakes the plane-sign formula into a
+    * single generated loop — the expression form was `bits` separate
+    * graft_dot(emb, array(<64 literals>)) calls whose janino compile was
+    * the r6 bench's largest one-shot cost (~4 s on q_dedup_embed alone);
+    * results are bit-identical (VectorExprSpec asserts both forms). */
   private def signatures(s: SparkSession, d: String, bits: Int = Bits): DataFrame = {
     VectorFunctions.register(s)
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .withColumn("na", expr("graft_norm_sq(embedding)"))
-      .withColumn("bucket",
-        (0 until bits).map(j => bitCol("embedding", j)).reduce(_ + _))
+      .withColumn("bucket", expr(s"graft_lsh_sig(embedding, $bits)"))
   }
+
+  /** The pre-kernel signature form (sum of per-plane dot whens) — kept as
+    * the spec's cross-check that the fused kernel is bit-identical. */
+  private[graft] def signatureExprCol(bits: Int): Column =
+    (0 until bits).map(j => bitCol("embedding", j)).reduce(_ + _)
 
   private def signaturesSqlCte(bits: Int): String = {
     val bucket = (0 until bits).map(j => bitSql("emb", j)).mkString(" + ")

