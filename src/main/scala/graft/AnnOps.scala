@@ -253,15 +253,17 @@ object AnnOps {
     * is sorted by centroid id, so the kernel visits centroids in id order
     * and strict-< keeps the smallest id on ties — same tie rule as the
     * oracle's MIN(c_id) on minima. */
-  private def pqCodes(emb: DataFrame): DataFrame = {
+  private def pqCodeArr(emb: DataFrame): DataFrame = {
     val cbArr = pqCbRows(emb)
       .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
     emb.crossJoin(broadcast(cbArr))
-      .select(col("vec_id"),
-        posexplode(expr(s"graft_pq_encode(embedding, cb, $PqM)"))
-          .as(Seq("m", "code")))
+      .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cb, $PqM)").as("codes"))
   }
+
+  private def pqCodes(emb: DataFrame): DataFrame =
+    pqCodeArr(emb)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
 
   /** Per-probe ADC table (probe_id, c_id, pm, pd): probe-to-centroid
     * subspace distances — M × 16 doubles per probe, a broadcast. */
@@ -434,6 +436,80 @@ object AnnOps {
        |SELECT probe_id, neighbor_id, adist, rn FROM r WHERE rn <= 3
        |ORDER BY probe_id, rn""".stripMargin
 
+  // ------------------------------------------------- persisted ANN index
+
+  /** PERSISTED IVF-PQ index — the build-once/probe-many serving topology
+    * a 100 TB vector store actually runs (every other ANN query here
+    * recomputes assignment + codes inline). Build phase: cell assignment
+    * (nearest of 8 seeded centroids) + the 4-byte PQ code array per
+    * vector, saved ONCE as a managed parquet table PARTITIONED BY cell_id
+    * — Spark's native layout for "read only the probed cells": each cell
+    * is a directory, so a probe touches nprobe directories out of C, and
+    * the probe-side join prunes them at RUNTIME via dynamic partition
+    * pruning (the probe→cell fan-out is a broadcast, and DPP turns it
+    * into a partition filter on the scan — PlanQualitySpec asserts the
+    * dynamicpruning subquery is in the index scan's partition filters).
+    * Probe phase reads the saved table and NEVER touches embeddings for
+    * candidates: distance is pure ADC over the stored codes. Bucketing
+    * was the alternative layout (RelOps.qJoinBucketed); partitioning wins
+    * here because cell_id is low-cardinality and the probe predicate is
+    * cell membership, not key equality. */
+  def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    RelOps.dropManaged(s, "graft_ann_index")
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("cell_id"), col("arn"))
+      // feeds the index build AND the probe fan-out; the write below is an
+      // action, so without the checkpoint the crossJoin+rank subtree would
+      // execute a second time when the probe side plans
+      .localCheckpoint()
+    // BUILD: (vec_id, codes[4], cell_id), one directory per cell
+    ranked.filter(col("arn") === 1)
+      .join(pqCodeArr(emb), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .saveAsTable("default.graft_ann_index")
+    // PROBE: broadcast 2-cell fan-out + per-probe ADC tables against the
+    // saved codes — embeddings are only read for the 10 probe vectors
+    val probeCells = ranked
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+    val adc = pqAdc(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+      emb)
+      .withColumnRenamed("probe_id", "a_probe_id")
+    val idx = s.table("default.graft_ann_index")
+    val cand = idx.join(broadcast(probeCells),
+        col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val scored = cand.join(broadcast(adc),
+        col("m") === col("pm") && col("code") === col("c_id") &&
+          col("probe_id") === col("a_probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   // ------------------------------------------- multimodal binary pipeline
 
   /** Multimodal binary-column pipeline: text re-encoded as an opaque binary
@@ -537,6 +613,7 @@ object AnnOps {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
+    "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -546,6 +623,9 @@ object AnnOps {
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
+    // the persisted-index probe must return exactly what the inline
+    // IVF-PQ computation returns — same oracle by construction
+    "q_sim_ann_index" -> qSimAnnIvfPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,

@@ -332,7 +332,7 @@ object RelOps {
     * <db>.db/<table> while the cleanup deleted <warehouse>/<table>); the
     * default-db layout is only the fallback for paths orphaned by an
     * earlier JVM. All graft tables are created default-qualified. */
-  private def dropManaged(s: SparkSession, name: String): Unit = {
+  private[graft] def dropManaged(s: SparkSession, name: String): Unit = {
     val cat = s.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(name, Some("default"))
     val loc =

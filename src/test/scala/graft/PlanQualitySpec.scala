@@ -143,4 +143,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final hash aggregation:\n$p")
   }
+
+  test("persisted ANN index probe reads the saved table with runtime cell pruning") {
+    val p = plan("q_sim_ann_index")
+    assert(p.contains("graft_ann_index"),
+      s"probe must read the persisted index table, not recompute codes:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"probe scan should prune cell partitions via dynamic partition pruning:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"index probe must never cross vectors with vectors:\n$p")
+  }
 }
