@@ -201,6 +201,95 @@ object AnnOps {
        |SELECT va, vb, score FROM scored WHERE score >= 0.35
        |ORDER BY va, vb""".stripMargin
 
+  // ------------------------------------------- cluster-level semantic dedup
+
+  /** Cluster-level SEMANTIC dedup (the SemDeDup topology): embed → coarse
+    * k-means cells → exact cosine pairs WITHIN each cell → connected
+    * components → deterministic min-id survivor per cluster; reported as
+    * per-lang survivor counts. The cell restriction is what makes the
+    * quadratic verify tractable: pairs are generated by a cell equi-join,
+    * so the cost is Σ|cell|², never n² — at 100 TB the cell count scales
+    * with the corpus (k ≈ n/target_cell_size, trained via
+    * IvfTraining.scala) keeping per-cell work bounded, and cross-cell
+    * near-dups are recovered by raising nprobe exactly like the ANN
+    * queries. Components reuse the Pregel-style min-label loop
+    * (LlmOps.connectedComponents) — each round is a keyed shuffle of
+    * (node, label) pairs only. */
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    // one materialization feeds both sides of the within-cell self-join
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("na").as("naa"))
+    val b = assigned.select(col("cell_id").as("cell_b"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("na").as("nab"))
+    // unrounded-cosine threshold, same arithmetic order as the oracle
+    val pairs = a.join(b, col("cell_id") === col("cell_b") && col("va") < col("vb"))
+      .filter(expr("graft_dot(ea, eb)") / sqrt(col("naa") * col("nab")) >= 0.35)
+      .select(col("va"), col("vb"))
+    val dropped = LlmOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"), lit(1L).as("is_dropped"))
+    e.select(col("vec_id"))
+      .join(documents(s, d).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L)))).as("n_survivors"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupSemanticSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, v AS cvec, na AS nc FROM e WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT e.vec_id, e.v, e.na, c.cell_id,
+      |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+      |  FROM e, cents c),
+      |assigned AS (
+      |  SELECT vec_id, v, na, cell_id FROM (
+      |    SELECT vec_id, v, na, cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+      |    FROM dists) t WHERE arn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |        / sqrt(a.na * b.na) >= 0.35),
+      |edges AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT va, vb FROM edges
+      |  UNION
+      |  SELECT r.a, e2.vb FROM reach r JOIN edges e2 ON r.b = e2.va),
+      |comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS label
+      |         FROM reach GROUP BY a),
+      |dropped AS (SELECT node FROM comp WHERE node > label)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(COUNT(*) - SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+      |FROM e JOIN documents d ON e.vec_id = d.doc_id
+      |LEFT JOIN dropped dr ON dr.node = e.vec_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // --------------------------------------------- product quantization ANN
 
   /** Subspace count (64 dims → 4 × 16-dim subvectors) and per-subspace
@@ -615,6 +704,7 @@ object AnnOps {
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
     "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
   )
@@ -627,6 +717,7 @@ object AnnOps {
     // IVF-PQ computation returns — same oracle by construction
     "q_sim_ann_index" -> qSimAnnIvfPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
+    "q_dedup_semantic" -> qDedupSemanticSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
   )
