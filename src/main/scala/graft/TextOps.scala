@@ -580,6 +580,96 @@ object TextOps {
       |  CAST(SUM(len(txt) - len(re2)) AS BIGINT) AS chars_delta
       |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ BPE tokenizer training
+
+  /** Number of BPE merge rounds trained (production vocabularies are this
+    * same loop with ~50k rounds over the same word-frequency table). */
+  private val BpeRounds = 10
+
+  /** BPE TOKENIZER TRAINING — the one text-pipeline stage everything else
+    * (chunk/tokens/lm_score) assumes already exists: learn merge rules by
+    * repeatedly fusing the corpus-wide most frequent adjacent symbol pair.
+    *
+    * Shape: BPE trains on the WORD-FREQUENCY table, not the raw corpus —
+    * the distinct-word aggregate is the big shuffle, after which state is
+    * O(|vocab|) regardless of corpus size. Each round is (1) a pair-count
+    * aggregate over the symbol sequences weighted by word frequency,
+    * (2) argmax with deterministic tie-break (count desc, then pair value
+    * asc), (3) a broadcast of the 1-row winner applied as a row-local
+    * merge — the same checkpoint-per-round driver loop as
+    * connectedComponents, every round a keyed shuffle of vocab-sized
+    * aggregates only.
+    *
+    * Symbol sequences are encoded as DOUBLE-space-delimited strings
+    * ("  a  b  c  "): a merge of (x, y) is then the plain string
+    * replacement "␣x␣␣y␣" → "␣xy␣", which consumes one space from each
+    * 2-space boundary so consecutive pair instances still match — making
+    * replace-all EXACTLY greedy left-to-right non-overlapping merging
+    * (the BPE rule), identically in Spark and DuckDB. Output: the merge
+    * table (rank, pair, count) + corpus token count after each merge. */
+  def qTextBpe(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var st = words.select(
+      concat(regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("st"),
+      col("n")).localCheckpoint()
+    val mergeRows = Seq.newBuilder[DataFrame]
+    for (r <- 0 until BpeRounds) {
+      val pairs = st
+        .select(col("n"), split(trim(col("st")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS x, tk[i] AS y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+        .localCheckpoint()
+      st = st.crossJoin(broadcast(best))
+        .select(expr(
+          "replace(st, concat(' ', x, '  ', y, ' '), concat(' ', x, y, ' '))").as("st"),
+          col("n"))
+        .localCheckpoint()
+      val stats = st.agg(
+        sum(col("n") * size(split(trim(col("st")), "  "))).as("n_tokens_after"))
+      mergeRows += best
+        .select(lit(r).as("merge_rank"), col("x"), col("y"), col("cnt"))
+        .crossJoin(broadcast(stats))
+    }
+    mergeRows.result().reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
+  /** The identical training loop unrolled as chained DuckDB CTEs. */
+  val qTextBpeSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+        |  SELECT tok AS word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE tok <> '' GROUP BY tok),
+        |s0 AS (SELECT regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS st, n FROM w)""".stripMargin)
+    for (r <- 0 until BpeRounds) {
+      sb.append(s""",
+        |tk$r AS (SELECT string_split(trim(st), '  ') AS tk, n FROM s$r),
+        |px$r AS (SELECT tk, n, unnest(range(1, len(tk))) AS i FROM tk$r WHERE len(tk) >= 2),
+        |p$r AS (SELECT tk[i] AS x, tk[i+1] AS y, CAST(SUM(n) AS BIGINT) AS cnt
+        |        FROM px$r GROUP BY 1, 2),
+        |b$r AS (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
+        |s${r + 1} AS (SELECT replace(st, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') AS st, n
+        |        FROM s$r, b$r),
+        |o$r AS (SELECT $r AS merge_rank, x, y, cnt,
+        |        (SELECT CAST(SUM(n * len(string_split(trim(st), '  '))) AS BIGINT)
+        |         FROM s${r + 1}) AS n_tokens_after
+        |        FROM b$r)""".stripMargin)
+    }
+    sb.append("\n" +
+      (0 until BpeRounds).map(r => s"SELECT * FROM o$r").mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY merge_rank")
+    sb.toString
+  }
+
   // ------------------------------------------- edit-distance fuzzy dedup
 
   /** Edit-distance (Levenshtein) fuzzy near-dup over PREFIX-BLOCKED
@@ -633,6 +723,7 @@ object TextOps {
     "q_text_lm_score" -> (qTextLmScore _),
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_bpe" -> (qTextBpe _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -649,5 +740,6 @@ object TextOps {
     "q_text_lm_score" -> qTextLmScoreSql,
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
+    "q_text_bpe" -> qTextBpeSql,
   )
 }
