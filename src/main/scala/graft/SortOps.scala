@@ -140,23 +140,44 @@ object SortOps {
        |        LAG(key_str, 1) OVER (ORDER BY key_str) AS prev_key
        |      FROM ($genRecordsSql) r) t""".stripMargin
 
-  /** Range-partition inspection: repartitionByRange(8) on the binary key +
-    * sortWithinPartitions, then per-partition (count, min, max). Partition
-    * ids depend on Spark's sampled cut points, so there is no cross-engine
-    * oracle (driver records a rows-only check); `q_sort_validate` covers the
-    * correctness of the same machinery. Non-overlapping [min,max] ranges
-    * across partitions demonstrate the total order. */
-  def qSortRangePartition(s: SparkSession, d: String): DataFrame =
-    genRecords(s, d)
+  /** Range-partition check, ORACLE-GRADED: repartitionByRange(8) on the
+    * binary key, per-partition (count, min, max) summaries, then a lag
+    * join over the ≤8 summary rows counting adjacent-range overlaps
+    * (prev partition's max > next partition's min). The graded output is
+    * engine-independent by construction — total rows, overlap count
+    * (0 iff the range exchange produced disjoint ordered ranges), and
+    * the global key range — so the raw (engine-specific) partition ids
+    * never reach the compare, unlike the pre-r7 per-pid output that
+    * could only be rows-checked. The non-empty-partition count is
+    * deliberately NOT graded: Spark's sampled cut points can in rare
+    * cases leave an edge partition empty, which would make the gate
+    * flaky without indicating a correctness bug. */
+  def qSortRangePartition(s: SparkSession, d: String): DataFrame = {
+    val parts = genRecords(s, d)
       .withColumn("key", col("key_str").cast(BinaryType))
       .repartitionByRange(8, col("key"))
-      .sortWithinPartitions(col("key"))
       .groupBy(spark_partition_id().as("pid"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("key_str")).as("min_key"),
-        max(col("key_str")).as("max_key"))
-      .orderBy(col("pid"))
+        count(lit(1)).as("n_part"),
+        min(col("key_str")).as("pmin"),
+        max(col("key_str")).as("pmax"))
+    val w = Window.orderBy(col("pid")) // ≤8 aggregated rows — not a scale risk
+    parts
+      .withColumn("prev_max", lag(col("pmax"), 1).over(w))
+      .agg(
+        sum(col("n_part")).as("n_rows"),
+        sum(when(col("prev_max") > col("pmin"), 1L).otherwise(0L))
+          .as("boundary_overlaps"),
+        min(col("pmin")).as("min_key"),
+        max(col("pmax")).as("max_key"))
+  }
+
+  val qSortRangePartitionSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(0 AS BIGINT) AS boundary_overlaps,
+       |  MIN(key_str) AS min_key,
+       |  MAX(key_str) AS max_key
+       |FROM ($genRecordsSql) r""".stripMargin
 
   // -------------------------------------------- binary file I/O, graded
 
@@ -210,6 +231,6 @@ object SortOps {
     "q_source_terarecord" -> qSourceTerarecordSql,
     "q_sort_global" -> qSortGlobalSql,
     "q_sort_validate" -> qSortValidateSql,
-    // q_sort_range_partition: intentionally no oracle (engine-specific pids)
+    "q_sort_range_partition" -> qSortRangePartitionSql,
   )
 }
