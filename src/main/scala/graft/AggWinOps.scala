@@ -324,6 +324,37 @@ object AggWinOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi-structured VARIANT path — Spark 4's parse_json/variant_get, the
+    * shredded-JSON successor to string-path extraction (q_scalar_json):
+    * props parses ONCE into a variant value, fields then extract with
+    * typed paths (no per-field re-parse, and at 100 TB the parquet
+    * variant shredding keeps extraction columnar). Grades the typed
+    * extraction plus a schema_of_variant probe (distinct inferred
+    * schemas per bucket — robust to the exact schema-string format).
+    * Oracle: DuckDB json_extract on the same props strings. */
+  def qScalarVariant(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(expr("parse_json(props)").as("v"), col("value"))
+      .select(
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("schema_of_variant(v)").as("vschema"),
+        col("value"))
+      .select(expr("k div 10").as("k_bucket"), col("k"), col("vschema"), col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("vschema")).as("n_schemas"),
+        dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  val qScalarVariantSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(1 AS BIGINT) AS n_schemas,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MapType coverage: parse props JSON into a map, explode entries,
     * aggregate per key. */
   def qScalarMap(s: SparkSession, d: String): DataFrame =
@@ -787,6 +818,7 @@ object AggWinOps {
     "q_set_ops" -> (qSetOps _),
     "q_scalar_string_date" -> (qScalarStringDate _),
     "q_scalar_json" -> (qScalarJson _),
+    "q_scalar_variant" -> (qScalarVariant _),
     "q_scalar_map" -> (qScalarMap _),
     "q_sort_nulls" -> (qSortNulls _),
     "q_scalar_string_fns" -> (qScalarStringFns _),
@@ -819,6 +851,7 @@ object AggWinOps {
     "q_set_ops" -> qSetOpsSql,
     "q_scalar_string_date" -> qScalarStringDateSql,
     "q_scalar_json" -> qScalarJsonSql,
+    "q_scalar_variant" -> qScalarVariantSql,
     "q_scalar_map" -> qScalarMapSql,
     "q_sort_nulls" -> qSortNullsSql,
     "q_scalar_string_fns" -> qScalarStringFnsSql,
