@@ -455,6 +455,179 @@ object LlmOps {
       |FROM kept
       |ORDER BY stage""".stripMargin
 
+  // ----------------------------------------------- full curation pipeline
+
+  /** The FULL curation DAG of a data release — the composed gate sequence
+    * every stage query covers in isolation, run as one plan with
+    * per-stage survivor counts:
+    *   1 raw → 2 quality ≥ 0.5 → 3 exact-dedup survivor (min doc_id per
+    *   canonical token set) → 4 near-dup survivor (MinHash band: dropped
+    *   iff any of the 4 band buckets holds a smaller surviving doc) →
+    *   5 decontaminated (shingle overlap with the doc_id<10 benchmark
+    *   < 50%, exact integer compare 2·|∩| < |doc|) → 6 LM band (corpus
+    *   bigram-model mean probability ≥ 0.034).
+    * ONE documents scan: every per-doc signal — quality score, canonical
+    * key, distinct shingle set, all 16 MinHash minima (array_min over the
+    * row-local shingle array: the sketch never shuffles), bigram pairs —
+    * is computed row-locally in a single projection and checkpointed;
+    * every stage derives from that midpoint. The only shuffles are the
+    * tiny keyed aggregates each gate needs (canon groups, band buckets,
+    * model counts) — the topology that holds at 100 TB because nothing
+    * ever rescans the corpus. */
+  def qPipelineCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{MinHash => MH}
+    val tk = "split(text, ' ')"
+    val shingleArr =
+      s"""CASE WHEN size(tk) >= 3 THEN array_distinct(transform(
+         |  sequence(1, size(tk) - 2),
+         |  i -> ${textHash("concat_ws(' ', tk[i-1], tk[i], tk[i+1])")}))
+         |ELSE slice(array(CAST(0 AS BIGINT)), 1, 0) END""".stripMargin
+    val bigramArr =
+      """CASE WHEN size(tk) >= 2 THEN transform(
+        |  sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))
+        |ELSE slice(array(struct(tk[0] AS w1, tk[0] AS w2)), 1, 0) END""".stripMargin
+    val mCols = (0 until MH.K).map(j =>
+      expr(s"array_min(transform(vs, v -> ${MH.sparkExpr(j)}))").as(s"m$j"))
+    val base = documents(s, d)
+      .select(col("doc_id"), expr(tk).as("tk"))
+      .select(col("doc_id"),
+        (lit(0.4) * (size(array_distinct(col("tk"))).cast(DoubleType) /
+          size(col("tk")).cast(DoubleType)) +
+          lit(0.3) * (lit(1.0) - size(filter(col("tk"), t => t === "the" || t === "a"))
+            .cast(DoubleType) / size(col("tk")).cast(DoubleType)) +
+          lit(0.3) * least(lit(1.0), size(col("tk")).cast(DoubleType) / lit(100.0)))
+          .as("score"),
+        array_join(array_sort(array_distinct(col("tk"))), " ").as("canon"),
+        expr(shingleArr).as("vs"),
+        expr(bigramArr).as("bigrams"))
+      .select(col("doc_id") +: col("score") +: col("canon") +: col("vs") +:
+        col("bigrams") +: mCols: _*)
+      .localCheckpoint() // the ONE corpus materialization all stages read
+    // stage 2: quality gate
+    val d2 = base.filter(col("score") >= 0.5)
+    // stage 3: exact-dedup survivor among quality survivors
+    val canonMin = d2.groupBy(col("canon")).agg(min(col("doc_id")).as("cmin"))
+    val d3 = d2.join(canonMin, Seq("canon")).filter(col("doc_id") === col("cmin"))
+      .drop("cmin")
+    // stage 4: near-dup survivor — dropped iff ANY band bucket (among
+    // stage-3 survivors) holds a smaller doc; docs with no shingles have
+    // null sketches and never enter a bucket (auto-survive)
+    val bandCol = array((0 until MH.Bands).map(b =>
+      struct((0 until MH.R).map(r => col(s"m${MH.R * b + r}").as(s"k$r")): _*)): _*)
+    val bandRows = d3.filter(size(col("vs")) > 0)
+      .select(col("doc_id"), posexplode(bandCol).as(Seq("band", "bk")))
+    val bMins = bandRows.groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("bmin"))
+    val drop4 = bandRows.join(bMins, Seq("band", "bk"))
+      .filter(col("bmin") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    val d4 = d3.join(drop4, Seq("doc_id"), "left_anti")
+    // stage 5: decontamination vs the doc_id<10 benchmark shingle set
+    // (built from the RAW corpus — the benchmark is external to curation)
+    val benchArr = base.filter(col("doc_id") < 10)
+      .select(explode(col("vs")).as("v")).distinct()
+      .agg(collect_list(col("v")).as("bench"))
+    val d5 = d4.crossJoin(broadcast(benchArr))
+      .filter(!(size(col("vs")) > 0 &&
+        lit(2) * size(array_intersect(col("vs"), col("bench"))) >= size(col("vs"))))
+      .drop("bench")
+    // stage 6: LM band — bigram model trained on the RAW corpus, mean
+    // conditional probability through an exact decimal sum
+    val bgAll = base.select(explode(col("bigrams")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc = bgAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val model = pc.join(
+      pc.groupBy(col("w1")).agg(sum(col("n")).as("n_head")), Seq("w1"))
+    val d6 = d5.select(col("doc_id"), explode(col("bigrams")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("n").cast(DoubleType) / col("n_head").cast(DoubleType))
+        .cast(DecimalType(38, 12))).cast(DoubleType) / count(lit(1))).as("avg_p"))
+      .filter(col("avg_p") >= 0.034)
+    def cnt(df: DataFrame, stage: Int, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(label).as("label"), col("n_docs"))
+    cnt(base, 1, "raw")
+      .union(cnt(d2, 2, "quality"))
+      .union(cnt(d3, 3, "dedup_exact"))
+      .union(cnt(d4, 4, "dedup_near"))
+      .union(cnt(d5, 5, "decontaminated"))
+      .union(cnt(d6, 6, "lm_band"))
+      .orderBy(col("stage"))
+  }
+
+  val qPipelineCurationSql: String = {
+    import graft.functions.{MinHash => MH}
+    val mins = (0 until MH.K).map(j => s"MIN(${MH.duckExpr(j)}) AS m$j").mkString(",\n  ")
+    val bandSelects = (0 until MH.Bands).map { b =>
+      val ks = (0 until MH.R).map(r => s"m${MH.R * b + r} AS k$r").mkString(", ")
+      s"SELECT $b AS band, $ks, doc_id FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tkd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tk,
+       |    0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
+       |    + 0.3 * (1.0 - CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE)
+       |             / CAST(len(tk) AS DOUBLE))
+       |    + 0.3 * LEAST(1.0, CAST(len(tk) AS DOUBLE) / 100.0) AS score,
+       |    array_to_string(list_sort(list_distinct(tk)), ' ') AS canon
+       |  FROM tkd),
+       |toks AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+       |         FROM tkd),
+       |led AS (SELECT doc_id, tok,
+       |          LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |          LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |        FROM toks),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ${textHashSql("tok || ' ' || t2 || ' ' || t3")} AS v
+       |       FROM led WHERE t3 IS NOT NULL),
+       |d2 AS (SELECT doc_id, canon FROM scored WHERE score >= 0.5),
+       |cm AS (SELECT canon, MIN(doc_id) AS cmin FROM d2 GROUP BY canon),
+       |d3 AS (SELECT d2.doc_id FROM d2
+       |       JOIN cm ON d2.canon = cm.canon AND d2.doc_id = cm.cmin),
+       |mh AS (SELECT doc_id,
+       |  $mins
+       |  FROM sh WHERE doc_id IN (SELECT doc_id FROM d3) GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bm AS (SELECT band, k0, k1, k2, k3, MIN(doc_id) AS bmin
+       |       FROM bands GROUP BY 1, 2, 3, 4, 5),
+       |drop4 AS (
+       |  SELECT DISTINCT bands.doc_id
+       |  FROM bands JOIN bm USING (band, k0, k1, k2, k3)
+       |  WHERE bm.bmin < bands.doc_id),
+       |d4 AS (SELECT doc_id FROM d3
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+       |bench AS (SELECT DISTINCT v FROM sh WHERE doc_id < 10),
+       |ov AS (SELECT sh.doc_id, COUNT(*) AS n_sh,
+       |         SUM(CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+       |       FROM sh LEFT JOIN bench b ON sh.v = b.v
+       |       WHERE sh.doc_id IN (SELECT doc_id FROM d4)
+       |       GROUP BY sh.doc_id),
+       |drop5 AS (SELECT doc_id FROM ov WHERE 2 * n_ov >= n_sh),
+       |d5 AS (SELECT doc_id FROM d4
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM drop5)),
+       |bg AS (SELECT doc_id, tok AS w1, t2 AS w2 FROM led WHERE t2 IS NOT NULL),
+       |pc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |th AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM pc GROUP BY 1),
+       |ds AS (SELECT bg.doc_id,
+       |         CAST(SUM(CAST(CAST(pc.n AS DOUBLE) / CAST(th.n_head AS DOUBLE)
+       |                       AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS avg_p
+       |       FROM bg JOIN pc ON bg.w1 = pc.w1 AND bg.w2 = pc.w2
+       |                JOIN th ON bg.w1 = th.w1
+       |       WHERE bg.doc_id IN (SELECT doc_id FROM d5)
+       |       GROUP BY bg.doc_id),
+       |d6 AS (SELECT doc_id FROM ds WHERE avg_p >= 0.034)
+       |SELECT 1 AS stage, 'raw' AS label, (SELECT COUNT(*) FROM scored) AS n_docs
+       |UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM d2)
+       |UNION ALL SELECT 3, 'dedup_exact', (SELECT COUNT(*) FROM d3)
+       |UNION ALL SELECT 4, 'dedup_near', (SELECT COUNT(*) FROM d4)
+       |UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM d5)
+       |UNION ALL SELECT 6, 'lm_band', (SELECT COUNT(*) FROM d6)
+       |ORDER BY stage""".stripMargin
+  }
+
   // --------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the train/test-overlap check every
@@ -621,6 +794,7 @@ object LlmOps {
     "q_dedup_components" -> (qDedupComponents _),
     "q_text_contamination" -> (qTextContamination _),
     "q_pipeline_funnel" -> (qPipelineFunnel _),
+    "q_pipeline_curation" -> (qPipelineCuration _),
     "q_sim_topk" -> (qSimTopk _),
     "q_text_stats" -> (qTextStats _),
     "q_multimodal_struct" -> (qMultimodalStruct _),
@@ -636,6 +810,7 @@ object LlmOps {
     "q_dedup_components" -> qDedupComponentsSql,
     "q_text_contamination" -> qTextContaminationSql,
     "q_pipeline_funnel" -> qPipelineFunnelSql,
+    "q_pipeline_curation" -> qPipelineCurationSql,
     "q_sim_topk" -> qSimTopkSql,
     "q_text_stats" -> qTextStatsSql,
     "q_multimodal_struct" -> qMultimodalStructSql,
