@@ -658,8 +658,17 @@ object AnnOps {
     }.toDF("doc_id", "lang", "frame_idx", "feature")
   }
 
+  /** Both multimodal queries equate byte offsets (the Spark side walks the
+    * UTF-8 payload) with character positions (the oracle's substr/ascii) —
+    * valid only for single-byte text, so both sides FILTER to rows where
+    * octet_length == char length rather than silently diverging if the
+    * documents fixture ever gains multibyte text. */
+  private def asciiOnly(docs: DataFrame): DataFrame =
+    docs.filter(expr("octet_length(text) = length(text)"))
+  private val asciiOnlySql = "octet_length(CAST(text AS BLOB)) = length(text)"
+
   def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
-    sampleFrames(s, documents(s, d))
+    sampleFrames(s, asciiOnly(documents(s, d)))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -669,7 +678,7 @@ object AnnOps {
 
   val qMultimodalFramesSql: String =
     s"""WITH f AS (SELECT doc_id, lang, text, len(text) // $FrameBytes AS nf
-       |           FROM documents),
+       |           FROM documents WHERE $asciiOnlySql),
        |sampled AS (
        |  SELECT doc_id, lang, text, unnest(range(0, nf, $FrameStride)) AS fi
        |  FROM f)
@@ -680,7 +689,7 @@ object AnnOps {
        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
 
   def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
-    decodeBinary(s, documents(s, d))
+    decodeBinary(s, asciiOnly(documents(s, d)))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("sum_bytes"),
@@ -694,7 +703,8 @@ object AnnOps {
       |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
       |  CAST(MIN(ascii(text)) AS BIGINT) AS min_first_byte,
       |  CAST(MAX(ascii(text)) AS BIGINT) AS max_first_byte
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------- registry
 

@@ -327,10 +327,31 @@ object LlmOps {
     * THROWS if the cap is reached without convergence — a silent partial
     * labeling is a wrong answer. */
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Shuffle parallelism inside the loop follows STATE volume, not the
+    // session's scan parallelism (the same sizing decision as
+    // StreamOps.withStreamParts): each round shuffles only (node, label)
+    // pairs — latency-bound at 32 partitions for label sets this size,
+    // and at 100 TB the knob moves with the graph. Conf restored on exit;
+    // the per-round eager checkpoints materialize under the pinned value,
+    // so the returned labels frame is independent of the session conf.
+    val s = pairs.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsLoop(pairs, maxIter)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = Checkpoints.cut(pairs
       .union(pairs.select(col("vb").as("va"), col("va").as("vb"))))
-    var labels = Checkpoints.cut(edges.select(col("va").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // init with the first neighbor-min round already folded in: the same
+    // single shuffle a distinct-nodes init costs, but the loop starts one
+    // Pregel round ahead — on shallow near-dup graphs (components of 2-3)
+    // that is usually the only effective round, leaving just the
+    // convergence-confirming pass
+    var labels = Checkpoints.cut(edges.groupBy(col("va"))
+      .agg(least(col("va"), min(col("vb"))).as("label"))
+      .select(col("va").as("node"), col("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

@@ -433,14 +433,34 @@ object RelOps {
     * any value corrupted by either text round-trip (float formatting,
     * quoting, header handling) breaks the hash. Timestamps cross the text
     * boundary as epoch seconds (FIXTURES §C: never raw). */
+  /** Per-application staging directory under java.io.tmpdir: two drivers
+    * sharing a host must not overwrite each other's staging data
+    * mid-query, while a rerun within one session hits the same dir
+    * (keeping reruns idempotent). The directory is removed by a JVM
+    * shutdown hook — without it every application run leaks one staged
+    * copy of its source data (Spark's ShutdownHookManager is
+    * private[spark], hence the plain Runtime hook). */
+  private val registeredStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def stagingDir(s: SparkSession, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s.sparkContext.applicationId
+    if (registeredStaging.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles
+          if (cs != null) cs.foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+      }))
+    }
+    dir
+  }
+
   def qSourceJsonCsv(s: SparkSession, d: String): DataFrame = {
-    // per-application namespace: two drivers sharing a host must not
-    // overwrite each other's staging data mid-query (rerun within one
-    // session still hits the same dir, keeping reruns idempotent)
-    val tmp = System.getProperty("java.io.tmpdir")
-    val app = s.sparkContext.applicationId
-    val jDir = s"$tmp/graft_src_json_$app"
-    val cDir = s"$tmp/graft_src_csv_$app"
+    val jDir = stagingDir(s, "src_json")
+    val cDir = stagingDir(s, "src_csv")
     val base = orders(s, d).select(
       col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
       unix_seconds(col("o_orderdate").cast(TimestampType)).as("od"))
@@ -480,8 +500,7 @@ object RelOps {
     * quarantine topology: the corrupt stream forks to a dead-letter sink
     * instead of killing the job. */
   def qSourceCsvRobust(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_dirty_" +
-      s.sparkContext.applicationId
+    val dir = stagingDir(s, "src_dirty")
     orders(s, d)
       .select(concat_ws(",",
         col("o_orderkey"), col("o_orderstatus"),
@@ -516,8 +535,7 @@ object RelOps {
     * the hash. Exercises pushdown through the ORC reader too: the
     * rollup's filter reaches the ORC scan as a SearchArgument. */
   def qSourceOrc(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_orc_" +
-      s.sparkContext.applicationId
+    val dir = stagingDir(s, "src_orc")
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"),

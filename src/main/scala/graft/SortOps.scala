@@ -190,10 +190,8 @@ object SortOps {
     * checksum. Record count tracks lineitem, scaling with sf. */
   def qSourceTerarecord(s: SparkSession, d: String): DataFrame = {
     val n = recordCount(s, d)
-    // per-application namespace — concurrent drivers must not clobber
-    // each other's staging files (see RelOps.qSourceJsonCsv)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_terarecord_src_" +
-      s.sparkContext.applicationId
+    // per-application namespace + shutdown-hook cleanup (RelOps.stagingDir)
+    val dir = RelOps.stagingDir(s, "terarecord_src")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)

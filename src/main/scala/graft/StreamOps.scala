@@ -140,7 +140,13 @@ object StreamOps {
     * single-micro-batch state volumes. Production sizing is the same
     * decision: state-store parallelism follows state volume, not the
     * batch session's scan parallelism. Batch queries are unaffected (conf
-    * restored on exit). */
+    * restored on exit).
+    *
+    * CAVEAT: the conf change is SESSION-GLOBAL while `body` runs — a
+    * batch query planned concurrently on the same session would silently
+    * pick up the low partition count. Fine for the sequential
+    * Verify/Bench harness (RerunSpec checks the restore); if concurrent
+    * use ever appears, scope the change via s.cloneSession() instead. */
   private def withStreamParts[T](s: SparkSession, parts: Int = 4)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -37,9 +37,14 @@ case class CountMinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   import CountMinAgg._
+
+  // non-bigint keys coerce (or fail) at analysis time instead of a
+  // ClassCastException inside update()
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Depth * Width)
 

@@ -38,9 +38,15 @@ case class KmvDistinctAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvDistinctAgg.Buffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   import KmvDistinctAgg._
+
+  // non-bigint keys coerce (or fail) at analysis time instead of a
+  // ClassCastException inside update()
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
 
   override def createAggregationBuffer(): Buffer = new Buffer
 

@@ -24,7 +24,14 @@ case class MinHashSketchAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  // non-bigint shingle values coerce (or fail) at analysis time instead
+  // of a ClassCastException inside update()
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
 
   private val P = MinHash.P
   private val A = MinHash.A
