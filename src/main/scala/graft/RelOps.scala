@@ -373,6 +373,38 @@ object RelOps {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** PARTITIONED parquet sink + statically pruned read-back — the
+    * directory-partitioned layout every lakehouse table uses (the sink
+    * counterpart of q_join_bucketed's bucketed layout and the static
+    * sibling of q_sim_ann_index's runtime DPP): documents written
+    * partitionBy(lang), then a literal lang IN (...) filter on the
+    * read-back that must prune to two directories at PLAN time —
+    * PlanQualitySpec asserts the partition filter reaches the scan. At
+    * 100 TB partition-on-low-cardinality-dims is the first lever that
+    * turns full scans into directory listings. */
+  def qSinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    dropManaged(s, "graft_part_docs")
+    documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang")
+      .saveAsTable("default.graft_part_docs")
+    s.table("default.graft_part_docs")
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val qSinkPartitionedSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------- merge / upsert
 
   /** Snapshot MERGE (the CDC/upsert pattern without a table format):
@@ -597,6 +629,7 @@ object RelOps {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
+    "q_sink_partitioned" -> (qSinkPartitioned _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -620,6 +653,7 @@ object RelOps {
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
+    "q_sink_partitioned" -> qSinkPartitionedSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,

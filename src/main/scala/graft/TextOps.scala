@@ -580,6 +580,55 @@ object TextOps {
       |  CAST(SUM(len(txt) - len(re2)) AS BIGINT) AS chars_delta
       |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------- sequence packing
+
+  /** Context-window length for training-example packing. */
+  private val PackCtx = 256
+
+  /** SEQUENCE PACKING — the concat-and-split step that turns a curated
+    * corpus into fixed-length training examples: documents are packed in
+    * order into PackCtx-token bins (a doc's bin = its exclusive running
+    * token offset div PackCtx), reported as per-lang bin statistics.
+    * Scale shape: packing is sequential BY CONSTRUCTION (each example's
+    * content depends on every doc before it), so the corpus is sharded —
+    * partitionBy (lang, doc_id mod 8) — and each shard packs
+    * independently through one running-sum window; parallelism = number
+    * of shards, the exact knob a 100 TB tokenization run turns, and no
+    * shard ever sees another shard's tokens. */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tok"),
+        (col("doc_id") % 8).as("shard"))
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"cum div $PackCtx"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_bin_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+       |             doc_id % 8 AS shard
+       |           FROM documents),
+       |c AS (SELECT lang, shard, n_tok,
+       |        (SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+       |         - n_tok) // $PackCtx AS bin
+       |      FROM d),
+       |b AS (SELECT lang, shard, bin, COUNT(*) AS n_docs,
+       |        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |      FROM c GROUP BY 1, 2, 3)
+       |SELECT lang, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS max_bin_tokens
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------ BPE tokenizer training
 
   /** Number of BPE merge rounds trained (production vocabularies are this
@@ -724,6 +773,7 @@ object TextOps {
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_pack_sequences" -> (qPackSequences _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -741,5 +791,6 @@ object TextOps {
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
     "q_text_bpe" -> qTextBpeSql,
+    "q_pack_sequences" -> qPackSequencesSql,
   )
 }

@@ -144,6 +144,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final hash aggregation:\n$p")
   }
 
+  test("partitioned sink read-back prunes lang directories at plan time") {
+    val p = plan("q_sink_partitioned")
+    assert(p.contains("graft_part_docs"),
+      s"read-back must scan the partitioned table:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang IN (...) should prune partitions at the scan:\n$p")
+  }
+
   test("persisted ANN index probe reads the saved table with runtime cell pruning") {
     val p = plan("q_sim_ann_index")
     assert(p.contains("graft_ann_index"),
