@@ -189,6 +189,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
   }
 
+  test("persisted ANN index probe returns exactly the inline IVF-PQ answer") {
+    val inline = AnnOps.qSimAnnIvfPq(spark, sf).collect().toSeq
+    val probed = AnnOps.qSimAnnIndex(spark, sf).collect().toSeq
+    assert(inline.nonEmpty && probed === inline,
+      "index probe must be indistinguishable from recomputing inline")
+  }
+
+  test("semantic dedup: survivors + dropped = docs per lang, survivors nonzero") {
+    val rows = AnnOps.qDedupSemantic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), s"counts inconsistent for ${r.getString(0)}")
+      assert(r.getLong(3) > 0, s"no survivors in ${r.getString(0)}")
+    }
+  }
+
+  test("BPE training: 10 ranked merges, token count never increases") {
+    val rows = TextOps.qTextBpe(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 until 10))
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty, "empty merge symbol")
+      assert(r.getLong(3) > 0, "merge with zero pair count")
+    }
+    val after = rows.map(_.getLong(4))
+    assert(after.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      "corpus token count must be non-increasing across merges")
+  }
+
+  test("curation funnel: stage counts are monotone non-increasing") {
+    val rows = LlmOps.qPipelineCuration(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 6))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      s"a gate grew the corpus: ${counts.mkString(",")}")
+    assert(counts.last > 0, "nothing survived the funnel")
+  }
+
+  test("sequence packing: per-lang token totals and doc counts are conserved") {
+    val packed = TextOps.qPackSequences(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val expected = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)), sum(size(split(col("text"), " "))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed === expected, "packing must conserve docs and tokens per lang")
+  }
+
   test("frame sampling: stride-4 indices, sub-frame docs emit nothing") {
     import spark.implicits._
     // 80 bytes = 5 frames -> indices 0 and 4; 100 bytes = 6 -> 0, 4;
