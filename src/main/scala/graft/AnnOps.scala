@@ -342,13 +342,18 @@ object AnnOps {
     * is sorted by centroid id, so the kernel visits centroids in id order
     * and strict-< keeps the smallest id on ties — same tie rule as the
     * oracle's MIN(c_id) on minima. */
-  private def pqCodeArr(emb: DataFrame): DataFrame = {
-    val cbArr = pqCbRows(emb)
+  /** Codes for `vecs` against the codebook derived from `cbSource` — the
+    * two differ during incremental ingest, where only the delta encodes
+    * but the codebook stays the full corpus's. */
+  private def pqCodeArrWith(vecs: DataFrame, cbSource: DataFrame): DataFrame = {
+    val cbArr = pqCbRows(cbSource)
       .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
-    emb.crossJoin(broadcast(cbArr))
+    vecs.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cb, $PqM)").as("codes"))
   }
+
+  private def pqCodeArr(emb: DataFrame): DataFrame = pqCodeArrWith(emb, emb)
 
   private def pqCodes(emb: DataFrame): DataFrame =
     pqCodeArr(emb)
@@ -543,9 +548,13 @@ object AnnOps {
     * was the alternative layout (RelOps.qJoinBucketed); partitioning wins
     * here because cell_id is low-cardinality and the probe predicate is
     * cell membership, not key equality. */
-  def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
+  /** (emb, ranked): the embeddings projection and the checkpointed 2-cell
+    * ranked assignment both index queries share. `ranked` feeds the index
+    * build(s) AND the probe fan-out; the writes are actions, so without
+    * the checkpoint the crossJoin+rank subtree would execute once per
+    * consumer. */
+  private def annIndexInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    RelOps.dropManaged(s, "graft_ann_index")
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
     val cents = e.filter(col("vec_id") < 8)
@@ -559,19 +568,25 @@ object AnnOps {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
-      // feeds the index build AND the probe fan-out; the write below is an
-      // action, so without the checkpoint the crossJoin+rank subtree would
-      // execute a second time when the probe side plans
       .localCheckpoint()
-    // BUILD: (vec_id, codes[4], cell_id), one directory per cell
-    ranked.filter(col("arn") === 1)
-      .join(pqCodeArr(emb), Seq("vec_id"))
+    (emb, ranked)
+  }
+
+  /** Index rows (vec_id, codes[4], cell_id) for the vectors matching
+    * `pred` — assignment from the shared ranked frame, codes encoded
+    * row-locally against the broadcast codebook, ONLY for the selected
+    * vectors (the property incremental ingest needs). */
+  private def indexRows(emb: DataFrame, ranked: DataFrame, pred: Column): DataFrame =
+    ranked.filter(col("arn") === 1 && pred)
+      .join(pqCodeArrWith(emb.filter(pred), emb), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cell_id"))
       .repartition(col("cell_id"))
-      .write.mode("overwrite").partitionBy("cell_id")
-      .saveAsTable("default.graft_ann_index")
-    // PROBE: broadcast 2-cell fan-out + per-probe ADC tables against the
-    // saved codes — embeddings are only read for the 10 probe vectors
+
+  /** Probe the saved index `table`: broadcast 2-cell fan-out + per-probe
+    * ADC tables against the stored codes — embeddings are only read for
+    * the 10 probe vectors; the scan prunes cells via DPP. */
+  private def probeIndex(s: SparkSession, emb: DataFrame, ranked: DataFrame,
+      table: String): DataFrame = {
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
@@ -580,8 +595,7 @@ object AnnOps {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
       emb)
       .withColumnRenamed("probe_id", "a_probe_id")
-    val idx = s.table("default.graft_ann_index")
-    val cand = idx.join(broadcast(probeCells),
+    val cand = s.table(table).join(broadcast(probeCells),
         col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
@@ -597,6 +611,38 @@ object AnnOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("adist"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
+    RelOps.dropManaged(s, "graft_ann_index")
+    val (emb, ranked) = annIndexInputs(s, d)
+    indexRows(emb, ranked, lit(true))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .saveAsTable("default.graft_ann_index")
+    probeIndex(s, emb, ranked, "default.graft_ann_index")
+  }
+
+  /** INCREMENTAL index ingest — the maintenance half of build-once/
+    * probe-many: the initial build covers 3 of 4 vec_id classes, then the
+    * remaining quarter is ingested by encoding ONLY the delta (assignment
+    * + codes computed for the new vectors alone — nothing existing is
+    * re-read or re-encoded) and APPENDING into the same cell-partitioned
+    * layout. Cell assignment and the codebook depend only on the fixed
+    * seeds, not the corpus split, so probing the appended index must
+    * return exactly the full-build (= inline IVF-PQ) answer — which is
+    * what the shared oracle grades. At 100 TB this is how a vector store
+    * absorbs a daily crawl: delta-sized work, partition-local appends,
+    * no rebuild. */
+  def qSimAnnIndexIncr(s: SparkSession, d: String): DataFrame = {
+    RelOps.dropManaged(s, "graft_ann_index_i")
+    val (emb, ranked) = annIndexInputs(s, d)
+    indexRows(emb, ranked, col("vec_id") % 4 =!= 3)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .saveAsTable("default.graft_ann_index_i")
+    indexRows(emb, ranked, col("vec_id") % 4 === 3)
+      .write.mode("append").partitionBy("cell_id")
+      .saveAsTable("default.graft_ann_index_i")
+    probeIndex(s, emb, ranked, "default.graft_ann_index_i")
   }
 
   // ------------------------------------------- multimodal binary pipeline
@@ -713,6 +759,7 @@ object AnnOps {
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
     "q_sim_ann_index" -> (qSimAnnIndex _),
+    "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
@@ -726,6 +773,8 @@ object AnnOps {
     // the persisted-index probe must return exactly what the inline
     // IVF-PQ computation returns — same oracle by construction
     "q_sim_ann_index" -> qSimAnnIvfPqSql,
+    // appended index must be indistinguishable from the full build
+    "q_sim_ann_index_incr" -> qSimAnnIvfPqSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,

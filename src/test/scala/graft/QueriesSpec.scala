@@ -189,11 +189,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
   }
 
-  test("persisted ANN index probe returns exactly the inline IVF-PQ answer") {
+  test("persisted ANN index probes (full build AND incremental append) return exactly the inline IVF-PQ answer") {
     val inline = AnnOps.qSimAnnIvfPq(spark, sf).collect().toSeq
-    val probed = AnnOps.qSimAnnIndex(spark, sf).collect().toSeq
-    assert(inline.nonEmpty && probed === inline,
+    assert(inline.nonEmpty)
+    assert(AnnOps.qSimAnnIndex(spark, sf).collect().toSeq === inline,
       "index probe must be indistinguishable from recomputing inline")
+    assert(AnnOps.qSimAnnIndexIncr(spark, sf).collect().toSeq === inline,
+      "appended index must be indistinguishable from the full build")
   }
 
   test("semantic dedup: survivors + dropped = docs per lang, survivors nonzero") {
