@@ -38,6 +38,16 @@ class RerunSpec extends AnyFunSuite {
     assert(ra.nonEmpty && ra.sameElements(rb))
   }
 
+  test("table-writing round-7 queries are rerun-idempotent in one session") {
+    val ia = AnnOps.qSimAnnIndexIncr(spark, sf).collect().map(_.toSeq)
+    val ib = AnnOps.qSimAnnIndexIncr(spark, sf).collect().map(_.toSeq)
+    assert(ia.nonEmpty && ia.sameElements(ib),
+      "incremental index (overwrite+append) must not double-append on rerun")
+    val pa = RelOps.qSinkPartitioned(spark, sf).collect().map(_.toSeq)
+    val pb = RelOps.qSinkPartitioned(spark, sf).collect().map(_.toSeq)
+    assert(pa.nonEmpty && pa.sameElements(pb))
+  }
+
   test("custom-state stream is rerun-idempotent (fixed sink name replaces)") {
     val a = StreamOps.qStreamCustomState(spark, sf).collect().map(_.toSeq)
     val b = StreamOps.qStreamCustomState(spark, sf).collect().map(_.toSeq)
