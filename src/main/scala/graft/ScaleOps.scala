@@ -125,6 +125,68 @@ object ScaleOps {
       |FROM h WHERE h < thresh
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------- mixture (data-mix) sample
+
+  /** MIXTURE SAMPLING — the data-mixing step that shapes a pretraining
+    * corpus to target domain shares (here: lang shares en 40% / others
+    * 15%): compute each language's token mass, derive the largest total
+    * the corpus supports at the target mixture WITHOUT upsampling
+    * (budget = min over langs of tokens·100/weight), and downsample each
+    * language to its share of that budget with the same deterministic
+    * row-local LCG as q_sample_stratified (resumable, retry-stable,
+    * engine-identical). EVERYTHING is exact integer arithmetic — budget,
+    * per-lang target tokens, and the P-scaled keep threshold are integer
+    * divisions, so no float boundary can disagree between engines. Scale:
+    * one tokens-per-lang rollup, a 5-row broadcast of thresholds, and a
+    * row-local keep decision — the corpus is scanned once and never
+    * shuffled. */
+  def qSampleMixture(s: SparkSession, d: String): DataFrame = {
+    val P = 2147483647L
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("tokens_total"))
+      .withColumn("weight",
+        when(col("lang") === "en", lit(40L)).otherwise(lit(15L)))
+    val budget = perLang
+      .agg(min(expr("tokens_total * 100 div weight")).as("b"))
+    val thresholds = perLang.crossJoin(broadcast(budget))
+      .withColumn("target_tokens", expr("weight * b div 100"))
+      .withColumn("thr", expr(s"target_tokens * $P div tokens_total"))
+      .select(col("lang"), col("tokens_total"), col("target_tokens"), col("thr"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("h", expr(s"((doc_id % $P) * 2654435761 + 17) % $P"))
+      .groupBy(col("lang"))
+      .agg(max(col("tokens_total")).as("tokens_total"),
+        max(col("target_tokens")).as("target_tokens"),
+        max(col("thr")).as("thr"),
+        sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("h") < col("thr"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val qSampleMixtureSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |pl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+      |         CASE lang WHEN 'en' THEN 40 ELSE 15 END AS weight
+      |       FROM d GROUP BY lang),
+      |b AS (SELECT MIN(tokens_total * 100 // weight) AS b FROM pl),
+      |p AS (SELECT lang, tokens_total,
+      |        weight * b.b // 100 AS target_tokens,
+      |        (weight * b.b // 100) * 2147483647 // tokens_total AS thr
+      |      FROM pl, b),
+      |j AS (SELECT d.lang, d.n_tok, p.tokens_total, p.target_tokens, p.thr,
+      |        ((d.doc_id % 2147483647) * 2654435761 + 17) % 2147483647 AS h
+      |      FROM d JOIN p USING (lang))
+      |SELECT lang, MAX(tokens_total) AS tokens_total,
+      |  MAX(target_tokens) AS target_tokens, MAX(thr) AS thr,
+      |  CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ heavy hitters
 
   /** Heavy hitters per key through the native Misra-Gries sketch
@@ -412,6 +474,7 @@ object ScaleOps {
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_trained" -> (qSimAnnIvfTrained _),
   )
@@ -423,6 +486,7 @@ object ScaleOps {
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrainedSql,
   )
