@@ -196,13 +196,18 @@ object TextOps {
     * Both graded queries use 24 bits — a 12-bit space saturates with
     * random collisions once the corpus outgrows 2^12 docs. */
   private def simhashSigs(s: SparkSession, d: String, bits: Int): DataFrame = {
-    val h = s"(CAST(48271 AS BIGINT) * tid + 11) % ${1L << bits}"
+    // hh computed ONCE per token in the projection: inlining the
+    // 48271·tid+11 hash into all `bits` aggregate expressions made the
+    // generated aggregate ~24× larger for no reason — a measurable slice
+    // of the one-shot janino compile the bench pays (same class of fix as
+    // graft_lsh_sig); arithmetic unchanged, oracle unchanged
     val bitSums = (0 until bits).map { j =>
-      sum(when(expr(s"(($h) div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
+      sum(when(expr(s"(hh div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
     }
     val sig = (0 until bits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     tokensWithId(s, d)
+      .withColumn("hh", expr(s"(CAST(48271 AS BIGINT) * tid + 11) % ${1L << bits}"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", sig)
