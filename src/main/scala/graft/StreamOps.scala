@@ -258,6 +258,42 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STATIC enrichment join through the real streaming engine —
+    * the first streaming operator every production pipeline runs (attach
+    * reference data to an event stream): the events file stream joins a
+    * STATIC customer dim on user_id, broadcast into every micro-batch (no
+    * stream state for the join — the dim is re-resolvable per batch,
+    * which is exactly how slowly-changing reference tables behave), then
+    * a complete-mode rollup per (segment, event_type). The drained sink
+    * equals the batch join+rollup, so the plain-SQL oracle hash-gates the
+    * stream-static path. At 100 TB/day the dim broadcast refreshes per
+    * batch while the stream never re-reads history. */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+    // fixed sink name — reruns replace instead of accumulate (see above)
+    val sink = "graft_stream_enrich_sink"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val qStreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   /** STREAM-STREAM inner join through the real streaming engine: two
     * file-stream readers over the events table (clicks / purchases), each
     * event-time watermarked, joined on user_id with the time-range
@@ -345,6 +381,7 @@ object StreamOps {
     "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_custom_state" -> (qStreamCustomState _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -356,6 +393,7 @@ object StreamOps {
     "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_custom_state" -> qStreamCustomStateSql,
     "q_stream_join" -> qStreamJoinSql,
+    "q_stream_enrich" -> qStreamEnrichSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,
