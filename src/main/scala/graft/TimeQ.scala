@@ -19,13 +19,22 @@ object TimeQ {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>
+        // number of janino compilations attributable to this run (from
+        // Spark's CodegenMetrics histogram count) — a cold run compiling
+        // ~40+ units at ~30-50 ms each IS the cold-vs-steady gap; a
+        // repeat showing c0 proves the cache absorbed all of it
+        val c0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        val cMs = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount - c0
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
+        (dt, cMs)
       }
-      println(f"[timeq] $name%-28s ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      println(f"[timeq] $name%-28s " +
+        ts.map { case (t, c) => f"$t%.2f(c$c%d)" }.mkString(" "))
     }
     spark.stop()
   }

@@ -144,6 +144,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final hash aggregation:\n$p")
   }
 
+  test("mixture sampling broadcasts the threshold table; the corpus never sort-merge joins") {
+    val p = plan("q_sample_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"5-row threshold table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the threshold join:\n$p")
+  }
+
+  test("sequence packing windows over (lang, shard), never a single global partition") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("Window"), s"expected a running-sum window:\n$p")
+    assert(p.contains("shard"),
+      s"window must partition by the shard key (global-order packing would bottleneck):\n$p")
+  }
+
   test("partitioned sink read-back prunes lang directories at plan time") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("graft_part_docs"),
