@@ -8,11 +8,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, must land before the first session: the default cache
+      // holds 100 generated classes, but 110 queries in one JVM produce
+      // ~1.5k — shared subtree shapes (table scans, family-common projections)
+      // get evicted and re-janino'd mid-run, inflating later queries
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed JVM/scheduler/codegen warmup (no table IO — that stays timed)
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: deterministic run-to-run (Map iteration order shifts
+    // whenever a key is added) and family-local (q_sim_ann_*, q_text_*, …
+    // run adjacently, so their shared compiled shapes stay hot)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -29,7 +37,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"%s\":%.3f".formatLocal(java.util.Locale.ROOT, k, v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"sf":"%s"}"""
         .formatLocal(java.util.Locale.ROOT, total, qs, sfDir)
