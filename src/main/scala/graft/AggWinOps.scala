@@ -654,7 +654,7 @@ object AggWinOps {
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       .crossJoin(daily.select(col("event_type")).distinct())

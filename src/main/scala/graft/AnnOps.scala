@@ -159,7 +159,7 @@ object AnnOps {
     // without the checkpoint the 24-plane-dot subtree executes 4× — and the
     // precomputed na replaces per-pair norm recomputation (the oracle's
     // banded CTE reads ea.na/eb.na the same way)
-    val sigs = signatures(s, d, DedupBits).localCheckpoint()
+    val sigs = signatures(s, d, DedupBits).localCheckpoint(eager = false)
     val bandCols = (0 until NBands).map(b =>
       (col("bucket") / lit(1L << (BandBits * b))).cast(LongType) % (1 << BandBits))
     val bandRows = sigs
@@ -231,6 +231,8 @@ object AnnOps {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
+      // EAGER: both self-join sides consume this in one action (see the
+      // qPipelineCuration note on lazy-cut diamond races)
       .localCheckpoint()
     val a = assigned.select(col("cell_id"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("na").as("naa"))
@@ -568,7 +570,7 @@ object AnnOps {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (emb, ranked)
   }
 

@@ -4,8 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev A/B knob: SPARK_GRAFT_AQE=off measures how much of the bench is
+    // AQE per-exchange replanning (it stays ON by default — at real scale
+    // AQE's coalesce/skew handling is load-bearing, see SCALE.md)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // static conf, must land before the first session: the default cache

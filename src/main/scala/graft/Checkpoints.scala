@@ -22,7 +22,13 @@ object Checkpoints {
     val s = df.sparkSession
     val reliable =
       s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
-    if (!reliable) df.localCheckpoint()
+    // lazy: the lineage cut and block caching are identical, but
+    // materialization folds into the FIRST consuming action instead of a
+    // dedicated job — in the CC round loop that halves the job count
+    // (cut+count per round becomes one count job). Loop callers always
+    // run an action inside the conf-pinned scope, so blocks still
+    // materialize under the pinned shuffle parallelism.
+    if (!reliable) df.localCheckpoint(eager = false)
     else {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val dir = s.conf.getOption("spark.graft.checkpointDir").getOrElse(

@@ -231,7 +231,7 @@ object LlmOps {
     // exchange and the shingle scan runs exactly once, with ReusedExchange
     // deduping the self-joins (r4 shipped 3 eager checkpoints here; the
     // r5 form has zero)
-    val ds = shingles(s, d).distinct().localCheckpoint()
+    val ds = shingles(s, d).distinct().localCheckpoint(eager = false)
     val bands = bandsOf(minhashOf(ds))
       .select(bandKeys.map(col) :+ col("doc_id"): _*)
     val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
@@ -389,7 +389,7 @@ object LlmOps {
     // running twice inside the edges job (measured 1.8×)
     val bands = bandsOf(minhashOf(shingles(s, d)))
       .select(bandKeys.map(col) :+ col("doc_id"): _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
       .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
       .distinct()
@@ -523,7 +523,10 @@ object LlmOps {
         expr(bigramArr).as("bigrams"))
       .select(col("doc_id") +: col("score") +: col("canon") +: col("vs") +:
         col("bigrams") +: mCols: _*)
-      .localCheckpoint() // the ONE corpus materialization all stages read
+      // EAGER on purpose: six union branches consume this in ONE action —
+      // a lazy cut lets the concurrent branches race-compute the minhash
+      // columns before the cache fills (measured 2.4 s → 8 s)
+      .localCheckpoint()
     // stage 2: quality gate
     val d2 = base.filter(col("score") >= 0.5)
     // stage 3: exact-dedup survivor among quality survivors
@@ -661,7 +664,7 @@ object LlmOps {
     * shingle scan (checkpointed — it feeds both sides), benchmark set
     * broadcast, one keyed shuffle per rollup. */
   def qTextContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).localCheckpoint()
+    val sh = shingles(s, d).localCheckpoint(eager = false)
     val bench = sh.filter(col("doc_id") < 10).select(col("v")).distinct()
       .withColumn("hit", lit(1L))
     val ds = sh.filter(col("doc_id") >= 10).distinct()

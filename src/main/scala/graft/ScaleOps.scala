@@ -270,7 +270,7 @@ object ScaleOps {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"), col("arn"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val assigned = ranked.filter(col("arn") === 1)
     val probes = ranked.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
@@ -365,7 +365,7 @@ object ScaleOps {
           transform(col("pairs"), p => p.getField("m")).as("cvec"))
         // k rows — checkpointing cuts the per-round lineage so the final
         // assignment+join executes each Lloyd round exactly once
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     assignCells(e, cents)
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))

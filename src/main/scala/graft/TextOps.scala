@@ -256,7 +256,7 @@ object TextOps {
     * corpus emitted 2.2M noise pairs. Signatures are checkpointed once
     * for both join sides; bit_count is a built-in in both engines. */
   def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d, 24).localCheckpoint()
+    val sigs = simhashSigs(s, d, 24).localCheckpoint(eager = false)
     val bandCols = (0 until 3).map(b =>
       (col("simhash") / lit(1L << (8 * b))).cast(LongType) % 256)
     val bandRows = sigs.select(col("doc_id"), col("simhash"),
@@ -668,7 +668,7 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     var st = words.select(
       concat(regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("st"),
-      col("n")).localCheckpoint()
+      col("n")).localCheckpoint(eager = false)
     val mergeRows = Seq.newBuilder[DataFrame]
     for (r <- 0 until BpeRounds) {
       val pairs = st
@@ -680,12 +680,12 @@ object TextOps {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("n")).as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       st = st.crossJoin(broadcast(best))
         .select(expr(
           "replace(st, concat(' ', x, '  ', y, ' '), concat(' ', x, y, ' '))").as("st"),
           col("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val stats = st.agg(
         sum(col("n") * size(split(trim(col("st")), "  "))).as("n_tokens_after"))
       mergeRows += best
