@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, unpinned, measured best: 16g (pinned or not) scales G1's young
+  // gen up and the bench then faults in GBs of fresh eden pages inside
+  // timed queries — random 1.3-1.7x family-level inflation under the
+  // microVM's lazy memory mapping. Keep SPARK_DRIVER_MEM for overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

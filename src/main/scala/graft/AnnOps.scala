@@ -231,9 +231,10 @@ object AnnOps {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
-      // EAGER: both self-join sides consume this in one action (see the
-      // qPipelineCuration note on lazy-cut diamond races)
-      .localCheckpoint()
+      // lazy despite the self-join diamond: unlike qPipelineCuration's
+      // six expensive branches, double-computing this 16k-row assignment
+      // is cheaper than a dedicated materialization job (measured)
+      .localCheckpoint(eager = false)
     val a = assigned.select(col("cell_id"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("na").as("naa"))
     val b = assigned.select(col("cell_id").as("cell_b"), col("vec_id").as("vb"),

@@ -527,57 +527,77 @@ object LlmOps {
       // a lazy cut lets the concurrent branches race-compute the minhash
       // columns before the cache fills (measured 2.4 s → 8 s)
       .localCheckpoint()
+    // Single-pass spine: each stage's drop-set is computed ONCE from the
+    // previous stage's survivors and joined back as a flag, and the 6
+    // funnel counts come out of ONE conditional-count aggregation — the
+    // earlier 6-branch union re-executed the cumulative stage-k join
+    // chain once per later branch (≈15 subtree executions vs ~7 here).
     // stage 2: quality gate
-    val d2 = base.filter(col("score") >= 0.5)
+    val q2 = col("score") >= 0.5
     // stage 3: exact-dedup survivor among quality survivors
-    val canonMin = d2.groupBy(col("canon")).agg(min(col("doc_id")).as("cmin"))
-    val d3 = d2.join(canonMin, Seq("canon")).filter(col("doc_id") === col("cmin"))
+    val canonMin = base.filter(q2)
+      .groupBy(col("canon")).agg(min(col("doc_id")).as("cmin"))
+    val sp = base.join(canonMin, Seq("canon"), "left_outer")
+      .withColumn("s3", q2 && col("doc_id") === col("cmin"))
       .drop("cmin")
     // stage 4: near-dup survivor — dropped iff ANY band bucket (among
     // stage-3 survivors) holds a smaller doc; docs with no shingles have
     // null sketches and never enter a bucket (auto-survive)
     val bandCol = array((0 until MH.Bands).map(b =>
       struct((0 until MH.R).map(r => col(s"m${MH.R * b + r}").as(s"k$r")): _*)): _*)
-    val bandRows = d3.filter(size(col("vs")) > 0)
+    val bandRows = sp.filter(col("s3") && size(col("vs")) > 0)
       .select(col("doc_id"), posexplode(bandCol).as(Seq("band", "bk")))
     val bMins = bandRows.groupBy(col("band"), col("bk"))
       .agg(min(col("doc_id")).as("bmin"))
     val drop4 = bandRows.join(bMins, Seq("band", "bk"))
       .filter(col("bmin") < col("doc_id"))
       .select(col("doc_id")).distinct()
-    val d4 = d3.join(drop4, Seq("doc_id"), "left_anti")
+      .withColumn("dropped4", lit(true))
     // stage 5: decontamination vs the doc_id<10 benchmark shingle set
     // (built from the RAW corpus — the benchmark is external to curation)
     val benchArr = base.filter(col("doc_id") < 10)
       .select(explode(col("vs")).as("v")).distinct()
       .agg(collect_list(col("v")).as("bench"))
-    val d5 = d4.crossJoin(broadcast(benchArr))
-      .filter(!(size(col("vs")) > 0 &&
+    val sp5 = sp.join(drop4, Seq("doc_id"), "left_outer")
+      .withColumn("s4", col("s3") && col("dropped4").isNull)
+      .crossJoin(broadcast(benchArr))
+      .withColumn("s5", col("s4") && !(size(col("vs")) > 0 &&
         lit(2) * size(array_intersect(col("vs"), col("bench"))) >= size(col("vs"))))
-      .drop("bench")
     // stage 6: LM band — bigram model trained on the RAW corpus, mean
-    // conditional probability through an exact decimal sum
+    // conditional probability through an exact decimal sum (docs with no
+    // scoreable bigram never reach the model join, matching the oracle)
     val bgAll = base.select(explode(col("bigrams")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val pc = bgAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val model = pc.join(
       pc.groupBy(col("w1")).agg(sum(col("n")).as("n_head")), Seq("w1"))
-    val d6 = d5.select(col("doc_id"), explode(col("bigrams")).as("p"))
+    val c6row = sp5.filter(col("s5"))
+      .select(col("doc_id"), explode(col("bigrams")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg((sum((col("n").cast(DoubleType) / col("n_head").cast(DoubleType))
         .cast(DecimalType(38, 12))).cast(DoubleType) / count(lit(1))).as("avg_p"))
       .filter(col("avg_p") >= 0.034)
-    def cnt(df: DataFrame, stage: Int, label: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).as("stage"), lit(label).as("label"), col("n_docs"))
-    cnt(base, 1, "raw")
-      .union(cnt(d2, 2, "quality"))
-      .union(cnt(d3, 3, "dedup_exact"))
-      .union(cnt(d4, 4, "dedup_near"))
-      .union(cnt(d5, 5, "decontaminated"))
-      .union(cnt(d6, 6, "lm_band"))
+      .agg(count(lit(1)).as("c6"))
+    val crow = sp5.agg(
+      count(lit(1)).as("c1"),
+      count(when(q2, lit(1))).as("c2"),
+      count(when(col("s3"), lit(1))).as("c3"),
+      count(when(col("s4"), lit(1))).as("c4"),
+      count(when(col("s5"), lit(1))).as("c5"))
+    def stageRow(stage: Int, label: String, c: Column) =
+      struct(lit(stage).as("stage"), lit(label).as("label"), c.as("n_docs"))
+    crow.crossJoin(c6row)
+      .select(explode(array(
+        stageRow(1, "raw", col("c1")),
+        stageRow(2, "quality", col("c2")),
+        stageRow(3, "dedup_exact", col("c3")),
+        stageRow(4, "dedup_near", col("c4")),
+        stageRow(5, "decontaminated", col("c5")),
+        stageRow(6, "lm_band", col("c6")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.label").as("label"),
+        col("r.n_docs").as("n_docs"))
       .orderBy(col("stage"))
   }
 
