@@ -212,9 +212,17 @@ object AnnOps {
     * with the corpus (k ≈ n/target_cell_size, trained via
     * IvfTraining.scala) keeping per-cell work bounded, and cross-cell
     * near-dups are recovered by raising nprobe exactly like the ANN
-    * queries. Components reuse the Pregel-style min-label loop
-    * (LlmOps.connectedComponents) — each round is a keyed shuffle of
-    * (node, label) pairs only. */
+    * queries. Clustering is CELL-LOCAL union-find via typed
+    * flatMapGroups, NOT the global Pregel loop (LlmOps
+    * .connectedComponents): the pair graph is confined to cells by
+    * construction, so each cell's subgraph resolves independently in one
+    * linear pass — one shuffle total, where the global min-label loop
+    * costs O(graph diameter) rounds (measured 11 on this graph: cosine
+    * chains near the percolation threshold). At 100 TB the invariant that
+    * makes this safe is the SemDeDup cell-size cap itself (k ≈
+    * n/target_cell_size): a cell's edge list fits one task by design, and
+    * the global loop remains the fallback for graphs nobody partitioned
+    * (q_dedup_components). */
   def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -242,10 +250,32 @@ object AnnOps {
     // unrounded-cosine threshold, same arithmetic order as the oracle
     val pairs = a.join(b, col("cell_id") === col("cell_b") && col("va") < col("vb"))
       .filter(expr("graft_dot(ea, eb)") / sqrt(col("naa") * col("nab")) >= 0.35)
-      .select(col("va"), col("vb"))
-    val dropped = LlmOps.connectedComponents(pairs)
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as("vec_id"), lit(1L).as("is_dropped"))
+      .select(col("cell_id"), col("va"), col("vb"))
+    import s.implicits._
+    // per-cell union-find, root = component min (union always attaches
+    // the larger root under the smaller): a node is dropped iff it is
+    // not its component's min — identical fixpoint to the oracle's
+    // recursive closure, computed in one pass per cell
+    val dropped = pairs.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (_, va, vb) =>
+          nodes += va; nodes += vb
+          val ra = find(va); val rb = find(vb)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.distinct.iterator.filter(v => find(v) != v)
+      }
+      .toDF("vec_id").withColumn("is_dropped", lit(1L))
     e.select(col("vec_id"))
       .join(documents(s, d).select(col("doc_id"), col("lang")),
         col("vec_id") === col("doc_id"))

@@ -357,6 +357,10 @@ object LlmOps {
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, col("vb") === col("node"))
         .groupBy(col("va")).agg(min(col("label")).as("nmin"))
+      // single jump (label-chain compression); a pointer-doubling variant
+      // (jump composed with itself) was tried and reverted — round count
+      // here is governed by graph DIAMETER (the neighbor-min hop), which
+      // doubling does not shorten, so it only added a join per round
       val jump = labels.select(col("node").as("jnode"), col("label").as("jlabel"))
       val updated = Checkpoints.cut(labels
         .join(neighborMin, col("node") === col("va"), "left_outer")
@@ -366,6 +370,10 @@ object LlmOps {
             coalesce(col("nmin"), col("label")),
             coalesce(col("jlabel"), col("label"))).as("new_label")))
       changed = updated.filter(col("new_label") < col("label")).count()
+      if (pairs.sparkSession.conf.getOption("spark.graft.ccLog").exists(_.toBoolean))
+        // scalastyle:off println
+        println(s"[cc] round=$iter changed=$changed")
+        // scalastyle:on println
       // updated is materialized (eager checkpoint + the count above), so
       // the prior round's blocks are dead — free them now
       org.apache.spark.sql.GraftShim.freeCheckpointBlocks(labels)
