@@ -515,8 +515,7 @@ object LlmOps {
       """CASE WHEN size(tk) >= 2 THEN transform(
         |  sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))
         |ELSE slice(array(struct(tk[0] AS w1, tk[0] AS w2)), 1, 0) END""".stripMargin
-    val mCols = (0 until MH.K).map(j =>
-      expr(s"array_min(transform(vs, v -> ${MH.sparkExpr(j)}))").as(s"m$j"))
+    graft.functions.VectorFunctions.register(s)
     val base = documents(s, d)
       .select(col("doc_id"), expr(tk).as("tk"))
       .select(col("doc_id"),
@@ -529,11 +528,12 @@ object LlmOps {
         array_join(array_sort(array_distinct(col("tk"))), " ").as("canon"),
         expr(shingleArr).as("vs"),
         expr(bigramArr).as("bigrams"))
-      .select(col("doc_id") +: col("score") +: col("canon") +: col("vs") +:
-        col("bigrams") +: mCols: _*)
-      // EAGER on purpose: six union branches consume this in ONE action —
-      // a lazy cut lets the concurrent branches race-compute the minhash
-      // columns before the cache fills (measured 2.4 s → 8 s)
+      // all 16 permutation minima in ONE fused kernel pass (see
+      // MinHashArrayExpr) instead of 16 array_min(transform(...)) subtrees
+      .withColumn("mh", expr("graft_minhash_arr(vs)"))
+      // EAGER on purpose: the drop-set branches consume this in ONE
+      // action — a lazy cut lets the concurrent branches race-compute
+      // the minhash columns before the cache fills (measured 2.4 s → 8 s)
       .localCheckpoint()
     // Single-pass spine: each stage's drop-set is computed ONCE from the
     // previous stage's survivors and joined back as a flag, and the 6
@@ -552,7 +552,8 @@ object LlmOps {
     // stage-3 survivors) holds a smaller doc; docs with no shingles have
     // null sketches and never enter a bucket (auto-survive)
     val bandCol = array((0 until MH.Bands).map(b =>
-      struct((0 until MH.R).map(r => col(s"m${MH.R * b + r}").as(s"k$r")): _*)): _*)
+      struct((0 until MH.R).map(r =>
+        col("mh").getItem(MH.R * b + r).as(s"k$r")): _*)): _*)
     val bandRows = sp.filter(col("s3") && size(col("vs")) > 0)
       .select(col("doc_id"), posexplode(bandCol).as(Seq("band", "bk")))
     val bMins = bandRows.groupBy(col("band"), col("bk"))

@@ -414,6 +414,93 @@ case class LshSignature(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** graft_minhash_arr(array<bigint>) → array<bigint>[K]: all K permutation
+  * minima of the shared MinHash family (graft.functions.MinHash) in ONE
+  * pass over the shingle array — the row-local sibling of the
+  * graft_minhash aggregate. Replaces K separate
+  * `array_min(transform(vs, v -> (A_j·v+B_j) % P))` subtrees: K× smaller
+  * generated code and one array scan instead of K. Arithmetic is the
+  * exact Java long `(A(j)*v + B(j)) % P` the SQL form compiles to, so
+  * results are bit-identical to the expression form and the DuckDB
+  * oracle. Empty or all-null input → NULL (matching array_min's NULL on
+  * an empty array); null elements are skipped. */
+case class MinHashArrayExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_arr expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_arr"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val mins = new Array[Long](MinHash.K)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        seen = true
+        val v = x.getLong(i)
+        var j = 0
+        while (j < MinHash.K) {
+          val h = (MinHash.A(j) * v + MinHash.B(j)) % MinHash.P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", MinHash.A, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", MinHash.B, "long[]")
+    val k = MinHash.K
+    val p = MinHash.P
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $seen = true;
+         |    long $v = $a.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = ($aRef[$j] * $v + $bRef[$j]) % ${p}L;
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
+         |    }
+         |  }
+         |}
+         |if (!$seen) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Resolve a foldable integer-literal argument (subspace / bit counts).
     * Non-foldable or non-integral arguments get a clear analysis-time
@@ -462,6 +549,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_lsh_sig"),
       new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
       (es: Seq[Expression]) => LshSignature(es(0), litInt(es(1), "graft_lsh_sig", "bits"))),
+    (FunctionIdentifier("graft_minhash_arr"),
+      new ExpressionInfo(classOf[MinHashArrayExpr].getName, "graft_minhash_arr"),
+      (es: Seq[Expression]) => MinHashArrayExpr(es.head)),
   )
 
   /** Session-local registration (idempotent) — lets any query use the
