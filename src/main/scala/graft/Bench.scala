@@ -71,6 +71,14 @@ object Bench {
       "\"%s\":%.3f".formatLocal(java.util.Locale.ROOT, k, v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // diagnostic (stderr, not part of the JSON contract): how much of the
+    // run was janino compilation — the one-shot cost the bench carries on
+    // top of steady-state plan execution
+    System.err.println("[bench] codegen compiles=" +
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount +
+      " compileMs=" +
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot
+        .getValues.sum)
     val line =
       """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"sf":"%s"}"""
         .formatLocal(java.util.Locale.ROOT, total, qs, sfDir)
