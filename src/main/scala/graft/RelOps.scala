@@ -319,7 +319,7 @@ object RelOps {
     * for q_join_sortmerge at 100 TB: both sides written bucketed + sorted
     * on the join key, so the sort-merge join runs with NO exchange (and no
     * re-sort) on either side; the only shuffle in the whole plan is the
-    * final small priority rollup. Locally the bucket count is 16; at scale
+    * final small priority rollup. Locally the bucket count is 8; at scale
     * it is sized so each bucket ≈ one task's worth of data. The write is
     * part of the operator (mode=overwrite keeps reruns idempotent) — the
     * amortized pattern where the bucketed table is written once and joined
@@ -350,14 +350,14 @@ object RelOps {
     // hash family, so each write task produces one bucket file instead of
     // every task writing a sliver of all 16 buckets
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      .repartition(16, col("o_orderkey"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
-      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("default.graft_bkt_orders")
     lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .repartition(16, col("l_orderkey"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
-      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("default.graft_bkt_lineitem")
     s.table("default.graft_bkt_orders")
       .join(s.table("default.graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
