@@ -103,4 +103,28 @@ class VectorExprSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("graft_minhash_arr matches the K array_min(transform(...)) subtrees bit-for-bit") {
+    VectorFunctions.register(spark)
+    import graft.functions.{MinHash => MH}
+    // shingle-hash-shaped arrays, including empty and single-element
+    val df = spark.sql(
+      """SELECT id, CASE
+        |  WHEN id % 7 = 0 THEN slice(array(CAST(0 AS BIGINT)), 1, 0)
+        |  ELSE transform(sequence(0, CAST(id % 13 AS INT)),
+        |                 i -> CAST((id * 2654435761 + i * 40503) % 2147483647 AS BIGINT))
+        |END AS vs FROM range(500)""".stripMargin)
+    val exprMins = (0 until MH.K).map(j =>
+      expr(s"array_min(transform(vs, v -> ${MH.sparkExpr(j)}))").as(s"e$j"))
+    val rows = df.select(
+      (expr("graft_minhash_arr(vs)").as("mh") +: exprMins): _*).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val mh = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      (0 until MH.K).foreach { j =>
+        if (r.isNullAt(j + 1)) assert(mh == null, "kernel non-null where array_min null")
+        else assert(mh(j) == r.getLong(j + 1), s"permutation $j differs")
+      }
+    }
+  }
 }
