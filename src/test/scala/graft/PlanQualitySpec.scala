@@ -167,6 +167,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lang IN (...) should prune partitions at the scan:\n$p")
   }
 
+  test("semantic dedup clusters cell-locally: MapGroups after a cell equi-join, no cartesian, no round loop") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("MapGroups"),
+      s"expected the per-cell flatMapGroups union-find pass:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must stay a cell equi-join:\n$p")
+    assert(p.contains("cell_id"),
+      s"pair join must key on cell_id:\n$p")
+  }
+
+  test("curation funnel is one spine: no union of per-stage aggregates") {
+    val p = plan("q_pipeline_curation")
+    assert(!p.contains("Union"),
+      s"funnel counts must come from one conditional-count rollup, not a union re-running stage chains:\n$p")
+  }
+
   test("persisted ANN index probe reads the saved table with runtime cell pruning") {
     val p = plan("q_sim_ann_index")
     assert(p.contains("graft_ann_index"),
