@@ -374,8 +374,10 @@ object LlmOps {
         // scalastyle:off println
         println(s"[cc] round=$iter changed=$changed")
         // scalastyle:on println
-      // updated is materialized (eager checkpoint + the count above), so
-      // the prior round's blocks are dead — free them now
+      // the count above is LOAD-BEARING: Checkpoints.cut is lazy, so that
+      // count is the only action materializing `updated`'s blocks — they
+      // MUST be live before the prior round's blocks are freed below
+      // (removing or moving the count would break this invariant)
       org.apache.spark.sql.GraftShim.freeCheckpointBlocks(labels)
       labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1

@@ -348,7 +348,7 @@ object RelOps {
     dropManaged(s, "graft_bkt_lineitem")
     // repartition on the bucket key first: bucket assignment uses the same
     // hash family, so each write task produces one bucket file instead of
-    // every task writing a sliver of all 16 buckets
+    // every task writing a sliver of all 8 buckets
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
       .repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
