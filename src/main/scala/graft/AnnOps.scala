@@ -678,6 +678,119 @@ object AnnOps {
     probeIndex(s, emb, ranked, "default.graft_ann_index_i")
   }
 
+  // ------------------------------------------------------- ANN recall@3
+
+  /** ANN RECALL MEASUREMENT — the quality metric every index tuner reads
+    * before touching nprobe/bits/codebooks: for each graded ANN method,
+    * how many of its top-3 answers are in the brute-force top-3 under
+    * that method's OWN metric and probe set (cosine for lsh/ivf, exact
+    * L2 for the ADC-scored pq/ivf_pq — ADC approximates L2, so exact L2
+    * is its ground truth; the persisted index's answers equal ivf_pq's
+    * by the r7 shared-oracle construction, so its recall is this row).
+    * Hits are exact integers (0–3) per (method, probe): engine-
+    * independent, so the oracle can grade search QUALITY, not just
+    * determinism. Scale shape: each truth is one broadcast-probe scan +
+    * windowed top-k over ≤10 probes — recall evaluation always runs on
+    * a probe SAMPLE, never the corpus, so brute force here is the
+    * correct tool (same reason q_sim_topk is the documented non-scale
+    * path for search itself). */
+  def qSimAnnRecall(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+    // brute-force top-3 for probes in [lo, hi): score expressions are
+    // copied verbatim from the graded method queries so ranking ties
+    // break identically in both engines
+    def brute(lo: Long, hi: Long, l2: Boolean): DataFrame = {
+      val probes = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+          col("na").as("pna"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("key",
+          if (l2)
+            round(col("na") - lit(2.0) * expr("graft_dot(embedding, pvec)") +
+              col("pna"), 4)
+          else
+            round(expr("graft_dot(embedding, pvec)") /
+              sqrt(col("na") * col("pna")), 4))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(if (l2) col("key").asc else col("key").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    }
+    val methods: Seq[(String, DataFrame, DataFrame, (Long, Long))] = Seq(
+      ("ivf", ScaleOps.qSimAnnIvf(s, d), brute(10, 20, l2 = false), (10L, 20L)),
+      ("ivf_pq", qSimAnnIvfPq(s, d), brute(10, 20, l2 = true), (10L, 20L)),
+      ("lsh", qSimAnnLsh(s, d), brute(0, 10, l2 = false), (0L, 10L)),
+      ("pq", qSimAnnPq(s, d), brute(0, 8, l2 = true), (0L, 8L)))
+    methods.map { case (m, ans, truth, (lo, hi)) =>
+      val hits = ans.select(col("probe_id"), col("neighbor_id"))
+        .join(truth, Seq("probe_id", "neighbor_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+      // probe spine: a probe whose method found 0 true neighbors (or no
+      // candidates at all — possible for a sparse LSH bucket) must still
+      // report hits=0, not vanish
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left_outer")
+        .select(lit(m).as("method"), col("probe_id"),
+          coalesce(col("h"), lit(0L)).as("hits"))
+    }.reduce(_ union _).orderBy(col("method"), col("probe_id"))
+  }
+
+  /** Brute-force truth CTE body for the oracle (same score expressions
+    * as the method oracles). */
+  private def bruteSql(lo: Long, hi: Long, l2: Boolean): String = {
+    val key =
+      if (l2) s"round(c.na - 2.0 * list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2])) + p.pna, 4) ASC"
+      else s"round(list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2])) / sqrt(c.na * p.pna), 4) DESC"
+    s"""SELECT probe_id, neighbor_id FROM (
+       |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $key, c.vec_id) AS rn
+       |  FROM e c JOIN (SELECT vec_id AS probe_id, emb AS pemb, na AS pna
+       |                 FROM e WHERE vec_id >= $lo AND vec_id < $hi) p
+       |    ON c.vec_id <> p.probe_id) t WHERE rn <= 3""".stripMargin
+  }
+
+  /** The graded method answers are embedded verbatim as subqueries —
+    * whatever each method oracle returns is what recall is measured on. */
+  lazy val qSimAnnRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |t_ivf AS (${bruteSql(10, 20, l2 = false)}),
+       |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
+       |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
+       |t_pq AS (${bruteSql(0, 8, l2 = true)}),
+       |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
+       |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
+       |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
+       |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
+       |hits AS (
+       |  SELECT 'ivf' AS method, probe_id, COUNT(*) AS h
+       |  FROM a_ivf JOIN t_ivf USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'ivf_pq', probe_id, COUNT(*)
+       |  FROM a_ivf_pq JOIN t_ivf_pq USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'lsh', probe_id, COUNT(*)
+       |  FROM a_lsh JOIN t_lsh USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'pq', probe_id, COUNT(*)
+       |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2),
+       |spine AS (
+       |  SELECT 'ivf' AS method, vec_id AS probe_id FROM e WHERE vec_id >= 10 AND vec_id < 20
+       |  UNION ALL
+       |  SELECT 'ivf_pq', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
+       |  UNION ALL
+       |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
+       |  UNION ALL
+       |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8)
+       |SELECT s.method, s.probe_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
+       |FROM spine s LEFT JOIN hits h ON s.method = h.method AND s.probe_id = h.probe_id
+       |ORDER BY s.method, s.probe_id""".stripMargin
+
   // ------------------------------------------- multimodal binary pipeline
 
   /** Multimodal binary-column pipeline: text re-encoded as an opaque binary
@@ -793,6 +906,7 @@ object AnnOps {
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
     "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
+    "q_sim_ann_recall" -> (qSimAnnRecall _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
@@ -808,6 +922,7 @@ object AnnOps {
     "q_sim_ann_index" -> qSimAnnIvfPqSql,
     // appended index must be indistinguishable from the full build
     "q_sim_ann_index_incr" -> qSimAnnIvfPqSql,
+    "q_sim_ann_recall" -> qSimAnnRecallSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,

@@ -661,12 +661,18 @@ object TextOps {
     * replace-all EXACTLY greedy left-to-right non-overlapping merging
     * (the BPE rule), identically in Spark and DuckDB. Output: the merge
     * table (rank, pair, count) + corpus token count after each merge. */
-  def qTextBpe(s: SparkSession, d: String): DataFrame = {
+  /** The shared training loop: returns the per-round winning merges AND
+    * the final symbol table (word, st, n) with all BpeRounds merges
+    * applied — training (q_text_bpe) reads the merges, application
+    * (q_text_bpe_apply) reads the final table. The word column rides
+    * along untouched so the trained segmentation stays keyed by the
+    * original word. */
+  private def bpeTrain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     val words = documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var st = words.select(
+    var st = words.select(col("word"),
       concat(regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("st"),
       col("n")).localCheckpoint(eager = false)
     val mergeRows = Seq.newBuilder[DataFrame]
@@ -682,7 +688,7 @@ object TextOps {
       val best = pairs.orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .localCheckpoint(eager = false)
       st = st.crossJoin(broadcast(best))
-        .select(expr(
+        .select(col("word"), expr(
           "replace(st, concat(' ', x, '  ', y, ' '), concat(' ', x, y, ' '))").as("st"),
           col("n"))
         .localCheckpoint(eager = false)
@@ -692,18 +698,51 @@ object TextOps {
         .select(lit(r).as("merge_rank"), col("x"), col("y"), col("cnt"))
         .crossJoin(broadcast(stats))
     }
-    mergeRows.result().reduce(_ union _).orderBy(col("merge_rank"))
+    (mergeRows.result(), st)
   }
 
-  /** The identical training loop unrolled as chained DuckDB CTEs. */
-  val qTextBpeSql: String = {
+  def qTextBpe(s: SparkSession, d: String): DataFrame = {
+    val (mergeRows, _) = bpeTrain(s, d)
+    mergeRows.reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
+  /** BPE APPLY — tokenize the corpus with the TRAINED vocabulary (the
+    * step every downstream consumer of a tokenizer runs; until now the
+    * engine trained merges but never applied them). Production shape:
+    * the tokenizer is applied to the VOCABULARY (the final symbol table
+    * is vocab-sized), and the corpus pass is a dictionary lookup — docs
+    * explode to words and join the broadcast per-word segmentation, so
+    * the 100 TB corpus never re-runs the merge rules, it streams through
+    * one broadcast-hash join. Reported per lang as exact integers:
+    * whitespace words, pre-merge tokens (= characters, the round-0
+    * symbols), and post-merge BPE tokens. */
+  def qTextBpeApply(s: SparkSession, d: String): DataFrame = {
+    val (_, finalSt) = bpeTrain(s, d)
+    val vocab = finalSt.select(col("word"),
+      size(split(trim(col("st")), "  ")).as("n_tok_bpe"),
+      length(col("word")).as("n_tok_char"))
+    documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok_char")).as("n_tokens_char"),
+        sum(col("n_tok_bpe")).as("n_tokens_bpe"))
+      .orderBy(col("lang"))
+  }
+
+  /** The identical training loop unrolled as chained DuckDB CTEs — the
+    * word column rides through every s_r so the apply oracle can read
+    * the final per-word segmentation (the training outputs ignore it). */
+  private val bpeChainSql: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w AS (
         |  SELECT tok AS word, COUNT(*) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |  WHERE tok <> '' GROUP BY tok),
-        |s0 AS (SELECT regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS st, n FROM w)""".stripMargin)
+        |s0 AS (SELECT word, regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS st, n FROM w)""".stripMargin)
     for (r <- 0 until BpeRounds) {
       sb.append(s""",
         |tk$r AS (SELECT string_split(trim(st), '  ') AS tk, n FROM s$r),
@@ -711,18 +750,33 @@ object TextOps {
         |p$r AS (SELECT tk[i] AS x, tk[i+1] AS y, CAST(SUM(n) AS BIGINT) AS cnt
         |        FROM px$r GROUP BY 1, 2),
         |b$r AS (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
-        |s${r + 1} AS (SELECT replace(st, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') AS st, n
+        |s${r + 1} AS (SELECT word, replace(st, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') AS st, n
         |        FROM s$r, b$r),
         |o$r AS (SELECT $r AS merge_rank, x, y, cnt,
         |        (SELECT CAST(SUM(n * len(string_split(trim(st), '  '))) AS BIGINT)
         |         FROM s${r + 1}) AS n_tokens_after
         |        FROM b$r)""".stripMargin)
     }
-    sb.append("\n" +
-      (0 until BpeRounds).map(r => s"SELECT * FROM o$r").mkString("\nUNION ALL\n"))
-    sb.append("\nORDER BY merge_rank")
     sb.toString
   }
+
+  val qTextBpeSql: String =
+    bpeChainSql + "\n" +
+      (0 until BpeRounds).map(r => s"SELECT * FROM o$r").mkString("\nUNION ALL\n") +
+      "\nORDER BY merge_rank"
+
+  val qTextBpeApplySql: String =
+    bpeChainSql + s""",
+      |v AS (SELECT word, len(string_split(trim(st), '  ')) AS n_tok_bpe,
+      |        length(word) AS n_tok_char
+      |      FROM s$BpeRounds),
+      |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(n_tok_char) AS BIGINT) AS n_tokens_char,
+      |  CAST(SUM(n_tok_bpe) AS BIGINT) AS n_tokens_bpe
+      |FROM dw JOIN v USING (word)
+      |WHERE word <> ''
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------- edit-distance fuzzy dedup
 
@@ -778,6 +832,7 @@ object TextOps {
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_text_bpe_apply" -> (qTextBpeApply _),
     "q_pack_sequences" -> (qPackSequences _),
   )
 
@@ -796,6 +851,7 @@ object TextOps {
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
     "q_text_bpe" -> qTextBpeSql,
+    "q_text_bpe_apply" -> qTextBpeApplySql,
     "q_pack_sequences" -> qPackSequencesSql,
   )
 }
