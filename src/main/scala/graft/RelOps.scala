@@ -457,6 +457,89 @@ object RelOps {
       |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY status ORDER BY status""".stripMargin
 
+  /** PARTITION-OVERWRITE MERGE — how a 100 TB partitioned table actually
+    * applies an upsert: q_merge_upsert's full-outer MERGE rewrites the
+    * whole snapshot; here the change set is confined to one partition
+    * (lang='en'), so ONLY that partition's merged contents are written
+    * back under `spark.sql.sources.partitionOverwriteMode=dynamic` —
+    * Spark replaces exactly the partitions present in the written data
+    * and leaves every other lang directory's files untouched on disk
+    * (PartitionOverwriteSpec asserts the untouched partitions stay
+    * byte-identical). The merge itself shuffles only the affected
+    * partition + its delta: cost scales with the change set, not the
+    * table. Read-back rolls up the WHOLE table, so a clobbered
+    * bystander partition or a half-applied merge breaks the hash. */
+  def qMergeOverwrite(s: SparkSession, d: String): DataFrame = {
+    val base = writeMergeBase(s, d)
+    mergeOverwriteEn(s, base)
+    s.table("default.graft_merge_docs")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** Base-table write, shared with the spec (which hashes the untouched
+    * partitions' files between this step and the merge). */
+  private[graft] def writeMergeBase(s: SparkSession, d: String): DataFrame = {
+    dropManaged(s, "graft_merge_docs")
+    val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+    base.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang")
+      .saveAsTable("default.graft_merge_docs")
+    base
+  }
+
+  /** The dynamic-overwrite write step, shared with the spec: merge the
+    * 'en' change set (updates: doc_id%3=0 gets +1000 chars; inserts:
+    * doc_id%5=0 re-keyed +1e9) into the 'en' partition of
+    * graft_merge_docs, touching no other partition. */
+  private[graft] def mergeOverwriteEn(s: SparkSession, base: DataFrame): Unit = {
+    val en = base.filter(col("lang") === "en")
+    // both change classes in ONE pass over the partition (the
+    // q_merge_upsert pattern)
+    val changes = en.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .select(explode(array(
+        when(col("doc_id") % 3 === 0, struct(col("doc_id").as("k"),
+          (col("n_chars") + lit(1000L)).as("u_chars"))),
+        when(col("doc_id") % 5 === 0, struct((col("doc_id") + lit(1000000000L)).as("k"),
+          (col("n_chars") * lit(2L)).as("u_chars")))))
+        .as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c.k").as("k"), col("c.u_chars").as("u_chars"))
+    val merged = en.join(changes, col("doc_id") === col("k"), "full_outer")
+      .select(coalesce(col("doc_id"), col("k")).as("doc_id"),
+        coalesce(col("u_chars"), col("n_chars")).as("n_chars"),
+        lit("en").as("lang"))
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.repartition(col("lang"))
+      .write.mode("overwrite").insertInto("default.graft_merge_docs")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  val qMergeOverwriteSql: String =
+    """WITH base AS (SELECT doc_id, n_chars, lang FROM documents),
+      |en AS (SELECT doc_id, n_chars FROM base WHERE lang = 'en'),
+      |ch AS (
+      |  SELECT doc_id AS k, n_chars + 1000 AS u_chars FROM en WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS k, n_chars * 2 AS u_chars
+      |  FROM en WHERE doc_id % 5 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.doc_id, c.k) AS doc_id,
+      |         COALESCE(c.u_chars, b.n_chars) AS n_chars, 'en' AS lang
+      |  FROM en b FULL OUTER JOIN ch c ON b.doc_id = c.k),
+      |final AS (
+      |  SELECT * FROM merged
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, lang FROM base WHERE lang <> 'en')
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- JSON/CSV round-trip
 
   /** Source-format coverage, graded: orders written to BOTH json and csv,
@@ -627,6 +710,7 @@ object RelOps {
     "q_source_csv_robust" -> (qSourceCsvRobust _),
     "q_source_orc" -> (qSourceOrc _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_overwrite" -> (qMergeOverwrite _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_sink_partitioned" -> (qSinkPartitioned _),
@@ -651,6 +735,7 @@ object RelOps {
     "q_source_csv_robust" -> qSourceCsvRobustSql,
     "q_source_orc" -> qSourceOrcSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_merge_overwrite" -> qMergeOverwriteSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,

@@ -258,6 +258,76 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING FILE SINK — the missing half of the streaming story until
+    * now (every live query above drains into a memory sink): the tumbling
+    * aggregation written through `writeStream.format("parquet")` with a
+    * checkpoint, then read back from the committed files. This is the
+    * exactly-once contract a production pipeline actually relies on: the
+    * file sink records committed batches in the _spark_metadata log, a
+    * RESTART on the same checkpoint re-commits nothing (exercised inside
+    * the query: the stream is started twice, the second start finds no
+    * new files and adds no output — StreamSinkSpec asserts the file set
+    * is unchanged), and readers resolve the directory through the
+    * metadata log so half-written files are invisible.
+    *
+    * Append mode (the only file-sink mode) emits a window only after the
+    * watermark passes its end, and the watermark used by batch N comes
+    * from batch N−1's data — so a single-batch bounded source would emit
+    * NOTHING. The stage therefore writes the events as one data file plus
+    * two far-future `__wm__` sentinel rows as separate later files and
+    * runs with maxFilesPerTrigger=1: batch 1's sentinel pushes the
+    * watermark past every real window, and the next batch flushes them
+    * all. The sentinels' own windows sit above the final watermark and
+    * never flush; the read-back filter drops them if a trailing no-data
+    * batch ever flushes one. This is exactly how a bounded backfill run
+    * of an unbounded pipeline terminates cleanly at 100 TB: a watermark
+    * heartbeat past the horizon, not a mode switch. */
+  def qStreamSink(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    val src = RelOps.stagingDir(s, "stream_sink_src")
+    val out = RelOps.stagingDir(s, "stream_sink_out")
+    val ckpt = RelOps.stagingDir(s, "stream_sink_ckpt")
+    // fresh dirs every call: the checkpoint remembers processed file
+    // PATHS, so reusing it after the staged data changed (a rerun, or a
+    // different sfDir in the same session) would silently keep the old
+    // answer — delete-then-rebuild makes the query idempotent
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles
+      if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    Seq(src, out, ckpt).foreach(p => rm(new java.io.File(p)))
+    events(s, d).select(col("ts"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    def sentinel(t: String): DataFrame = s.range(1)
+      .select(to_timestamp(lit(t)).as("ts"), lit("__wm__").as("event_type"),
+        lit(0.0).as("value"))
+    sentinel("2100-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
+    sentinel("2101-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    def run(): Unit = {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // exactly-once restart: same checkpoint, no new source files — the
+    // sink's commit log prevents any re-emission
+    run()
+    s.read.parquet(out)
+      .filter(col("event_type") =!= "__wm__")
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** STREAM-STATIC enrichment join through the real streaming engine —
     * the first streaming operator every production pipeline runs (attach
     * reference data to an event stream): the events file stream joins a
@@ -385,6 +455,7 @@ object StreamOps {
     "q_stream_custom_state" -> (qStreamCustomState _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_sink" -> (qStreamSink _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -397,6 +468,8 @@ object StreamOps {
     "q_stream_custom_state" -> qStreamCustomStateSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_enrich" -> qStreamEnrichSql,
+    // drained file sink == the batch tumbling aggregation
+    "q_stream_sink" -> qStreamTumblingSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,
