@@ -192,4 +192,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"index probe must never cross vectors with vectors:\n$p")
   }
+
+  test("BPE apply joins the corpus to a BROADCAST vocabulary dictionary") {
+    val p = plan("q_text_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab dictionary must broadcast — the corpus never shuffles to tokenize:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join means the dictionary stopped broadcasting:\n$p")
+  }
+
+  test("ANN recall truths broadcast their probes; no vector-by-vector cartesian") {
+    val p = plan("q_sim_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"brute-force truths must be broadcast-nested-loop over ≤10 probes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast probe joins in the recall plan:\n$p")
+  }
+
+  test("merge-overwrite shuffles the change set, not the whole table") {
+    // the merge read side touches only the en partition + its delta; the
+    // final rollup reads the table — assert the merged WRITE plan never
+    // scans a non-en partition (static pruning on the lang filter)
+    val base = RelOps.writeMergeBase(spark, sf)
+    val p = base.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("lang"),
+      s"lang filter must reach the documents scan:\n$p")
+  }
 }
