@@ -67,8 +67,19 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         }
+      } else {
+        // LOUD skip: without the warmup the totals include ~13 s of
+        // one-shot codegen + cold-start attribution — a silent skip
+        // reads as an engine regression (this repo has mis-attributed
+        // exactly that before)
+        System.err.println(s"[bench] WARMUP SKIPPED: $wDir is not a " +
+          "directory — timed totals will include one-shot codegen cost")
       }
     }
+    // snapshot AFTER warmup so the end-of-run diagnostic describes the
+    // TIMED loop's compilations, not the ~1k the warmup already absorbed
+    val cgm0 = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
     // sorted order: deterministic run-to-run (Map iteration order shifts
     // whenever a key is added) and family-local (q_sim_ann_*, q_text_*, …
     // run adjacently, so their shared compiled shapes stay hot)
@@ -106,13 +117,16 @@ object Bench {
     // diagnostic (stderr, not part of the JSON contract): how much of the
     // run was janino compilation — the one-shot cost the bench carries on
     // top of steady-state plan execution
+    // timed-loop compiles = total minus the post-warmup snapshot;
     // compileMs is count × reservoir mean — the histogram SAMPLES, so a
     // raw sum of snapshot values under-reports once compilations exceed
     // the reservoir size (likely at ~1k compiles); labeled ~ because it
     // is an estimate either way
     val cgm = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
-    System.err.println("[bench] codegen compiles=" + cgm.getCount +
-      f" ~compileMs=${cgm.getCount * cgm.getSnapshot.getMean}%.0f")
+    val timedCompiles = cgm.getCount - cgm0
+    System.err.println("[bench] codegen timed-loop compiles=" + timedCompiles +
+      " (jvm total=" + cgm.getCount + ")" +
+      f" ~timedCompileMs=${timedCompiles * cgm.getSnapshot.getMean}%.0f")
     val line =
       """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"sf":"%s"}"""
         .formatLocal(java.util.Locale.ROOT, total, qs, sfDir)

@@ -351,7 +351,11 @@ object LlmOps {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val algo = s.conf.getOption("spark.graft.ccAlgo").getOrElse("minlabel")
     try algo match {
-      case "stars" => connectedComponentsStars(pairs, maxIter)
+      // stars trades per-round distance-doubling for a shape-independent
+      // O(log² n) ROUND bound — its cap must budget for that bound, not
+      // inherit minlabel's diameter-tuned default (a 2048-path already
+      // needs ~20 alternations + fixpoint detection)
+      case "stars" => connectedComponentsStars(pairs, math.max(maxIter, 60))
       case _ => connectedComponentsLoop(pairs, maxIter)
     }
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -382,7 +386,8 @@ object LlmOps {
       val bidir = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val lsMin = bidir.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
       val ls = bidir.join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))

@@ -464,7 +464,7 @@ object RelOps {
     * back under `spark.sql.sources.partitionOverwriteMode=dynamic` —
     * Spark replaces exactly the partitions present in the written data
     * and leaves every other lang directory's files untouched on disk
-    * (PartitionOverwriteSpec asserts the untouched partitions stay
+    * (SinkSemanticsSpec asserts the untouched partitions stay
     * byte-identical). The merge itself shuffles only the affected
     * partition + its delta: cost scales with the change set, not the
     * table. Read-back rolls up the WHOLE table, so a clobbered
@@ -496,7 +496,11 @@ object RelOps {
     * 'en' change set (updates: doc_id%3=0 gets +1000 chars; inserts:
     * doc_id%5=0 re-keyed +1e9) into the 'en' partition of
     * graft_merge_docs, touching no other partition. */
-  private[graft] def mergeOverwriteEn(s: SparkSession, base: DataFrame): Unit = {
+  /** The merged contents of the 'en' partition — extracted so
+    * PlanQualitySpec can assert the WRITE'S INPUT plan (this frame)
+    * scans documents with the lang filter pushed down: the merge reads
+    * the change set's partition, never the table. */
+  private[graft] def mergedEn(base: DataFrame): DataFrame = {
     val en = base.filter(col("lang") === "en")
     // both change classes in ONE pass over the partition (the
     // q_merge_upsert pattern)
@@ -509,13 +513,16 @@ object RelOps {
         .as("c"))
       .filter(col("c").isNotNull)
       .select(col("c.k").as("k"), col("c.u_chars").as("u_chars"))
-    val merged = en.join(changes, col("doc_id") === col("k"), "full_outer")
+    en.join(changes, col("doc_id") === col("k"), "full_outer")
       .select(coalesce(col("doc_id"), col("k")).as("doc_id"),
         coalesce(col("u_chars"), col("n_chars")).as("n_chars"),
         lit("en").as("lang"))
+  }
+
+  private[graft] def mergeOverwriteEn(s: SparkSession, base: DataFrame): Unit = {
     val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.repartition(col("lang"))
+    try mergedEn(base).repartition(col("lang"))
       .write.mode("overwrite").insertInto("default.graft_merge_docs")
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
@@ -557,17 +564,22 @@ object RelOps {
     * private[spark], hence the plain Runtime hook). */
   private val registeredStaging =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Recursive local delete (shared by the staging shutdown hook and the
+    * queries that rebuild their staging dirs per call). */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles
+      if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
   private[graft] def stagingDir(s: SparkSession, tag: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s.sparkContext.applicationId
     if (registeredStaging.add(dir)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles
-          if (cs != null) cs.foreach(rm)
-          f.delete(): Unit
-        }
-        try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+        try deleteRecursively(dir) catch { case _: Throwable => () }
       }))
     }
     dir

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -266,9 +268,9 @@ object StreamOps {
     * file sink records committed batches in the _spark_metadata log, a
     * RESTART on the same checkpoint re-commits nothing (exercised inside
     * the query: the stream is started twice, the second start finds no
-    * new files and adds no output — StreamSinkSpec asserts the file set
-    * is unchanged), and readers resolve the directory through the
-    * metadata log so half-written files are invisible.
+    * new files and adds no output — SinkSemanticsSpec asserts raw bytes
+    * equal metadata-resolved rows), and readers resolve the directory
+    * through the metadata log so half-written files are invisible.
     *
     * Append mode (the only file-sink mode) emits a window only after the
     * watermark passes its end, and the watermark used by batch N comes
@@ -290,19 +292,35 @@ object StreamOps {
     // PATHS, so reusing it after the staged data changed (a rerun, or a
     // different sfDir in the same session) would silently keep the old
     // answer — delete-then-rebuild makes the query idempotent
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles
-      if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
+    Seq(src, out, ckpt).foreach(RelOps.deleteRecursively)
+    // FileStreamSource orders pending files by MODIFICATION TIME with
+    // arbitrary tie order — on a coarse-mtime filesystem a sentinel
+    // could tie with (and sort before) the data file, land in batch 0,
+    // and push the watermark past every real event before any is seen.
+    // Pin the intended order explicitly: after each staged write, the
+    // files that write ADDED (set difference, never mtime inference) get
+    // a fixed, strictly increasing mtime in stage order.
+    def listParquet(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+      finally st.close()
     }
-    Seq(src, out, ckpt).foreach(p => rm(new java.io.File(p)))
+    def pin(files: Set[java.nio.file.Path], stage: Int): Unit =
+      files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(stage * 100000L)))
     events(s, d).select(col("ts"), col("event_type"), col("value"))
       .coalesce(1).write.mode("overwrite").parquet(src)
+    val dataFiles = listParquet()
+    pin(dataFiles, 1)
     def sentinel(t: String): DataFrame = s.range(1)
       .select(to_timestamp(lit(t)).as("ts"), lit("__wm__").as("event_type"),
         lit(0.0).as("value"))
     sentinel("2100-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
+    val s1Files = listParquet() -- dataFiles
+    pin(s1Files, 2)
     sentinel("2101-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
+    pin(listParquet() -- dataFiles -- s1Files, 3)
     val schema = s.read.parquet(src).schema
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)

@@ -209,14 +209,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast probe joins in the recall plan:\n$p")
   }
 
-  test("merge-overwrite shuffles the change set, not the whole table") {
-    // the merge read side touches only the en partition + its delta; the
-    // final rollup reads the table — assert the merged WRITE plan never
-    // scans a non-en partition (static pruning on the lang filter)
-    val base = RelOps.writeMergeBase(spark, sf)
-    val p = base.filter(org.apache.spark.sql.functions.col("lang") === "en")
-      .queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters") && p.contains("lang"),
-      s"lang filter must reach the documents scan:\n$p")
+  test("merge-overwrite's write input scans only the change set's partition") {
+    // the ACTUAL frame mergeOverwriteEn writes: every documents scan in
+    // it must carry the lang pushdown — the merge reads the affected
+    // partition + its delta, never the table
+    val base = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("lang"))
+    val p = RelOps.mergedEn(base).queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(l => assert(l.contains("EqualTo(lang,en)"),
+      s"a documents scan in the merge write plan lost the lang pushdown:\n$l"))
   }
 }
