@@ -107,16 +107,39 @@ object AnnOps {
 
   // ----------------------------------------------------------- ANN search
 
-  /** LSH-bucketed ANN: probes (vec_id < 10) only compare against vectors
-    * sharing their full 8-bit signature — the scale path that replaces
-    * q_sim_topk's brute force. Top-3 per probe by rounded cosine. */
+  /** Bucket-key flip masks for multi-probe LSH: Hamming distance ≤ 2
+    * from the probe's own signature — 0 (exact), the 8 single flips,
+    * and the 28 double flips: 37 keys per probe. ONE definition feeding
+    * the Spark plan and the oracle VALUES list. */
+  private val lshProbeFlips: Seq[Long] =
+    Seq(0L) ++ (0 until Bits).map(j => 1L << j) ++
+      (for (i <- 0 until Bits; j <- i + 1 until Bits)
+        yield (1L << i) | (1L << j))
+
+  /** LSH-bucketed ANN, MULTI-PROBE (Lv et al.): probes (vec_id < 10)
+    * compare against vectors whose full 8-bit signature is within
+    * Hamming distance 2 of their own (the probe fans out to 37 bucket
+    * keys — exact, 8 single flips, 28 double flips). A true neighbor
+    * lands in a different bucket whenever a few planes' signs flip
+    * between the pair; probing the ≤2-flip neighborhood recovers those,
+    * the standard recall lever that costs a few dozen lookups per probe
+    * instead of more hash tables (r8 measured recall@3 at sf0.1, via
+    * q_sim_ann_recall: 2/30 single-probe → 9/30 at ≤1 flip → 14/30 at
+    * ≤2). Still the scale path vs q_sim_topk's brute force: the fan-out
+    * is per-PROBE (tiny, broadcast), the corpus side stays one bucket
+    * equi-join. Top-3 per probe by rounded cosine. */
   def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
+    val flips = lshProbeFlips.map(lit)
     val probes = sigs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
         col("na").as("pna"), col("bucket").as("pbucket"))
+      .select(col("probe_id"), col("pvec"), col("pna"), col("pbucket"),
+        explode(array(flips: _*)).as("flip"))
+      .select(col("probe_id"), col("pvec"), col("pna"),
+        col("pbucket").bitwiseXOR(col("flip")).as("pkey"))
     val scored = sigs.join(broadcast(probes),
-        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        col("bucket") === col("pkey") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(expr("graft_dot(embedding, pvec)") /
           sqrt(col("na") * col("pna")), 4).as("score"))
@@ -131,11 +154,13 @@ object AnnOps {
     s"""WITH ${signaturesSqlCte(Bits)},
        |p AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, bucket AS pbucket
        |      FROM banded WHERE vec_id < 10),
+       |pk AS (SELECT probe_id, pemb, pna, xor(pbucket, f) AS pkey
+       |       FROM p, (VALUES ${lshProbeFlips.map(v => s"($v)").mkString(", ")}) flips(f)),
        |scored AS (
        |  SELECT probe_id, c.vec_id AS neighbor_id,
-       |    round(list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2]))
-       |          / sqrt(c.na * p.pna), 4) AS score
-       |  FROM banded c JOIN p ON c.bucket = p.pbucket AND c.vec_id <> p.probe_id),
+       |    round(list_sum(list_transform(list_zip(c.emb, pk.pemb), x -> x[1] * x[2]))
+       |          / sqrt(c.na * pk.pna), 4) AS score
+       |  FROM banded c JOIN pk ON c.bucket = pk.pkey AND c.vec_id <> pk.probe_id),
        |r AS (SELECT probe_id, neighbor_id, score,
        |        ROW_NUMBER() OVER (PARTITION BY probe_id
        |                           ORDER BY score DESC, neighbor_id) AS rn
