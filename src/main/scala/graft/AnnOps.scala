@@ -379,9 +379,9 @@ object AnnOps {
     * lever: 64 floats (256 B) become 4 B per vector, the code table is
     * scanned, and the per-probe ADC table (M × 16 doubles) is a broadcast.
     *
-    * Topology: the codebook (here: the first 16 vectors' subvectors —
-    * deterministic selection; production trains it with the same
-    * fixed-point Lloyd machinery as q_sim_ann_ivf_trained) is a 1-row
+    * Topology: the codebook (TRAINED — 2 rounds of per-subspace
+    * fixed-point Lloyd seeded from the first 16 vectors, the same
+    * machinery as q_sim_ann_ivf_trained; see pqCbRows) is a 1-row
     * broadcast array; ENCODING is a row-local fold over that array (no
     * shuffle — each vector computes its own codes in place, exactly what
     * a custom expression would do); scoring joins the exploded (vec, m,
@@ -389,38 +389,108 @@ object AnnOps {
     * through an exact decimal cast (order-independent, so the doubles
     * survive the strict oracle compare). Top-3 per probe by (distance,
     * vec_id). */
-  /** The 16-entry codebook rows (c_id, cv) — ONE definition feeding both
-    * the 1-row encode array and the ADC table rows. */
-  private def pqCbRows(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < PqK)
+  /** Lloyd rounds for the PQ subspace codebooks. Exactly 2: the r8
+    * prototype measured recall@3 2/24 → 6/24 at 2 rounds, a plateau at 4
+    * and DEGRADATION at 8 (cells chase mass, not probes) on these
+    * near-random synthetic embeddings. */
+  private val PqLloydRounds = 2
+
+  /** TRAINED 16-entry codebook rows (c_id, cv) — ONE definition feeding
+    * both the 1-row encode array and the ADC table rows, so the whole PQ
+    * family (pq, ivf_pq, persisted index, incremental ingest, recall)
+    * co-evolves with the training.
+    *
+    * Seed: the first 16 vectors (deterministic). Then PqLloydRounds of
+    * per-subspace Lloyd: each vector's m-th subvector is assigned to its
+    * argmin-L2 codebook entry (ties to the lower c_id — the same strict-<
+    * rule as graft_pq_encode), and each (c_id, m) centroid becomes the
+    * fixed-point mean of its members: coordinates quantized to
+    * floor(x·10⁶ + 0.5), summed as BIGINT (exact, associative — the
+    * map-side-combinable form), divided back in double arithmetic. That
+    * makes every trained centroid bit-identical between Spark and DuckDB
+    * regardless of summation order — the qSimAnnIvfTrained discipline,
+    * which is what lets five PQ-family oracles stay hash-gated over a
+    * TRAINED quantizer. A (c_id, m) cell that loses all members keeps its
+    * previous subvector (the standard empty-cell guard, expressed as a
+    * left join + coalesce in both engines).
+    *
+    * The 4 per-subspace centroids are reassembled into one 64-dim cv per
+    * c_id, so every downstream consumer (graft_pq_encode /
+    * graft_pq_subdists and the oracle's list_slice CTEs) is unchanged.
+    * Scale: per round, one broadcast of the 64-row codebook against the
+    * corpus (vectors never shuffle to assign) and two keyed shuffles of
+    * (16 × 64) fixed-point aggregates — IvfTraining.scala's topology. */
+  private def pqCbRows(emb: DataFrame): DataFrame = {
+    var cb = emb.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
+    for (_ <- 1 to PqLloydRounds) {
+      val d = emb.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          posexplode(expr(s"graft_pq_subdists(embedding, cv, $PqM)"))
+            .as(Seq("m", "dist")))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("c_id"))
+      val assigned = d.withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("m"), col("c_id"))
+      val means = assigned
+        .select(col("c_id"), col("m"),
+          posexplode(slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)))
+            .as(Seq("sd", "x")))
+        .groupBy(col("c_id"), col("m"), col("sd"))
+        .agg(sum(expr("FLOOR(x * 1000000.0 + 0.5)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("c_id"), col("m"), col("sd"),
+          (col("sx").cast(DoubleType) /
+            (col("n").cast(DoubleType) * lit(1000000.0))).as("mx"))
+        .groupBy(col("c_id"), col("m"))
+        .agg(array_sort(collect_list(struct(col("sd"), col("mx")))).as("ps"))
+        .select(col("c_id"), col("m"),
+          transform(col("ps"), p => p.getField("mx")).as("sv"))
+      val prevSub = cb.select(col("c_id"),
+        posexplode(array((0 until PqM).map(mi =>
+          slice(col("cv"), mi * PqSub + 1, PqSub)
+            .cast(ArrayType(DoubleType))): _*)).as(Seq("m", "psv")))
+      cb = prevSub.join(means, Seq("c_id", "m"), "left_outer")
+        .select(col("c_id"), col("m"), coalesce(col("sv"), col("psv")).as("sv"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("sv")))).as("ps"))
+        .select(col("c_id"),
+          flatten(transform(col("ps"), p => p.getField("sv"))).as("cv"))
+        // 16 tiny rows — cut the per-round lineage so each training round
+        // executes once even though the codebook feeds several consumers
+        // (encode array, ADC table, next round)
+        .localCheckpoint(eager = false)
+    }
+    cb
+  }
 
   /** PQ codes (vec_id, m, code) for every vector: a row-local argmin loop
     * over the broadcast codebook array — no shuffle to encode. The array
     * is sorted by centroid id, so the kernel visits centroids in id order
     * and strict-< keeps the smallest id on ties — same tie rule as the
     * oracle's MIN(c_id) on minima. */
-  /** Codes for `vecs` against the codebook derived from `cbSource` — the
-    * two differ during incremental ingest, where only the delta encodes
-    * but the codebook stays the full corpus's. */
-  private def pqCodeArrWith(vecs: DataFrame, cbSource: DataFrame): DataFrame = {
-    val cbArr = pqCbRows(cbSource)
+  /** Codes for `vecs` against the trained codebook rows `cb` — `vecs` may
+    * be a subset of the corpus during incremental ingest, where only the
+    * delta encodes but the codebook stays the full corpus's. The caller
+    * trains `cb` ONCE per query (pqCbRows) and threads it here and into
+    * pqAdc, so the Lloyd rounds never run twice in one plan. */
+  private def pqCodeArrWith(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb
       .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
         .as("cb"))
     vecs.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cb, $PqM)").as("codes"))
   }
 
-  private def pqCodeArr(emb: DataFrame): DataFrame = pqCodeArrWith(emb, emb)
-
-  private def pqCodes(emb: DataFrame): DataFrame =
-    pqCodeArr(emb)
+  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame =
+    pqCodeArrWith(emb, cb)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
 
   /** Per-probe ADC table (probe_id, c_id, pm, pd): probe-to-centroid
     * subspace distances — M × 16 doubles per probe, a broadcast. */
-  private def pqAdc(probes: DataFrame, emb: DataFrame): DataFrame =
-    probes.crossJoin(broadcast(pqCbRows(emb)))
+  private def pqAdc(probes: DataFrame, cb: DataFrame): DataFrame =
+    probes.crossJoin(broadcast(cb))
       .select(col("probe_id"), col("c_id"),
         posexplode(expr(s"graft_pq_subdists(pv, cv, $PqM)"))
           .as(Seq("pm", "pd")))
@@ -428,11 +498,12 @@ object AnnOps {
   def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val enc = pqCodes(emb)
+    val cb = pqCbRows(emb)
+    val enc = pqCodes(emb, cb)
     val adc = pqAdc(
       emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
-      emb)
+      cb)
     val scored = enc.join(broadcast(adc),
         col("m") === col("pm") && col("code") === col("c_id") &&
           col("vec_id") =!= col("probe_id"))
@@ -447,11 +518,45 @@ object AnnOps {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  /** Shared oracle CTEs: codebook + per-vector codes, assuming a CTE
-    * `e(vec_id, v, …)` is in scope. */
+  /** One oracle Lloyd round `inCb` → `cb$r`: per-(vec, subspace) argmin
+    * assignment, fixed-point subvector means, empty-cell coalesce from
+    * the previous codebook — the mirror of one pqCbRows round. */
+  private def pqLloydRoundSql(inCb: String, r: Int): String =
+    s"""d$r AS (
+       |  SELECT e.vec_id, e.v, cb.c_id, ms.m,
+       |    ${pqSubdistSql("e.v", "cb.cv", "ms.m")} AS dist
+       |  FROM e, $inCb cb, ms),
+       |a$r AS (
+       |  SELECT vec_id, v, m, c_id FROM (
+       |    SELECT vec_id, v, m, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS arn
+       |    FROM d$r) t WHERE arn = 1),
+       |m$r AS (
+       |  SELECT c_id, m, sd,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS mx
+       |  FROM (SELECT c_id, m,
+       |          unnest(list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub)) AS x,
+       |          generate_subscripts(list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub), 1) AS sd
+       |        FROM a$r) ax
+       |  GROUP BY 1, 2, 3),
+       |s$r AS (SELECT c_id, m, list(mx ORDER BY sd) AS sv FROM m$r GROUP BY 1, 2),
+       |p$r AS (SELECT c_id, ms.m,
+       |          list_slice(cv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS psv
+       |        FROM $inCb, ms),
+       |cb$r AS (
+       |  SELECT p.c_id, flatten(list(COALESCE(s.sv, p.psv) ORDER BY p.m)) AS cv
+       |  FROM p$r p LEFT JOIN s$r s ON s.c_id = p.c_id AND s.m = p.m
+       |  GROUP BY p.c_id)""".stripMargin
+
+  /** Shared oracle CTEs: TRAINED codebook (seed = first 16 vectors,
+    * PqLloydRounds of fixed-point Lloyd — the mirror of pqCbRows) +
+    * per-vector codes, assuming a CTE `e(vec_id, v, …)` is in scope. */
   private val pqCodeSqlCtes: String =
-    s"""cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
-       |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+    s"""ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |cb0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
+       |${(1 to PqLloydRounds).map(r => pqLloydRoundSql(s"cb${r - 1}", r)).mkString(",\n")},
+       |cb AS (SELECT c_id, cv FROM cb$PqLloydRounds),
        |d AS (
        |  SELECT e.vec_id, cb.c_id, ms.m,
        |    ${pqSubdistSql("e.v", "cb.cv", "ms.m")} AS dist
@@ -525,11 +630,12 @@ object AnnOps {
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
-    val enc = pqCodes(emb)
+    val cb = pqCbRows(emb)
+    val enc = pqCodes(emb, cb)
     val adc = pqAdc(
       emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
-      emb)
+      cb)
       .withColumnRenamed("probe_id", "a_probe_id")
     // candidate pairs: cell equi-join (a vector sits in exactly one cell,
     // the probe fans out to 2 — no pair dedup needed), then ADC-score
@@ -606,12 +712,13 @@ object AnnOps {
     * was the alternative layout (RelOps.qJoinBucketed); partitioning wins
     * here because cell_id is low-cardinality and the probe predicate is
     * cell membership, not key equality. */
-  /** (emb, ranked): the embeddings projection and the checkpointed 2-cell
-    * ranked assignment both index queries share. `ranked` feeds the index
-    * build(s) AND the probe fan-out; the writes are actions, so without
-    * the checkpoint the crossJoin+rank subtree would execute once per
-    * consumer. */
-  private def annIndexInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** (emb, ranked, cb): the embeddings projection, the checkpointed
+    * 2-cell ranked assignment, and the trained PQ codebook all index
+    * queries share. `ranked` feeds the index build(s) AND the probe
+    * fan-out; the writes are actions, so without the checkpoint the
+    * crossJoin+rank subtree would execute once per consumer; `cb` ends in
+    * its own lazy checkpoint inside pqCbRows for the same reason. */
+  private def annIndexInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
@@ -627,16 +734,17 @@ object AnnOps {
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
-    (emb, ranked)
+    (emb, ranked, pqCbRows(emb))
   }
 
   /** Index rows (vec_id, codes[4], cell_id) for the vectors matching
     * `pred` — assignment from the shared ranked frame, codes encoded
     * row-locally against the broadcast codebook, ONLY for the selected
     * vectors (the property incremental ingest needs). */
-  private def indexRows(emb: DataFrame, ranked: DataFrame, pred: Column): DataFrame =
+  private def indexRows(emb: DataFrame, ranked: DataFrame, cb: DataFrame,
+      pred: Column): DataFrame =
     ranked.filter(col("arn") === 1 && pred)
-      .join(pqCodeArrWith(emb.filter(pred), emb), Seq("vec_id"))
+      .join(pqCodeArrWith(emb.filter(pred), cb), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cell_id"))
       .repartition(col("cell_id"))
 
@@ -644,14 +752,14 @@ object AnnOps {
     * ADC tables against the stored codes — embeddings are only read for
     * the 10 probe vectors; the scan prunes cells via DPP. */
   private def probeIndex(s: SparkSession, emb: DataFrame, ranked: DataFrame,
-      table: String): DataFrame = {
+      cb: DataFrame, table: String): DataFrame = {
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
     val adc = pqAdc(
       emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
-      emb)
+      cb)
       .withColumnRenamed("probe_id", "a_probe_id")
     val cand = s.table(table).join(broadcast(probeCells),
         col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
@@ -673,11 +781,11 @@ object AnnOps {
 
   def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
     RelOps.dropManaged(s, "graft_ann_index")
-    val (emb, ranked) = annIndexInputs(s, d)
-    indexRows(emb, ranked, lit(true))
+    val (emb, ranked, cb) = annIndexInputs(s, d)
+    indexRows(emb, ranked, cb, lit(true))
       .write.mode("overwrite").partitionBy("cell_id")
       .saveAsTable("default.graft_ann_index")
-    probeIndex(s, emb, ranked, "default.graft_ann_index")
+    probeIndex(s, emb, ranked, cb, "default.graft_ann_index")
   }
 
   /** INCREMENTAL index ingest — the maintenance half of build-once/
@@ -693,14 +801,14 @@ object AnnOps {
     * no rebuild. */
   def qSimAnnIndexIncr(s: SparkSession, d: String): DataFrame = {
     RelOps.dropManaged(s, "graft_ann_index_i")
-    val (emb, ranked) = annIndexInputs(s, d)
-    indexRows(emb, ranked, col("vec_id") % 4 =!= 3)
+    val (emb, ranked, cb) = annIndexInputs(s, d)
+    indexRows(emb, ranked, cb, col("vec_id") % 4 =!= 3)
       .write.mode("overwrite").partitionBy("cell_id")
       .saveAsTable("default.graft_ann_index_i")
-    indexRows(emb, ranked, col("vec_id") % 4 === 3)
+    indexRows(emb, ranked, cb, col("vec_id") % 4 === 3)
       .write.mode("append").partitionBy("cell_id")
       .saveAsTable("default.graft_ann_index_i")
-    probeIndex(s, emb, ranked, "default.graft_ann_index_i")
+    probeIndex(s, emb, ranked, cb, "default.graft_ann_index_i")
   }
 
   // ------------------------------------------------------- ANN recall@3
