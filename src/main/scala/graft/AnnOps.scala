@@ -595,17 +595,86 @@ object AnnOps {
 
   // ------------------------------------------------------------- IVF-PQ
 
+  /** ADC shortlist width for the exact re-rank: the top-R candidates by
+    * ADC distance are re-scored with exact L2 before the final top-3 —
+    * the FAISS/SCANN refine step, at the cost of R original-vector reads
+    * per probe (a constant: ~80 KB at R=320, negligible against scanning
+    * a cell at any corpus size). R is sized to the DATA: these isotropic
+    * synthetic embeddings give the 4×16 quantizer a long ADC tail
+    * (measured recall@3 at sf0.1: R=8→8/30, 64→13, 128→17, 320→19 =
+    * the exact-scoring ceiling of the nprobe=2 candidate set; nprobe=3
+    * at fixed R LOWERS recall — extra candidates dilute the shortlist
+    * faster than they add coverage). On clustered real embeddings the
+    * tail collapses and R=8–16 suffices; the knob, not the topology, is
+    * what a deployment retunes. */
+  private val PqRerank = 320
+
+  /** Exact-L2 re-rank of an ADC shortlist: keep the top-PqRerank rows of
+    * `scored(probe_id, vec_id, adist)` per probe, join back the ORIGINAL
+    * vectors for just those rows (an id equi-join of ≤R rows per probe —
+    * the refine read a production store does against the full-precision
+    * tier), score round(‖c‖²−2·c·p+‖p‖², 4), emit top-3 by (dist,
+    * vec_id). `e` must carry (vec_id, embedding, na). */
+  private def rerankAdc(scored: DataFrame, e: DataFrame, probeLo: Long,
+      probeHi: Long): DataFrame = {
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = scored.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= PqRerank)
+      .select(col("probe_id"), col("vec_id"), col("adist"))
+    val cands = e.select(col("vec_id"), col("embedding").as("cemb"),
+      col("na").as("cna"))
+    val pvecs = e.filter(col("vec_id") >= probeLo && col("vec_id") < probeHi)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+        col("na").as("pna"))
+    val reranked = shortlist.join(cands, Seq("vec_id"))
+      .join(broadcast(pvecs), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("adist"),
+        round(col("cna") - lit(2.0) * expr("graft_dot(cemb, pemb)") +
+          col("pna"), 4).as("dist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("vec_id"))
+    reranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("dist"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** Shared oracle tail: ADC shortlist → exact-L2 re-rank → top-3, over
+    * CTEs `scored(probe_id, neighbor_id, adist)` and `e(vec_id, v, na)`. */
+  private def rerankSqlTail(probeLo: Long, probeHi: Long): String =
+    s"""short AS (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY adist, neighbor_id) AS srn
+       |  FROM scored),
+       |rr AS (
+       |  SELECT s.probe_id, s.neighbor_id, s.adist,
+       |    round(c.na - 2.0 * list_sum(list_transform(list_zip(c.v, p2.v), x -> x[1] * x[2])) + p2.na, 4) AS dist
+       |  FROM short s
+       |  JOIN e c ON c.vec_id = s.neighbor_id
+       |  JOIN e p2 ON p2.vec_id = s.probe_id
+       |  WHERE s.srn <= $PqRerank),
+       |r AS (
+       |  SELECT probe_id, neighbor_id, adist, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY dist, neighbor_id) AS rn
+       |  FROM rr)
+       |SELECT probe_id, neighbor_id, adist, dist, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
   /** IVF-PQ — the production ANN architecture, composed from the two
-    * graded halves: the IVF coarse quantizer (8 seeded cells, nprobe=2
-    * probe fan-out — ScaleOps.qSimAnnIvf's topology) restricts WHICH
-    * vectors are scored, and PQ ADC decides HOW they are scored (4
-    * one-byte codes against the broadcast codebook — this file's
-    * qSimAnnPq). At 100 TB: candidates shrink ~C× by the cell equi-join
-    * and each candidate costs 4 table lookups against a 4 B code instead
-    * of a 256 B vector read — the two levers multiply. Everything small
-    * (centroids, codebook, per-probe ADC tables, probe cell fan-out)
-    * broadcasts; the only shuffles are the argmin window and the final
-    * per-pair rollup. */
+    * graded halves plus the refine step: the IVF coarse quantizer (8
+    * seeded cells, nprobe=2 probe fan-out — ScaleOps.qSimAnnIvf's
+    * topology) restricts WHICH vectors are scored, PQ ADC decides the
+    * shortlist (4 one-byte codes against the broadcast codebook — this
+    * file's qSimAnnPq), and the ADC top-R shortlist is re-ranked with exact L2
+    * (rerankAdc). At 100 TB: candidates shrink ~C× by the cell
+    * equi-join, each candidate costs 4 table lookups against a 4 B code
+    * instead of a 256 B vector read, and only the ≤R-per-probe shortlist
+    * ever touches full-precision vectors — the three levers multiply.
+    * Everything small (centroids, codebook, per-probe ADC tables, probe
+    * cell fan-out) broadcasts; the only shuffles are the argmin window
+    * and the final per-pair rollup. */
   def qSimAnnIvfPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -648,12 +717,7 @@ object AnnOps {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
         .as("adist"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("adist"), col("rn"))
-      .orderBy(col("probe_id"), col("rn"))
+    rerankAdc(scored, e, 10, 20)
   }
 
   val qSimAnnIvfPqSql: String =
@@ -686,13 +750,7 @@ object AnnOps {
        |  JOIN adc ON adc.probe_id = pc.probe_id
        |           AND adc.m = code.m AND adc.c_id = code.code
        |  GROUP BY 1, 2),
-       |r AS (
-       |  SELECT probe_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id
-       |                       ORDER BY adist, neighbor_id) AS rn
-       |  FROM scored)
-       |SELECT probe_id, neighbor_id, adist, rn FROM r WHERE rn <= 3
-       |ORDER BY probe_id, rn""".stripMargin
+       |${rerankSqlTail(10, 20)}""".stripMargin
 
   // ------------------------------------------------- persisted ANN index
 
@@ -707,8 +765,9 @@ object AnnOps {
     * pruning (the probe→cell fan-out is a broadcast, and DPP turns it
     * into a partition filter on the scan — PlanQualitySpec asserts the
     * dynamicpruning subquery is in the index scan's partition filters).
-    * Probe phase reads the saved table and NEVER touches embeddings for
-    * candidates: distance is pure ADC over the stored codes. Bucketing
+    * Probe phase shortlists candidates by pure ADC over the stored codes
+    * and touches full-precision embeddings only for the ≤R-per-probe
+    * re-rank shortlist (rerankAdc — the refine tier read). Bucketing
     * was the alternative layout (RelOps.qJoinBucketed); partitioning wins
     * here because cell_id is low-cardinality and the probe predicate is
     * cell membership, not key equality. */
@@ -749,8 +808,10 @@ object AnnOps {
       .repartition(col("cell_id"))
 
   /** Probe the saved index `table`: broadcast 2-cell fan-out + per-probe
-    * ADC tables against the stored codes — embeddings are only read for
-    * the 10 probe vectors; the scan prunes cells via DPP. */
+    * ADC tables against the stored codes, then the exact re-rank of the
+    * ADC top-R shortlist (rerankAdc) — embeddings are read only for the probe
+    * vectors and the ≤R-per-probe shortlist (the full-precision refine
+    * read); the index scan prunes cells via DPP. */
   private def probeIndex(s: SparkSession, emb: DataFrame, ranked: DataFrame,
       cb: DataFrame, table: String): DataFrame = {
     val probeCells = ranked
@@ -771,12 +832,7 @@ object AnnOps {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
         .as("adist"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("adist"), col("rn"))
-      .orderBy(col("probe_id"), col("rn"))
+    rerankAdc(scored, emb.withColumn("na", expr("graft_norm_sq(embedding)")), 10, 20)
   }
 
   def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
