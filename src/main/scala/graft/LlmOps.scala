@@ -354,8 +354,14 @@ object LlmOps {
       // stars trades per-round distance-doubling for a shape-independent
       // O(log² n) ROUND bound — its cap must budget for that bound, not
       // inherit minlabel's diameter-tuned default (a 2048-path already
-      // needs ~20 alternations + fixpoint detection)
-      case "stars" => connectedComponentsStars(pairs, math.max(maxIter, 60))
+      // needs ~20 alternations + fixpoint detection). The default floor
+      // of 60 would make a caller's tighter budget unenforceable, so
+      // spark.graft.ccStarsMaxIter overrides it VERBATIM (no floor) for
+      // callers that really do want a hard 40-round cap on stars
+      case "stars" =>
+        val cap = s.conf.getOption("spark.graft.ccStarsMaxIter")
+          .map(_.toInt).getOrElse(math.max(maxIter, 60))
+        connectedComponentsStars(pairs, cap)
       case _ => connectedComponentsLoop(pairs, maxIter)
     }
     finally s.conf.set("spark.sql.shuffle.partitions", prev)

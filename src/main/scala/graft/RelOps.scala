@@ -565,12 +565,19 @@ object RelOps {
   private val registeredStaging =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** Recursive local delete (shared by the staging shutdown hook and the
-    * queries that rebuild their staging dirs per call). */
+    * queries that rebuild their staging dirs per call). LOUD on failure:
+    * a false delete() on a still-existing path would leave e.g. a stream
+    * checkpoint dir partially intact, and the restarted query would
+    * resume from stale progress and keep the OLD answer — exactly the
+    * hazard the qStreamSink rebuild comment warns about. The shutdown
+    * hook wraps this in its own catch, so being loud here only affects
+    * in-query callers, where loud is correct. */
   private[graft] def deleteRecursively(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles
       if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
+      if (!f.delete() && f.exists())
+        throw new java.io.IOException(s"deleteRecursively: failed to delete $f")
     }
     rm(new java.io.File(path))
   }

@@ -54,6 +54,22 @@ class ChainGraphSpec extends AnyFunSuite {
     assert(labels.filter(_._1 >= 1000).values.toSet === Set(1000L))
   }
 
+  test("spark.graft.ccStarsMaxIter makes a tight stars budget enforceable") {
+    // the default floor of 60 exists because stars' bound is O(log² n)
+    // rounds, but a caller that really wants a hard cap sets the conf:
+    // 2 rounds cannot contract a 2048-path, so the loud iteration-cap
+    // throw must fire instead of silently running 60 rounds
+    spark.conf.set("spark.graft.ccStarsMaxIter", "2")
+    try {
+      val ex = intercept[Exception] {
+        withAlgo("stars") {
+          LlmOps.connectedComponents(path(2048), maxIter = 40).collect()
+        }
+      }
+      assert(ex.getMessage != null)
+    } finally spark.conf.unset("spark.graft.ccStarsMaxIter")
+  }
+
   test("both algorithms agree on the real near-dup candidate graph") {
     val a = LlmOps.qDedupComponents(spark, sf).collect().map(_.toSeq)
     val b = withAlgo("stars") {
