@@ -192,6 +192,37 @@ object StreamOps {
     s.table(sink).orderBy(col("win_start"), col("event_type"))
   }
 
+  /** The SLIDING-window aggregation through the real streaming engine —
+    * the last window shape not yet run live: 1-hour windows sliding every
+    * 15 minutes over the event-time-watermarked file stream, so each
+    * event updates 4 overlapping windows of state (the engine expands the
+    * window grid per row exactly like the batch `window(ts, len, slide)`
+    * form). Complete mode + AvailableNow makes the converged state equal
+    * the batch q_stream_sliding answer, so the identical DuckDB oracle
+    * gates the live path. At scale the watermark expires windows whose
+    * end has passed, bounding state to (watermark span / slide) windows
+    * per key — the same bound tumbling gets, ×(len/slide) overlap. */
+  def qStreamLiveSliding(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("win_start"),
+        col("n"), col("sum_value"))
+    // fixed sink name — reruns replace instead of accumulate (see above)
+    val sink = "graft_stream_slide_sink"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("win_start"))
+  }
+
   /** Stateful SESSIONIZATION through the real streaming engine:
     * `session_window` (dynamic, gap-merged window state) over the
     * file-stream source, complete mode + AvailableNow so the converged
@@ -469,6 +500,7 @@ object StreamOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live" -> (qStreamLive _),
+    "q_stream_live_sliding" -> (qStreamLiveSliding _),
     "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_custom_state" -> (qStreamCustomState _),
     "q_stream_join" -> (qStreamJoin _),
@@ -482,6 +514,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
+    "q_stream_live_sliding" -> qStreamSlidingSql, // same semantics, streamed
     "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_custom_state" -> qStreamCustomStateSql,
     "q_stream_join" -> qStreamJoinSql,

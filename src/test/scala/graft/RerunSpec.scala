@@ -17,6 +17,13 @@ class RerunSpec extends AnyFunSuite {
     assert(live.sameElements(batch))
   }
 
+  test("live sliding stream equals the batch sliding aggregation row-for-row") {
+    val live = StreamOps.qStreamLiveSliding(spark, sf).collect().map(_.toSeq)
+    val batch = StreamOps.qStreamSliding(spark, sf).collect().map(_.toSeq)
+    assert(live.length === batch.length)
+    assert(live.sameElements(batch))
+  }
+
   test("bucketed-join query is rerun-idempotent in one session") {
     val a = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
     val b = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
