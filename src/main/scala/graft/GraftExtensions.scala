@@ -12,7 +12,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.VectorFunctions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => plans.AsOfJoinLimitPushdown)
     e.injectOptimizerRule(_ => plans.AsOfJoinTimeFilterPushdown)
+    e.injectOptimizerRule(_ => plans.CosineTopKRewrite)
   }
 }

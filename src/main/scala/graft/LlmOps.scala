@@ -828,6 +828,10 @@ object LlmOps {
     * 4dp round. Probes broadcast; candidates never shuffle. Deliberately the
     * O(n·k) baseline — the LSH-bucketed variant is the scale path. */
   def qSimTopk(s: SparkSession, d: String): DataFrame = {
+    // the graded query runs the cosine-top-k rewrite (plans.CosineTopKRewrite):
+    // the rank-limit window below plans as the exact two-phase bounded-heap
+    // operator, and this oracle hash-gates its exactness
+    plans.TopKRewriteApi.ensureRegistered(s)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .withColumn("na", sumSq(col("embedding")))

@@ -36,9 +36,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "expected top-k operator")
   }
 
-  test("windowed top-k gets the WindowGroupLimit pushdown") {
+  test("windowed top-k is two-phased (WindowGroupLimit or the TopKPerGroup rewrite)") {
+    // which form appears depends on whether CosineTopKRewrite has been
+    // session-registered by an earlier query in this shared-JVM run —
+    // both are the two-phase shape (≤ k rows per group cross the wire)
     val p = plan("q_sim_ann_lsh")
-    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      "rank-limit two-phase missing")
   }
 
   test("native as-of join plans AsOfJoinExec with co-partitioned sorted children") {
