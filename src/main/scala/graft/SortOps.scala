@@ -24,11 +24,13 @@ import org.apache.spark.sql.types._
   * zero-padded ASCII-digit string, so binary order == numeric order and the
   * oracle can compare plain strings.
   *
-  * Scale notes: key synthesis here keeps `a*i + b` within Long for the local
-  * row counts; at 10^12+ rows the same LCG must be applied to `i % p` with a
-  * per-block offset to stay in 63 bits. The sort itself is the scalable
-  * form: sampling + range exchange + external per-partition sort, no
-  * single-node merge anywhere.
+  * Scale notes: key synthesis applies the LCGs to `i mod P` with a
+  * block-offset mix of `i div P`, so the arithmetic stays inside Long
+  * (ANSI-overflow-free) for any i < P² ≈ 4.6·10¹⁸ rows — far past the
+  * 2³¹ row count where the naive `a*i + b` form would overflow
+  * (SortScaleSpec pins the arithmetic at a >2³¹ offset). The sort
+  * itself is the scalable form: sampling + range exchange + external
+  * per-partition sort, no single-node merge anywhere.
   */
 object SortOps {
   import Tables._
@@ -56,7 +58,13 @@ object SortOps {
     * overflow-free at cluster row counts). Injective in i per block, so
     * keys are unique and the sorted order is total. */
   private def genRecords(s: SparkSession, d: String): DataFrame =
-    s.range(recordCount(s, d))
+    genRecordsFrom(s.range(recordCount(s, d)).toDF())
+
+  /** The synthesis arithmetic over an arbitrary `id` column — separated
+    * so SortScaleSpec can drive it at >2³¹-row offsets (spark.range with
+    * a start) without materializing 2³¹ rows. */
+  private[graft] def genRecordsFrom(ids: DataFrame): DataFrame =
+    ids
       .select(
         expr(s"(1103515245 * (id % $P) + 12345 + 1013904223 * (id div $P)) % $P").as("k1"),
         expr(s"(214013 * (id % $P) + 2531011 + 1664525 * (id div $P)) % $P").as("k2"),
