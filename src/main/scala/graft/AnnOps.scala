@@ -498,6 +498,7 @@ object AnnOps {
   def qSimAnnPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
     val cb = pqCbRows(emb)
     val enc = pqCodes(emb, cb)
     val adc = pqAdc(
@@ -510,12 +511,10 @@ object AnnOps {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
         .as("adist"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("adist"), col("rn"))
-      .orderBy(col("probe_id"), col("rn"))
+    // same refine tier as IVF-PQ (rerankAdc): plain PQ ADC-scans the WHOLE
+    // corpus, so its shortlist ceiling is the true top-3 — the re-rank
+    // recovers what the 4×16 quantizer's ranking tail loses
+    rerankAdc(scored, e, 0, 8)
   }
 
   /** One oracle Lloyd round `inCb` → `cb$r`: per-(vec, subspace) argmin
@@ -574,8 +573,12 @@ object AnnOps {
        |    ${pqSubdistSql("p.pv", "cb.cv", "ms.m")} AS pd
        |  FROM p, cb, ms)""".stripMargin
 
-  val qSimAnnPqSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // lazy: interpolates PqRerank, which is declared below — a strict val
+  // here would capture 0 at object init (the qSimAnnRecallSql precedent)
+  lazy val qSimAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
        |$pqCodeSqlCtes,
        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
        |$pqAdcSqlCte,
@@ -585,13 +588,7 @@ object AnnOps {
        |  FROM code JOIN adc ON adc.m = code.m AND adc.c_id = code.code
        |  WHERE code.vec_id <> adc.probe_id
        |  GROUP BY 1, 2),
-       |r AS (
-       |  SELECT probe_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id
-       |                       ORDER BY adist, neighbor_id) AS rn
-       |  FROM scored)
-       |SELECT probe_id, neighbor_id, adist, rn FROM r WHERE rn <= 3
-       |ORDER BY probe_id, rn""".stripMargin
+       |${rerankSqlTail(0, 8)}""".stripMargin
 
   // ------------------------------------------------------------- IVF-PQ
 
