@@ -223,6 +223,40 @@ object StreamOps {
     s.table(sink).orderBy(col("win_start"))
   }
 
+  /** Streaming DEDUP through the real engine — the last batch-only
+    * stream query shape run live: one survivor per (user_id, event_type,
+    * minute) with the deterministic min-event-id survivor and collapsed
+    * count, as a windowed stateful aggregation over the watermarked file
+    * stream. Deliberately the AGGREGATION form rather than
+    * `dropDuplicatesWithinWatermark`: that operator keeps the FIRST
+    * arrival per key, which is micro-batch-order-dependent — not
+    * reproducible across engines — while min-survivor is deterministic
+    * and therefore oracle-checkable. Same state bound either way: one
+    * row per in-watermark key, expired as the watermark passes. */
+  def qStreamLiveDedup(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), col("event_type"),
+        window(col("ts"), "1 minute").as("w"))
+      .agg(min(col("event_id")).as("survivor_event_id"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("user_id"), col("event_type"),
+        unix_seconds(col("w.start")).as("minute"),
+        col("survivor_event_id"), col("n_collapsed"))
+    // fixed sink name — reruns replace instead of accumulate (see above)
+    val sink = "graft_stream_dedup_sink"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy(col("user_id"), col("event_type"), col("minute"))
+  }
+
   /** Stateful SESSIONIZATION through the real streaming engine:
     * `session_window` (dynamic, gap-merged window state) over the
     * file-stream source, complete mode + AvailableNow so the converged
@@ -501,6 +535,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live" -> (qStreamLive _),
     "q_stream_live_sliding" -> (qStreamLiveSliding _),
+    "q_stream_live_dedup" -> (qStreamLiveDedup _),
     "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_custom_state" -> (qStreamCustomState _),
     "q_stream_join" -> (qStreamJoin _),
@@ -515,6 +550,7 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
     "q_stream_live_sliding" -> qStreamSlidingSql, // same semantics, streamed
+    "q_stream_live_dedup" -> qStreamDedupSql, // same semantics, streamed
     "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_custom_state" -> qStreamCustomStateSql,
     "q_stream_join" -> qStreamJoinSql,

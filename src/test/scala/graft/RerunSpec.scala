@@ -24,6 +24,13 @@ class RerunSpec extends AnyFunSuite {
     assert(live.sameElements(batch))
   }
 
+  test("live dedup stream equals the batch dedup aggregation row-for-row") {
+    val live = StreamOps.qStreamLiveDedup(spark, sf).collect().map(_.toSeq)
+    val batch = StreamOps.qStreamDedup(spark, sf).collect().map(_.toSeq)
+    assert(live.length === batch.length)
+    assert(live.sameElements(batch))
+  }
+
   test("bucketed-join query is rerun-idempotent in one session") {
     val a = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
     val b = RelOps.qJoinBucketed(spark, sf).collect().map(_.toSeq)
