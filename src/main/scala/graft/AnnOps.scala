@@ -424,15 +424,18 @@ object AnnOps {
     var cb = emb.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
     for (_ <- 1 to PqLloydRounds) {
-      val d = emb.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          posexplode(expr(s"graft_pq_subdists(embedding, cv, $PqM)"))
-            .as(Seq("m", "dist")))
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist"), col("c_id"))
-      val assigned = d.withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("m"), col("c_id"))
+      // assignment is exactly graft_pq_encode: per-subspace argmin-L2 over
+      // the c_id-sorted broadcast codebook, strict-< ties to the lower
+      // c_id, same double accumulation order as graft_pq_subdists — so the
+      // row-local kernel replaces a (vec_id, m) row_number window that
+      // shuffled every exploded row with its full embedding attached
+      val cbArr = cb
+        .agg(sort_array(collect_list(struct(col("c_id").as("c"), col("cv"))))
+          .as("cbarr"))
+      val assigned = emb.crossJoin(broadcast(cbArr))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(expr(s"graft_pq_encode(embedding, cbarr, $PqM)"))
+            .as(Seq("m", "c_id")))
       val means = assigned
         .select(col("c_id"), col("m"),
           posexplode(slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)))
