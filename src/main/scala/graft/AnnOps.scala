@@ -255,14 +255,8 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cell_id"))
     // one materialization feeds both sides of the within-cell self-join
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val assigned = CellAssign.rank(e, cents, "embedding", "na", top = 1)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"))
       // lazy despite the self-join diamond: unlike qPipelineCuration's
       // six expensive branches, double-computing this 16k-row assignment
@@ -682,18 +676,13 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cell_id"))
     // the ranked cell assignment feeds candidates (arn=1) AND the probes'
-    // 2-cell fan-out; both sit over the SAME hash exchange on vec_id, so
-    // ReusedExchange computes the dot products once — no eager checkpoint
-    // needed (the window re-runs per consumer, but over 2k tiny rows)
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
+    // 2-cell fan-out; with the row-local assignment there is no shared
+    // exchange to reuse, so the lazy checkpoint keeps the (3-column,
+    // narrow) subtree computed once across both consumers
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
+      .localCheckpoint(eager = false)
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("cell_id"))
     val probeCells = ranked
@@ -784,13 +773,7 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cell_id"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
       .select(col("vec_id"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
     (emb, ranked, pqCbRows(emb))

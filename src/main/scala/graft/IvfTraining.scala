@@ -12,27 +12,22 @@ import graft.functions.VectorFunctions
   * determinism; this is the production path that refines them).
   *
   * Per iteration: broadcast the k centroids, assign every vector to its
-  * nearest (windowed L2 argmin — one pass, no shuffle of the vectors
-  * beyond the argmin window), then recompute means by exploding to
+  * nearest (row-local L2 argmin over the broadcast centroid array — no
+  * shuffle of the vectors at all), then recompute means by exploding to
   * (cell, dim, value) and averaging — two keyed shuffles of (k × dim)
   * aggregates, never of raw vectors. Scales linearly in rows; k and dim
   * are the small constants.
   */
 object IvfTraining {
 
-  /** dist columns for assignment: ||v||² − 2·v·c + ||c||². */
-  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell_id"))
-    vectors
-      .crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("graft_norm_sq(embedding)") -
-          lit(2.0) * expr("graft_dot(embedding, centroid)") +
-          expr("graft_norm_sq(centroid)"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
+  /** Nearest centroid by ||v||² − 2·v·c + ||c||², row-local over the
+    * broadcast centroid array (CellAssign). */
+  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
+    CellAssign.rank(vectors,
+        cents.select(col("cell_id"), col("centroid").as("cvec"),
+          expr("graft_norm_sq(centroid)").as("nc")),
+        "embedding", "graft_norm_sq(embedding)", top = 1)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
 
   /** (cell_id, centroid: array<double>, n) after `iters` Lloyd rounds,
     * seeded from the first k vectors. */

@@ -259,16 +259,10 @@ object ScaleOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cell_id"))
     // checkpointed: the ranked assignment feeds both the candidate set
     // (nearest cell only) and the probes (nearest 2 cells) — without it
-    // the crossJoin+rank subtree runs twice
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("na") - lit(2.0) * expr("graft_dot(embedding, cvec)") + col("nc"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
+    // the row-local assignment subtree runs twice
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
     val assigned = ranked.filter(col("arn") === 1)
@@ -320,18 +314,14 @@ object ScaleOps {
   // ------------------------------------------- IVF with TRAINED centroids
 
   /** Nearest-cell assignment by L2 argmin (ties to the lower cell id):
-    * one broadcast of the k centroids, one windowed argmin — vectors never
-    * shuffle. Shared by both trained-IVF stages. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("graft_norm_sq(emb)") - lit(2.0) * expr("graft_dot(emb, cvec)") +
-          expr("graft_norm_sq(cvec)"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
+    * row-local over the broadcast centroid array (CellAssign) — vectors
+    * never shuffle. Shared by both trained-IVF stages. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    CellAssign.rank(e,
+        cents.select(col("cell_id"), col("cvec"),
+          expr("graft_norm_sq(cvec)").as("nc")),
+        "emb", "graft_norm_sq(emb)", top = 1)
       .select(col("vec_id"), col("emb"), col("cell_id"))
-  }
 
   /** IVF coarse-quantizer TRAINING, oracle-gated: 2 Lloyd rounds over k=8
     * cells seeded from the first 8 vectors, then per-cell population and
