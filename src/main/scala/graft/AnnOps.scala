@@ -1070,9 +1070,76 @@ object AnnOps {
       |FROM documents WHERE octet_length(CAST(text AS BLOB)) = length(text)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------- int8 scalar-quantized search
+
+  /** Symmetric int8 scalar quantization + quantized top-k search — the
+    * embedding STORAGE format at 100 TB (4× smaller than float32, SIMD
+    * integer dot products), sitting between raw floats and PQ's 64× on
+    * the compression/fidelity ladder. Per vector: scale = max|x|/127,
+    * codes = round-half-up(x/scale) clamped to [-127, 127]; pair score =
+    * (Σ qa·qb) · scale_a · scale_b, with the dot EXACT in int64 (≤
+    * 64·127² per pair — quantized scoring has no float accumulation
+    * order at all, which is also what makes it bit-portable). Probes
+    * broadcast; the corpus never shuffles — encode and score are one
+    * row-local projection, then the per-probe top-k heap.
+    *
+    * round-half-up is floor(x/scale + 0.5) in both engines — never
+    * round(), whose half-tie mode differs (Spark HALF_UP, DuckDB
+    * HALF_EVEN). */
+  def qEmbedInt8(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("sc", expr("array_max(transform(e, x -> abs(x))) / 127.0D"))
+      .withColumn("qc", expr(
+        "transform(e, x -> CASE WHEN sc = 0.0D THEN 0L " +
+          "ELSE greatest(-127L, least(127L, floor(x / sc + 0.5D))) END)"))
+      .select(col("vec_id"), col("sc"), col("qc"))
+    val probes = q.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("sc").as("psc"),
+        col("qc").as("pqc"))
+    val scored = q.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (expr("CAST(aggregate(zip_with(pqc, qc, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v) AS DOUBLE)") * col("psc") * col("sc"))
+          .as("score_q"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_q").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qEmbedInt8Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM v),
+      |q AS (SELECT vec_id, sc, list_transform(e, x ->
+      |        CASE WHEN sc = 0.0 THEN 0
+      |             ELSE greatest(-127, least(127, CAST(floor(x / sc + 0.5) AS BIGINT))) END) AS qc
+      |      FROM s),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         p.sc AS psc, c.sc AS csc,
+      |         unnest(p.qc) AS pq, unnest(c.qc) AS cq
+      |  FROM q p, q c WHERE p.vec_id < 3 AND c.vec_id >= 3),
+      |d AS (SELECT probe_id, neighbor_id,
+      |        CAST(SUM(pq * cq) AS BIGINT) AS dotq,
+      |        MAX(psc) AS psc, MAX(csc) AS csc
+      |      FROM pairs GROUP BY probe_id, neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id,
+      |        CAST(dotq AS DOUBLE) * psc * csc AS score_q,
+      |        ROW_NUMBER() OVER (PARTITION BY probe_id
+      |          ORDER BY CAST(dotq AS DOUBLE) * psc * csc DESC, neighbor_id) AS rn
+      |      FROM d)
+      |SELECT probe_id, neighbor_id, score_q, rn FROM r WHERE rn <= 5
+      |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_int8" -> (qEmbedInt8 _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
@@ -1086,6 +1153,7 @@ object AnnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_int8" -> qEmbedInt8Sql,
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,

@@ -929,10 +929,68 @@ object LlmOps {
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------- exact substring dedup
+
+  /** Exact duplicated-span detection (the "dedup long common substrings"
+    * pass of LLM corpus curation, approximated suffix-array-free): every
+    * K=8-token span is a gram; a gram present in ≥2 distinct documents
+    * marks every position it covers as duplicated text. Output per
+    * affected doc: span count, duplicated-span count, coverage fraction.
+    *
+    * Shape: row-local gram explosion (array transform over token indices,
+    * no window), then ONE aggregation keyed on (gram, doc) — map-side
+    * combine collapses within-doc repeats before the shuffle — a
+    * vocab-sized rollup to the ≥2-doc gram set over the SAME gram
+    * partitioning (exchange reuse), and a join back that only carries
+    * duplicated grams. Never all-pairs: cost is Σ|gram bucket|², i.e.
+    * linear in corpus + duplicated volume. At 100 TB the gram string
+    * becomes its 8-byte rolling hash (the `textHash` pattern) so the
+    * shuffle carries fixed-width keys; strings here keep the oracle
+    * byte-exact. */
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= K)
+      .select(col("doc_id"),
+        (size(col("tk")) - (K - 1)).cast(LongType).as("total"),
+        explode(expr(s"transform(sequence(1, size(tk) - ${K - 1}), " +
+          s"i -> concat_ws(' ', slice(tk, i, $K)))")).as("g"))
+    val byDocGram = grams.groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("npos"), max(col("total")).as("total"))
+    val dup = byDocGram.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    byDocGram.join(dup, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("total")).as("n_grams"), sum(col("npos")).as("dup_positions"))
+      .withColumn("dup_frac",
+        col("dup_positions").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, len(tk) - 7 AS total,
+      |         array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      |  FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS t(i)
+      |  WHERE len(tk) >= 8),
+      |bdg AS (SELECT g, doc_id, COUNT(*) AS npos, MAX(total) AS total
+      |        FROM grams GROUP BY g, doc_id),
+      |dup AS (SELECT g FROM bdg GROUP BY g HAVING COUNT(*) >= 2)
+      |SELECT doc_id, MAX(total) AS n_grams,
+      |  CAST(SUM(npos) AS BIGINT) AS dup_positions,
+      |  CAST(SUM(npos) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS dup_frac
+      |FROM bdg JOIN dup USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -949,6 +1007,7 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,

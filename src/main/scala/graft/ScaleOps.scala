@@ -455,10 +455,89 @@ object ScaleOps {
        |ORDER BY p.user_id""".stripMargin
   }
 
+  // ------------------------------------------------- per-domain cap sample
+
+  /** Per-domain document cap — the crawl-curation primitive that stops one
+    * giant domain from dominating the corpus mix: keep at most CAP docs
+    * per source, chosen by a deterministic portable hash (same
+    * super-modulus LCG as q_sample_stratified — reproducible across runs,
+    * engines, and retries; no rand()).
+    *
+    * Shape: the kept set is a rank-limit window (rank ≤ CAP by hash
+    * within source) — exactly the Filter(rn≤k, Window) shape the
+    * cosine-top-k rewrite generalizes, so with `spark.graft.topkRewrite`
+    * on it plans as the two-phase bounded-heap operator: per-partition
+    * heaps of CAP rows, then a CAP-rows-per-source exchange — a hot
+    * domain costs O(CAP) reducer state instead of domain-sized sort
+    * spill. Totals are a separate tiny rollup joined back on source. */
+  def qSampleDomainCap(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    val CAP = 15
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h",
+        expr("((doc_id % 2147483647) * 2654435761 + 17) % 2147483647"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val kept = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CAP)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val qSampleDomainCapSql: String =
+    """WITH h AS (SELECT doc_id, source, n_chars,
+      |    ((doc_id % 2147483647) * 2654435761 + 17) % 2147483647 AS h
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                                   ORDER BY h, doc_id) AS rk FROM h)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- deterministic train/val split
+
+  /** Hash-split into train/val/test (90/5/5) — the assignment every
+    * training corpus needs, done as a pure row-local function of the
+    * stable doc key so the split survives reruns, engine changes, and
+    * incremental ingest (a new doc's split never depends on corpus
+    * state). Embarrassingly parallel scan; the only shuffle is the
+    * per-(lang, split) audit rollup. A different LCG increment (23) than
+    * the sampling queries keeps the split independent of the sample
+    * decisions — correlated hashes would leak val docs into every
+    * downstream hash-sampled subset. */
+  def qSampleSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        expr("((doc_id % 2147483647) * 2654435761 + 23) % 2147483647"))
+      .withColumn("split",
+        when(col("h") % 100 < 90, lit("train"))
+          .when(col("h") % 100 < 95, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  val qSampleSplitSql: String =
+    """WITH h AS (SELECT lang, n_chars,
+      |    ((doc_id % 2147483647) * 2654435761 + 23) % 2147483647 AS h
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN h % 100 < 90 THEN 'train'
+      |       WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_count_min" -> (qAggCountMin _),
+    "q_sample_domain_cap" -> (qSampleDomainCap _),
+    "q_sample_split" -> (qSampleSplit _),
     "q_join_salted" -> (qJoinSalted _),
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
@@ -471,6 +550,8 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_agg_count_min" -> qAggCountMinSql,
+    "q_sample_domain_cap" -> qSampleDomainCapSql,
+    "q_sample_split" -> qSampleSplitSql,
     "q_join_salted" -> qJoinSaltedSql,
     "q_agg_salted" -> qAggSaltedSql,
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
