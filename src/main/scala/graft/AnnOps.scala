@@ -116,39 +116,67 @@ object AnnOps {
 
   // ----------------------------------------------------------- ANN search
 
-  /** Bucket-key flip masks for multi-probe LSH: Hamming distance ≤ 2
-    * from the probe's own signature — 0 (exact), the 8 single flips,
-    * and the 28 double flips: 37 keys per probe. ONE definition feeding
-    * the Spark plan and the oracle VALUES list. */
-  private val lshProbeFlips: Seq[Long] =
-    Seq(0L) ++ (0 until Bits).map(j => 1L << j) ++
-      (for (i <- 0 until Bits; j <- i + 1 until Bits)
-        yield (1L << i) | (1L << j))
+  /** Bucket-key flip masks for multi-probe LSH up to Hamming `radius`:
+    * 0 (exact), the 8 single flips, the 28 double flips, and (radius 3)
+    * the 56 triple flips — 37 or 93 keys per probe. ONE definition
+    * feeding the Spark plan and the oracle VALUES list. */
+  private[graft] def lshFlipsFor(radius: Int): Seq[Long] = {
+    val singles = (0 until Bits).map(j => 1L << j)
+    val doubles = for (i <- 0 until Bits; j <- i + 1 until Bits)
+      yield (1L << i) | (1L << j)
+    val triples = for (i <- 0 until Bits; j <- i + 1 until Bits;
+                       l <- j + 1 until Bits)
+      yield (1L << i) | (1L << j) | (1L << l)
+    Seq(0L) ++ singles ++ (if (radius >= 2) doubles else Nil) ++
+      (if (radius >= 3) triples else Nil)
+  }
 
-  /** LSH-bucketed ANN, MULTI-PROBE (Lv et al.): probes (vec_id < 10)
-    * compare against vectors whose full 8-bit signature is within
-    * Hamming distance 2 of their own (the probe fans out to 37 bucket
-    * keys — exact, 8 single flips, 28 double flips). A true neighbor
-    * lands in a different bucket whenever a few planes' signs flip
-    * between the pair; probing the ≤2-flip neighborhood recovers those,
-    * the standard recall lever that costs a few dozen lookups per probe
-    * instead of more hash tables (r8 measured recall@3 at sf0.1, via
-    * q_sim_ann_recall: 2/30 single-probe → 9/30 at ≤1 flip → 14/30 at
-    * ≤2). Still the scale path vs q_sim_topk's brute force: the fan-out
-    * is per-PROBE (tiny, broadcast), the corpus side stays one bucket
-    * equi-join. Top-3 per probe by rounded cosine. */
-  def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(s, d)
-    val flips = lshProbeFlips.map(lit)
+  /** Parameterized LSH search over `tables` independent 8-bit hash
+    * tables (table t uses planes [8t, 8t+8) of the shared plane family —
+    * one fused `graft_lsh_sig(emb, 8·tables)` call yields ALL tables'
+    * keys) with multi-probe radius `radius` per table. Candidates are
+    * the OR-union across tables (dedup'd before scoring when tables>1);
+    * top-3 per probe by rounded cosine. The LshLadder dev main measures
+    * the (tables × radius) recall/cost grid with this one definition. */
+  private[graft] def lshSearch(s: SparkSession, d: String, tables: Int,
+      radius: Int): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    VectorFunctions.register(s)
+    val totalBits = Bits * tables
+    val sigs = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+      .withColumn("sig", expr(s"graft_lsh_sig(embedding, $totalBits)"))
+    val mask = (1L << Bits) - 1
+    // single long join key: table-id in the high bits, 8-bit bucket low
+    def tkey(t: Int): Column =
+      lit(t.toLong << Bits) + shiftright(col("sig"), Bits * t).bitwiseAND(mask)
+    val corpus =
+      if (tables == 1) sigs.withColumn("bkey", tkey(0))
+      else sigs.select(col("vec_id"), col("embedding"), col("na"),
+        explode(array((0 until tables).map(tkey): _*)).as("bkey"))
+    val flips = lshFlipsFor(radius)
     val probes = sigs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
-        col("na").as("pna"), col("bucket").as("pbucket"))
-      .select(col("probe_id"), col("pvec"), col("pna"), col("pbucket"),
-        explode(array(flips: _*)).as("flip"))
+        col("na").as("pna"), col("sig").as("psig"))
       .select(col("probe_id"), col("pvec"), col("pna"),
-        col("pbucket").bitwiseXOR(col("flip")).as("pkey"))
-    val scored = sigs.join(broadcast(probes),
-        col("bucket") === col("pkey") && col("vec_id") =!= col("probe_id"))
+        explode(array((for (t <- 0 until tables; f <- flips) yield
+          lit(t.toLong << Bits) +
+            shiftright(col("psig"), Bits * t).bitwiseAND(mask)
+              .bitwiseXOR(lit(f))): _*)).as("pkey"))
+      // a probe's flip sets can collide across its own tables' keyspace
+      // only at identical (t, key); distinct keeps the broadcast minimal
+      .distinct()
+    val cand = corpus.join(broadcast(probes),
+        col("bkey") === col("pkey") && col("vec_id") =!= col("probe_id"))
+    // OR-construction: the same pair can collide in several tables —
+    // dedup before scoring so top-3 can't emit a duplicate neighbor
+    val uniq =
+      if (tables == 1) cand
+      else cand.select(col("probe_id"), col("vec_id"), col("embedding"),
+        col("na"), col("pvec"), col("pna"))
+        .dropDuplicates("probe_id", "vec_id")
+    val scored = uniq
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(expr("graft_dot(embedding, pvec)") /
           sqrt(col("na") * col("pna")), 4).as("score"))
@@ -159,23 +187,68 @@ object AnnOps {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  val qSimAnnLshSql: String =
-    s"""WITH ${signaturesSqlCte(Bits)},
+  /** Graded LSH config: 3 independent 8-bit tables (OR-construction,
+    * Indyk–Motwani), multi-probe Hamming ≤ 2 per table (Lv et al.).
+    * Chosen from the round-10 LshLadder grid at sf0.1 (recall@3 via the
+    * same truth q_sim_ann_recall uses / median secs of 2 reps):
+    *
+    *   tables=1 r=2: 14/30 1.4s (the r8–r9 graded config)
+    *   tables=1 r=3: 19/30 0.9s    tables=2 r=2: 18/30 1.1s
+    *   tables=2 r=3: 20/30 1.0s    tables=3 r=2: 21/30 0.8s ← graded
+    *   tables=3 r=3: 21/30 1.2s (same recall, +50% cost — rejected)
+    *
+    * More independent tables beat a wider probe radius here: radius-3
+    * probes the 93-key Hamming ball of ONE projection family, while a
+    * second/third table re-rolls the planes entirely — at 64 dims the
+    * 8-plane sign pattern of near neighbors decorrelates fast, so fresh
+    * planes recover neighbors no flip set of the first table can. */
+  private val LshTables = 3
+  private val LshRadius = 2
+
+  /** LSH-bucketed ANN: delegates to the parameterized `lshSearch` at the
+    * graded (tables=3, radius=2) point — see `LshTables` for the
+    * measured ladder. Still the scale path vs q_sim_topk's brute force:
+    * the 111-key fan-out is per-PROBE (tiny, broadcast); the corpus side
+    * is a row-local 3-key explode into one bucket equi-join — no
+    * corpus shuffle at any scale. Top-3 per probe by rounded cosine. */
+  def qSimAnnLsh(s: SparkSession, d: String): DataFrame =
+    lshSearch(s, d, LshTables, LshRadius)
+
+  /** Oracle for the graded (3-table × radius-2) LSH: one 24-bit
+    * signature carries all three tables' 8-bit keys (table t = bits
+    * [8t, 8t+8)); `tabs(t, d)` supplies the per-table divisor, flips
+    * come from the SAME `lshFlipsFor` the Spark plan uses, and
+    * candidate pairs are DISTINCT'd across tables before scoring
+    * (OR-construction), mirroring lshSearch's dropDuplicates. */
+  val qSimAnnLshSql: String = {
+    val tabs = (0 until LshTables)
+      .map(t => s"($t, ${1L << (Bits * t)})").mkString(", ")
+    val flips = lshFlipsFor(LshRadius).map(v => s"($v)").mkString(", ")
+    s"""WITH ${signaturesSqlCte(Bits * LshTables)},
+       |ck AS (SELECT vec_id, t * 256 + (bucket // d) % 256 AS bkey
+       |       FROM sigs, (VALUES $tabs) tabs(t, d)),
        |p AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, bucket AS pbucket
-       |      FROM banded WHERE vec_id < 10),
-       |pk AS (SELECT probe_id, pemb, pna, xor(pbucket, f) AS pkey
-       |       FROM p, (VALUES ${lshProbeFlips.map(v => s"($v)").mkString(", ")}) flips(f)),
+       |      FROM sigs WHERE vec_id < 10),
+       |pk AS (SELECT DISTINCT probe_id,
+       |         t * 256 + xor((pbucket // d) % 256, f) AS pkey
+       |       FROM p, (VALUES $tabs) tabs(t, d),
+       |            (VALUES $flips) flips(f)),
+       |cand AS (SELECT DISTINCT pk.probe_id, c.vec_id AS neighbor_id
+       |         FROM ck c JOIN pk ON c.bkey = pk.pkey
+       |                          AND c.vec_id <> pk.probe_id),
        |scored AS (
-       |  SELECT probe_id, c.vec_id AS neighbor_id,
-       |    round(list_sum(list_transform(list_zip(c.emb, pk.pemb), x -> x[1] * x[2]))
-       |          / sqrt(c.na * pk.pna), 4) AS score
-       |  FROM banded c JOIN pk ON c.bucket = pk.pkey AND c.vec_id <> pk.probe_id),
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    round(list_sum(list_transform(list_zip(n.emb, p.pemb), x -> x[1] * x[2]))
+       |          / sqrt(n.na * p.pna), 4) AS score
+       |  FROM cand JOIN sigs n ON n.vec_id = cand.neighbor_id
+       |            JOIN p ON p.probe_id = cand.probe_id),
        |r AS (SELECT probe_id, neighbor_id, score,
        |        ROW_NUMBER() OVER (PARTITION BY probe_id
        |                           ORDER BY score DESC, neighbor_id) AS rn
        |      FROM scored)
        |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
        |ORDER BY probe_id, rn""".stripMargin
+  }
 
   // ------------------------------------------------ embedding near-dup
 
@@ -594,7 +667,7 @@ object AnnOps {
        |  FROM code JOIN adc ON adc.m = code.m AND adc.c_id = code.code
        |  WHERE code.vec_id <> adc.probe_id
        |  GROUP BY 1, 2),
-       |${rerankSqlTail(0, 8)}""".stripMargin
+       |${rerankSqlTail}""".stripMargin
 
   // ------------------------------------------------------------- IVF-PQ
 
@@ -620,6 +693,9 @@ object AnnOps {
     * vec_id). `e` must carry (vec_id, embedding, na). */
   private def rerankAdc(scored: DataFrame, e: DataFrame, probeLo: Long,
       probeHi: Long): DataFrame = {
+    // the shortlist IS the bounded-heap rewrite's namesake shape — register
+    // here so the plan never depends on which query touched the session first
+    plans.TopKRewriteApi.ensureRegistered(scored.sparkSession)
     val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
     val shortlist = scored.withColumn("srn", row_number().over(wAdc))
       .filter(col("srn") <= PqRerank)
@@ -643,8 +719,13 @@ object AnnOps {
   }
 
   /** Shared oracle tail: ADC shortlist → exact-L2 re-rank → top-3, over
-    * CTEs `scored(probe_id, neighbor_id, adist)` and `e(vec_id, v, na)`. */
-  private def rerankSqlTail(probeLo: Long, probeHi: Long): String =
+    * CTEs `scored(probe_id, neighbor_id, adist)` and `e(vec_id, v, na)`.
+    * No probe-range parameters on purpose: `scored` is already
+    * restricted to the caller's probe set (`p2` joins on its probe_id),
+    * so a range predicate here would be dead — and dead parameters
+    * invited a silent drift from rerankAdc's real probeLo/probeHi
+    * filtering (r9 ADVICE). */
+  private def rerankSqlTail: String =
     s"""short AS (
        |  SELECT probe_id, neighbor_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -752,7 +833,7 @@ object AnnOps {
        |  JOIN adc ON adc.probe_id = pc.probe_id
        |           AND adc.m = code.m AND adc.c_id = code.code
        |  GROUP BY 1, 2),
-       |${rerankSqlTail(10, 20)}""".stripMargin
+       |${rerankSqlTail}""".stripMargin
 
   // ------------------------------------------------- persisted ANN index
 
@@ -884,6 +965,7 @@ object AnnOps {
     * correct tool (same reason q_sim_topk is the documented non-scale
     * path for search itself). */
   def qSimAnnRecall(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("na", expr("graft_norm_sq(embedding)"))
@@ -1104,6 +1186,7 @@ object AnnOps {
     * round(), whose half-tie mode differs (Spark HALF_UP, DuckDB
     * HALF_EVEN). */
   def qEmbedInt8(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     val q = embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
