@@ -870,6 +870,7 @@ object LlmOps {
     * (count desc, token asc). Partial-aggregated counts, then a per-lang
     * top-k window over the small aggregate. */
   def qTextStats(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     val counts = documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")

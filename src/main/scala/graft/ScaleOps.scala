@@ -269,6 +269,7 @@ object ScaleOps {
     * embeddings the trained quantizer wins and the swap is one line in
     * both engines (q_sim_ann_ivf_trained keeps it graded). */
   def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("na", expr("graft_norm_sq(embedding)"))

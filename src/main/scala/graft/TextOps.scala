@@ -300,6 +300,7 @@ object TextOps {
     * the vocabulary) and the tiny head set broadcasts back against the
     * bigram counts. */
   def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     // bigram extraction is row-local (array transform over adjacent token
     // pairs) — the first shuffle in the plan is already the (w1, w2)
     // count aggregate, not a per-doc lead window
@@ -492,6 +493,7 @@ object TextOps {
     * ln/log, which differ in the last ulp between libm implementations).
     * Top-3 scored tokens per document over the first 50 docs. */
   def qTextTfidf(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
     val tk = toks(s, d)
     // N is a 1-row aggregate folded into the plan via broadcast cross join
     // (the in-plan form of the oracle's scalar subquery) — never a

@@ -41,13 +41,36 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * At 100 TB of scored candidates per probe the partial phase is the
   * difference between sorting the candidate set and scanning it.
   *
-  * Scale honesty: partial-phase state is (#groups-in-partition × k)
-  * rows with NO spill path — the right shape when groups are a bounded
-  * probe/key set (the ANN serving pattern, langs, heads), the wrong one
-  * for unbounded group cardinality where the spill-safe sort-based
-  * window wins. `spark.graft.topkRewriteMaxK` (default 1000) bounds the
-  * per-group state; set `spark.graft.topkRewrite=false` to disable the
-  * rewrite entirely. Exactness is oracle-gated fleet-wide either way.
+  * Memory safety (r9 ADVICE — no OOM trap outside the design
+  * envelope): BOTH phases hold bounded state, so unbounded group
+  * cardinality degrades, never dies.
+  *   partial — heap state is capped by
+  *             `spark.graft.topkRewritePartialRowBudget` rows (default
+  *             4M ≈ tens of MB; tracked groups = budget/k). Once the
+  *             budget is hit, rows of NEW groups pass through
+  *             UNFILTERED — sound, because the partial phase is only a
+  *             row-reducing optimization and the final phase computes
+  *             the exact answer over any superset. A hot partition
+  *             trades shuffle volume for memory, not correctness.
+  *   final   — requires child ordering on the group keys (a spill-safe
+  *             SortExec over the already-k-bounded survivors, inserted
+  *             by EnsureRequirements), so exactly ONE k-heap is live at
+  *             a time: O(k) state regardless of group count. The sort
+  *             input is ≤ k rows per group per map partition — tiny
+  *             relative to the scanned candidate set, where the win is.
+  * `spark.graft.topkRewriteMaxK` (default 1000) bounds k; set
+  * `spark.graft.topkRewrite=false` to disable the rewrite entirely.
+  * Exactness is oracle-gated fleet-wide either way.
+  *
+  * Tie semantics: `row_number` over a non-total within-group order is
+  * unspecified in SQL, and this operator's choice among tied rows
+  * (strict-< heap admission = keep-first-seen, then
+  * `java.util.PriorityQueue`'s arbitrary drain order among equals)
+  * can differ from the sort-based window's choice AND vary with
+  * partitioning — i.e. the unspecifiedness is plan-dependent here, not
+  * merely order-dependent. Queries that need stable results must make
+  * the ORDER BY a total order (append a unique tiebreaker column), as
+  * every in-repo query does.
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
@@ -111,63 +134,82 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, rn, child) =>
-      // partial (per input partition, no rn yet) → group exchange
-      // (EnsureRequirements satisfies the final's ClusteredDistribution)
-      // → final (per group partition, rn attached)
-      val partial = TopKPerGroupExec(g, o, k, None, planLater(child))
-      TopKPerGroupExec(g, o, k, Some(rn), partial) :: Nil
+      // partial (per input partition, no rn yet, state ≤ budget rows) →
+      // group exchange + group sort (EnsureRequirements satisfies the
+      // final's ClusteredDistribution + ordering) → final (one heap)
+      val budget = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topkRewritePartialRowBudget", "4000000")
+        .toLong
+      val partial = TopKPerGroupExec(g, o, k, None, budget, planLater(child))
+      TopKPerGroupExec(g, o, k, Some(rn), budget, partial) :: Nil
     case _ => Nil
   }
 }
 
 /** One streaming pass keeping a k-bounded heap per group. `rnAttr=None`
-  * is the partial (pre-shuffle) phase emitting the retained rows;
-  * `Some(rn)` is the final phase emitting each group's survivors in
-  * order with the row number attached. The heap root is the WORST
-  * retained row (reverse ordering), so admission is a single compare
-  * against the root. */
+  * is the partial (pre-shuffle) phase emitting the retained rows —
+  * state capped at `partialRowBudget` rows, overflow groups pass
+  * through unfiltered (sound superset; see the rule scaladoc).
+  * `Some(rn)` is the final phase: child ordered by the group keys, ONE
+  * live k-heap, each group's survivors emitted in order with the row
+  * number attached — O(k) state at any group cardinality. The heap
+  * root is the WORST retained row (reverse ordering), so admission is
+  * a single compare against the root. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rnAttr: Option[Attribute], child: SparkPlan) extends UnaryExecNode {
+    rnAttr: Option[Attribute], partialRowBudget: Long,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rnAttr
   override def producedAttributes: AttributeSet = AttributeSet(rnAttr.toSeq)
   override def requiredChildDistribution: Seq[Distribution] =
     (if (rnAttr.isDefined) ClusteredDistribution(groupExprs)
      else UnspecifiedDistribution) :: Nil
+  // final phase: group-clustered AND group-sorted input → one heap at a
+  // time. The sort (inserted by EnsureRequirements) spills, the heap
+  // doesn't need to.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (if (rnAttr.isDefined) groupExprs.map(SortOrder(_, Ascending)) else Nil) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  private def newHeap(worstFirst: java.util.Comparator[InternalRow]) =
+    new java.util.PriorityQueue[InternalRow](math.min(k, 64) + 1, worstFirst)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk) = (groupExprs, order, k)
     val childOut = child.output
     val rn = rnAttr
     val outAttrs = output
+    val maxGroups = math.max(1L, partialRowBudget / math.max(1, kk))
     child.execute().mapPartitions({ it =>
       val grpProj = UnsafeProjection.create(g, childOut)
       val ord = new LazilyGeneratedOrdering(o, childOut)
       val worstFirst: java.util.Comparator[InternalRow] = ord.reverse
-      // LinkedHashMap: deterministic (first-seen) group emit order
-      val heaps =
-        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = grpProj(row)
-        var h = heaps.get(key)
-        if (h == null) {
-          h = new java.util.PriorityQueue[InternalRow](math.min(kk, 64) + 1, worstFirst)
-          heaps.put(key.copy(), h)
-        }
+      def admit(h: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (h.size < kk) h.add(row.copy())
         else if (ord.compare(row, h.peek()) < 0) { h.poll(); h.add(row.copy()) }
-      }
       rn match {
         case None =>
-          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          // LinkedHashMap: deterministic (first-seen) group emit order
+          val heaps =
+            new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          // pass-through rows stream out inline; retained heaps flush
+          // after input is exhausted (++ evaluates its operand lazily)
+          it.flatMap { row =>
+            val key = grpProj(row)
+            val h = heaps.get(key)
+            if (h != null) { admit(h, row); Iterator.empty }
+            else if (heaps.size() < maxGroups) {
+              val nh = newHeap(worstFirst)
+              heaps.put(key.copy(), nh)
+              admit(nh, row); Iterator.empty
+            } else Iterator.single(row) // budget hit: sound superset
+          } ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
         case Some(attr) =>
           val rnRow = new GenericInternalRow(1)
           val joined = new JoinedRow
           val proj = UnsafeProjection.create(outAttrs, childOut :+ attr)
-          heaps.values().iterator().asScala.flatMap { h =>
+          def drain(h: java.util.PriorityQueue[InternalRow]): Iterator[InternalRow] = {
             // drain worst-first, fill backwards → best-first with rn 1..n
             val arr = new Array[InternalRow](h.size)
             var i = arr.length - 1
@@ -176,6 +218,26 @@ case class TopKPerGroupExec(
               rnRow.update(0, idx + 1)
               proj(joined(r, rnRow))
             }
+          }
+          // child is group-sorted: one live heap, emitted on key change
+          new Iterator[InternalRow] {
+            private var cur: UnsafeRow = _
+            private val heap = newHeap(worstFirst)
+            private var out: Iterator[InternalRow] = Iterator.empty
+            override def hasNext: Boolean = {
+              while (!out.hasNext && it.hasNext) {
+                val row = it.next()
+                val key = grpProj(row)
+                if (cur == null) cur = key.copy()
+                else if (key != cur) { out = drain(heap); cur = key.copy() }
+                admit(heap, row)
+              }
+              if (!out.hasNext && !it.hasNext && cur != null) {
+                out = drain(heap); cur = null
+              }
+              out.hasNext
+            }
+            override def next(): InternalRow = out.next()
           }
       }
     }, preservesPartitioning = true)

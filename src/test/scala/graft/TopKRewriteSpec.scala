@@ -71,6 +71,55 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(on.sameElements(off))
   }
 
+  test("partial row budget: pass-through overflow keeps results exact (budget=1)") {
+    // budget 1 → at most one tracked group per partial partition; every
+    // other group's rows pass through unfiltered and the final phase
+    // must still produce the exact window answer
+    plans.TopKRewriteApi.ensureRegistered(spark)
+    spark.conf.set("spark.graft.topkRewritePartialRowBudget", "1")
+    try {
+      val df = spark.range(2000)
+        .select(col("id"), (col("id") % 97).as("g"),
+          (col("id") * 2654435761L % 89).as("s"))
+      val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+      def topk(): Array[Seq[Any]] =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .orderBy(col("g"), col("rn")).collect().map(_.toSeq)
+      val on = withRewrite(on = true)(topk())
+      val off = withRewrite(on = false)(topk())
+      assert(on.length === 97 * 3)
+      assert(on.sameElements(off))
+    } finally spark.conf.unset("spark.graft.topkRewritePartialRowBudget")
+  }
+
+  test("final phase requires a group sort: one live heap, O(k) state (plan guard)") {
+    val wrapped = withRewrite(on = true)(
+      LlmOps.qSimTopk(spark, sf).queryExecution.executedPlan)
+    // AQE wraps the physical plan; collect() does not descend into it
+    val plan = wrapped match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val finals = plan.collect {
+      case e: plans.TopKPerGroupExec if e.rnAttr.isDefined => e }
+    assert(finals.nonEmpty, s"no final TopKPerGroupExec in:\n$plan")
+    finals.foreach { f =>
+      assert(f.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"final phase must sit above a spill-safe group sort:\n$plan")
+    }
+  }
+
+  test("ANN re-rank shortlist self-registers the rewrite (no session-order dependence)") {
+    // wipe the session's experimental lists — the q_sim_ann_pq builder
+    // alone must bring the bounded-heap plan back
+    spark.experimental.extraStrategies = Nil
+    spark.experimental.extraOptimizations = Nil
+    val p = withRewrite(on = true)(physical(AnnOps.qSimAnnPq(spark, sf)))
+    assert(p.contains("TopKPerGroup"),
+      s"rerankAdc did not self-register the rewrite:\n$p")
+  }
+
   test("non-limit conjuncts survive as a residual filter above the rewrite") {
     plans.TopKRewriteApi.ensureRegistered(spark)
     val df = spark.range(200)
