@@ -20,6 +20,16 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // loud when active (mirrors Bench's WARMUP REFUSED guard): a leaked
+    // SPARK_GRAFT_ONLY in a graded environment must not silently subset
+    // the correctness dump
+    only.foreach { prefixes =>
+      val n = SparkEntry.queries.keys.count(selected)
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE — dumping $n of " +
+        s"${SparkEntry.queries.size} queries (prefixes: " +
+        s"${prefixes.mkString(",")}); NOT a full graded run ***")
+    }
     // sorted like Bench: deterministic run order regardless of Map layout
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
