@@ -987,9 +987,105 @@ object LlmOps {
       |FROM bdg JOIN dup USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- bloom-filter dedup
+
+  /** BLOOM-FILTER CROSS-CORPUS DEDUP — the incremental-crawl membership
+    * gate: "is this document already in the previous crawl?" answered
+    * WITHOUT joining the new batch against the historical corpus. The
+    * history (here: even doc_ids) is folded into a Bloom filter of
+    * m = 16·n bits with k = 3 positions per key via Kirsch–Mitzenmacher
+    * double hashing (pos_i = (h1 + i·h2) mod m from two independent
+    * 48-bit md5 halves — two hash evaluations give all k positions);
+    * every probe doc checks its 3 bits. The filter is materialized as
+    * (block, word) BIGINT pairs — pos/63 → BIT_OR of 1<<(pos%63), 63
+    * payload bits per word so no engine has to shift into the BIGINT
+    * sign bit — i.e. the actual m-bit bitmap in relational form, ~2
+    * bytes per history key: a 1e9-document history is a ~2 GB bitmap
+    * where the raw key set would be tens of GB, and the FP rate stays
+    * ~0.5% independent of scale because m tracks n. Past broadcast
+    * range the same (block, word) table shuffles as a bucketed join
+    * side — the representation degrades gracefully instead of hitting
+    * a driver memory wall.
+    * Output is the honest confusion rollup per lang: members (even ids)
+    * MUST all flag (Bloom filters have no false negatives — the query
+    * self-checks this invariant: n_flagged ≥ n_members), and flagged
+    * odd ids are counted as n_false_pos, the measured FP rate of the
+    * 16-bits/key sizing. Both engines compute identical bits: md5 is
+    * byte-identical, and shifts/BIT_OR on BIGINT are two's-complement
+    * in both. Scale: one history pass (group by block = one small
+    * shuffle of m/63 words), one probe pass against the broadcast
+    * bitmap, one per-doc rollup — the corpus is never self-joined. */
+  def qDedupBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // m = 16 bits per history key, carried as a broadcast scalar so the
+    // filter sizing tracks the corpus (FP rate is scale-invariant)
+    val nb = docs.filter(col("doc_id") % 2 === 0)
+      .agg((count(lit(1)) * 16L).as("m"))
+    val hh = docs
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)")
+          .as("ha"),
+        expr("CAST(conv(substring(md5(text), 13, 12), 16, 10) AS BIGINT)")
+          .as("hb"))
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, 2), i -> (ha % m + i * (hb % (m - 1) + 1)) % m)"))
+          .as("pos"))
+    val bits = hh.filter(col("doc_id") % 2 === 0)
+      .groupBy(expr("pos div 63").as("block"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))")
+        .as("word"))
+    val perDoc = hh
+      .join(broadcast(bits), expr("pos div 63") === col("block"), "left_outer")
+      .withColumn("hit",
+        when(col("word").isNotNull &&
+          expr("word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))") =!= 0L,
+          1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("hit")).as("all_hit"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_members"),
+        sum(col("all_hit")).as("n_flagged"),
+        sum(when(col("all_hit") === 1L && col("doc_id") % 2 === 1, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupBloomSql: String =
+    """WITH nb AS (
+      |  SELECT 16 * COUNT(*) AS m FROM documents WHERE doc_id % 2 = 0),
+      |hh AS (
+      |  SELECT doc_id, lang,
+      |    (ha % m + i * (hb % (m - 1) + 1)) % m AS pos
+      |  FROM (SELECT doc_id, lang,
+      |          CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS ha,
+      |          CAST(('0x' || substr(md5(text), 13, 12)) AS BIGINT) AS hb
+      |        FROM documents), nb, (VALUES (0), (1), (2)) t(i)),
+      |bits AS (
+      |  SELECT pos // 63 AS block,
+      |    BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS word
+      |  FROM hh WHERE doc_id % 2 = 0 GROUP BY 1),
+      |perdoc AS (
+      |  SELECT h.doc_id, h.lang,
+      |    MIN(CASE WHEN b.word IS NOT NULL AND
+      |          (b.word & (CAST(1 AS BIGINT) << CAST(h.pos % 63 AS INTEGER)))
+      |            <> 0
+      |        THEN 1 ELSE 0 END) AS all_hit
+      |  FROM hh h LEFT JOIN bits b ON h.pos // 63 = b.block
+      |  GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_members,
+      |  CAST(SUM(all_hit) AS BIGINT) AS n_flagged,
+      |  SUM(CASE WHEN all_hit = 1 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS n_false_pos
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_near" -> (qDedupNear _),
@@ -1007,6 +1103,7 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_bloom" -> qDedupBloomSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_near" -> qDedupNearSql,

@@ -537,9 +537,130 @@ object ScaleOps {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  // --------------------------------------------- weighted (priority) sample
+
+  /** WEIGHTED SAMPLING — priority sampling (Duffield–Lund–Thorup, JACM
+    * 2007): each doc draws a deterministic uniform h ∈ [1, P] from the
+    * row-local LCG family (increment 29 — decorrelated from the split's
+    * 23 and the mixture's 17 by the independent-increment rationale
+    * documented at q_sample_split) and gets priority w/u = n_chars·P/h;
+    * the top-3 priorities per source are the weighted sample. Priority
+    * sampling gives near-optimal variance for subset-sum estimation and,
+    * unlike A-ES (u^(1/w)), needs NO transcendental functions — the
+    * priority is two IEEE double ops (multiply, divide), which are
+    * bit-identical across engines, where pow/log differ in the last ulp
+    * between libm implementations (the q_text_tfidf discipline).
+    * Exactly-representable: n_chars·P < 2^53, h < 2^31 — both products
+    * exact before the single rounding division. Scale: the rank-limit
+    * window is the bounded-heap rewrite's shape — O(k) per source, no
+    * sort; the scan is the only corpus pass. */
+  def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    val P = 2147483647L
+    val docs = documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h", expr(s"((doc_id % $P) * 2654435761 + 29) % $P + 1"))
+      .withColumn("priority",
+        col("n_chars").cast(DoubleType) * lit(P.toDouble) /
+          col("h").cast(DoubleType))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val qSampleWeightedSql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ((doc_id % 2147483647) * 2654435761 + 29) % 2147483647 + 1 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_chars,
+      |    (n_chars * 2147483647.0) / h AS priority
+      |  FROM h),
+      |r AS (
+      |  SELECT source, doc_id, n_chars, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY priority DESC, doc_id) AS rn
+      |  FROM p)
+      |SELECT source, rn, doc_id, n_chars, priority
+      |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+
+  // ------------------------------------------------------- dataset profiler
+
+  /** DATASET PROFILER — the pre-training data-quality pass that runs
+    * before any pipeline decision: per column of `documents`, null
+    * count, exact distinct count, and min/max (value for numeric
+    * columns, LENGTH for string columns — length is collation-free, so
+    * the numbers are engine-portable where raw string min/max would
+    * hang on collation order). ONE corpus scan: a single aggregate
+    * computes all 5 columns' metrics (the multi-distinct is Catalyst's
+    * Expand — 5× rows into one shuffle, the standard exact-mode cost),
+    * then a row-local stack() unpivots the 1-row result. At 100 TB the
+    * exact COUNT(DISTINCT) is the knob to swap for the HLL sketch
+    * (q_agg_approx_distinct is the graded form of that path); everything
+    * else is map-side-combinable O(1) state. */
+  def qProfileStats(s: SparkSession, d: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val a = documents(s, d).agg(
+      countDistinct(col("doc_id")).as("d_doc"),
+      nulls("doc_id").as("n_doc"),
+      min(col("doc_id")).as("lo_doc"), max(col("doc_id")).as("hi_doc"),
+      countDistinct(col("text")).as("d_text"),
+      nulls("text").as("n_text"),
+      min(length(col("text"))).cast(LongType).as("lo_text"),
+      max(length(col("text"))).cast(LongType).as("hi_text"),
+      countDistinct(col("lang")).as("d_lang"),
+      nulls("lang").as("n_lang"),
+      min(length(col("lang"))).cast(LongType).as("lo_lang"),
+      max(length(col("lang"))).cast(LongType).as("hi_lang"),
+      countDistinct(col("source")).as("d_src"),
+      nulls("source").as("n_src"),
+      min(length(col("source"))).cast(LongType).as("lo_src"),
+      max(length(col("source"))).cast(LongType).as("hi_src"),
+      countDistinct(col("n_chars")).as("d_nc"),
+      nulls("n_chars").as("n_nc"),
+      min(col("n_chars")).as("lo_nc"), max(col("n_chars")).as("hi_nc"))
+    a.selectExpr(
+      """stack(5,
+        |  'doc_id',  d_doc,  n_doc,  lo_doc,  hi_doc,
+        |  'lang',    d_lang, n_lang, lo_lang, hi_lang,
+        |  'n_chars', d_nc,   n_nc,   lo_nc,   hi_nc,
+        |  'source',  d_src,  n_src,  lo_src,  hi_src,
+        |  'text',    d_text, n_text, lo_text, hi_text)
+        |AS (col_name, n_distinct, n_nulls, min_v, max_v)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
+
+  val qProfileStatsSql: String =
+    """SELECT 'doc_id' AS col_name, COUNT(DISTINCT doc_id) AS n_distinct,
+      |  COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,
+      |  MIN(doc_id) AS min_v, MAX(doc_id) AS max_v FROM documents
+      |UNION ALL
+      |SELECT 'lang', COUNT(DISTINCT lang),
+      |  COUNT(*) FILTER (lang IS NULL),
+      |  MIN(length(lang)), MAX(length(lang)) FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', COUNT(DISTINCT n_chars),
+      |  COUNT(*) FILTER (n_chars IS NULL),
+      |  MIN(n_chars), MAX(n_chars) FROM documents
+      |UNION ALL
+      |SELECT 'source', COUNT(DISTINCT source),
+      |  COUNT(*) FILTER (source IS NULL),
+      |  MIN(length(source)), MAX(length(source)) FROM documents
+      |UNION ALL
+      |SELECT 'text', COUNT(DISTINCT text),
+      |  COUNT(*) FILTER (text IS NULL),
+      |  MIN(length(text)), MAX(length(text)) FROM documents
+      |ORDER BY col_name""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_profile_stats" -> (qProfileStats _),
     "q_agg_count_min" -> (qAggCountMin _),
     "q_sample_domain_cap" -> (qSampleDomainCap _),
     "q_sample_split" -> (qSampleSplit _),
@@ -554,6 +675,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" -> qSampleWeightedSql,
+    "q_profile_stats" -> qProfileStatsSql,
     "q_agg_count_min" -> qAggCountMinSql,
     "q_sample_domain_cap" -> qSampleDomainCapSql,
     "q_sample_split" -> qSampleSplitSql,

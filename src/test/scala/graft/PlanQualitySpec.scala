@@ -227,4 +227,18 @@ class PlanQualitySpec extends AnyFunSuite {
     scans.foreach(l => assert(l.contains("EqualTo(lang,en)"),
       s"a documents scan in the merge write plan lost the lang pushdown:\n$l"))
   }
+
+  test("bloom dedup probes a BROADCAST bitmap; the corpus is never self-joined") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must join the broadcast (block, word) bitmap:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"history×probe must never be a corpus-sized join:\n$p")
+  }
+
+  test("weighted sample plans the two-phase rank limit, not a full sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"priority top-k per source must be two-phase:\n$p")
+  }
 }

@@ -252,4 +252,41 @@ class QueriesSpec extends AnyFunSuite {
       (1L, 0L, 'a'.toLong), (1L, 4L, 'a'.toLong),
       (2L, 0L, 'b'.toLong), (2L, 4L, 'b'.toLong)))
   }
+
+  test("bloom dedup: zero false negatives, flagged = members + false positives") {
+    val rows = LlmOps.qDedupBloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (members, flagged, fps) =
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_flagged"),
+          r.getAs[Long]("n_false_pos"))
+      // a Bloom filter can over-flag but never under-flag its own members
+      assert(flagged === members + fps,
+        s"lang ${r.getString(0)}: members=$members flagged=$flagged fps=$fps")
+    }
+  }
+
+  test("weighted sample: 3 per source, priorities positive and descending, rerun-identical") {
+    val a = ScaleOps.qSampleWeighted(spark, sf).collect()
+    val perSrc = a.groupBy(_.getString(0))
+    perSrc.foreach { case (src, rs) =>
+      assert(rs.length === 3, s"$src sampled ${rs.length} docs")
+      val pr = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("priority"))
+      assert(pr.forall(_ > 0) && pr.sameElements(pr.sorted.reverse),
+        s"$src priorities not descending: ${pr.toSeq}")
+    }
+    val b = ScaleOps.qSampleWeighted(spark, sf).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)), "sample not deterministic")
+  }
+
+  test("profiler: one row per column, doc_id unique and null-free") {
+    val rows = ScaleOps.qProfileStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("doc_id", "lang", "n_chars", "source", "text"))
+    val ids = rows("doc_id")
+    assert(ids.getAs[Long]("n_nulls") === 0L)
+    // doc_id is the PK: distinct count equals the corpus row count,
+    // which the text row's distinct can never exceed
+    assert(rows("text").getAs[Long]("n_distinct") <= ids.getAs[Long]("n_distinct"))
+  }
 }
