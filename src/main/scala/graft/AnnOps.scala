@@ -994,7 +994,8 @@ object AnnOps {
       ("ivf", ScaleOps.qSimAnnIvf(s, d), brute(10, 20, l2 = false), (10L, 20L)),
       ("ivf_pq", qSimAnnIvfPq(s, d), brute(10, 20, l2 = true), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), brute(0, 10, l2 = false), (0L, 10L)),
-      ("pq", qSimAnnPq(s, d), brute(0, 8, l2 = true), (0L, 8L)))
+      ("pq", qSimAnnPq(s, d), brute(0, 8, l2 = true), (0L, 8L)),
+      ("prefix", qSimAnnPrefix(s, d), brute(20, 30, l2 = false), (20L, 30L)))
     methods.map { case (m, ans, truth, (lo, hi)) =>
       val hits = ans.select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id"))
@@ -1034,10 +1035,12 @@ object AnnOps {
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
        |t_pq AS (${bruteSql(0, 8, l2 = true)}),
+       |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
        |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
+       |a_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPrefixSql) q),
        |hits AS (
        |  SELECT 'ivf' AS method, probe_id, COUNT(*) AS h
        |  FROM a_ivf JOIN t_ivf USING (probe_id, neighbor_id) GROUP BY 2
@@ -1049,7 +1052,10 @@ object AnnOps {
        |  FROM a_lsh JOIN t_lsh USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
        |  SELECT 'pq', probe_id, COUNT(*)
-       |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2),
+       |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'prefix', probe_id, COUNT(*)
+       |  FROM a_prefix JOIN t_prefix USING (probe_id, neighbor_id) GROUP BY 2),
        |spine AS (
        |  SELECT 'ivf' AS method, vec_id AS probe_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
@@ -1057,7 +1063,9 @@ object AnnOps {
        |  UNION ALL
        |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
        |  UNION ALL
-       |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8)
+       |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
+       |  UNION ALL
+       |  SELECT 'prefix', vec_id FROM e WHERE vec_id >= 20 AND vec_id < 30)
        |SELECT s.method, s.probe_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
        |FROM spine s LEFT JOIN hits h ON s.method = h.method AND s.probe_id = h.probe_id
        |ORDER BY s.method, s.probe_id""".stripMargin
@@ -1236,10 +1244,109 @@ object AnnOps {
       |SELECT probe_id, neighbor_id, score_q, rn FROM r WHERE rn <= 5
       |ORDER BY probe_id, rn""".stripMargin
 
+  // ----------------------------------- prefix-dimension (matryoshka) search
+
+  private val PrefixDim = 32
+  private val PrefixShortlist = 320
+
+  /** PREFIX-DIMENSION ANN — the dimension tier of the quantization
+    * ladder (q_embed_int8 = precision tier, q_sim_ann_pq = code tier):
+    * candidates are scored on the FIRST 32 of 64 dims (matryoshka-style
+    * truncation — prefix cosine costs half the flops, and with the
+    * prefix persisted as its own parquet column the scan READS half the
+    * bytes via column pruning), the top-320 prefix shortlist per probe
+    * is re-ranked with full-precision cosine, top-3 kept. The same
+    * shortlist→exact-refine architecture as `rerankAdc`, one tier up;
+    * recall is measured by q_sim_ann_recall under method 'prefix'
+    * (probes 20-30). Config chosen from the PrefixLadder (dim × R) grid
+    * at sf0.1 (recall@3 / secs, 2 reps):
+    *
+    *   dim=16: 12/30 @R=64, 17/30 @160, 22/30 @320
+    *   dim=24: 20/30 @R=64, 25/30 @160, 27/30 @320
+    *   dim=32: 22/30 @R=64, 26/30 @160, **29/30 @320 ← graded**
+    *
+    * Wall cost was flat (~0.5 s) across the grid at this corpus size,
+    * so recall decides; on these isotropic synthetics a d-dim prefix
+    * carries d/64 of the signal, so dim dominates R — real matryoshka
+    * embeddings front-load variance and would shift the knee toward
+    * smaller dims. Scale: prefix slice + norms are row-local in the
+    * scan projection, probes broadcast, and both rank-limit windows are
+    * the bounded-heap shape — only ≤320 rows per probe ever reach the
+    * full-dimension re-rank. */
+  /** Parameterized form (dim = prefix length, r = shortlist size) —
+    * the PrefixLadder dev main measures the (dim × r) recall/cost grid
+    * with this one definition; qSimAnnPrefix grades the chosen point. */
+  private[graft] def prefixSearch(s: SparkSession, d: String, dim: Int,
+      r: Int): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+      .withColumn("p16", expr(s"slice(embedding, 1, $dim)"))
+      .withColumn("na16", expr("graft_norm_sq(p16)"))
+    val probes = e.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("p16").as("pp16"), col("na16").as("pna16"))
+    val pre = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pscore",
+        round(expr("graft_dot(p16, pp16)") /
+          sqrt(col("na16") * col("pna16")), 4))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pscore").desc, col("vec_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pre.withColumn("srn", row_number().over(wp))
+      .filter(col("srn") <= r)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_dot(embedding, pvec)") /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def qSimAnnPrefix(s: SparkSession, d: String): DataFrame =
+    prefixSearch(s, d, PrefixDim, PrefixShortlist)
+
+  val qSimAnnPrefixSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |pe AS (SELECT vec_id, emb, na, emb[1:$PrefixDim] AS p16,
+       |         list_sum(list_transform(emb[1:$PrefixDim], x -> x * x)) AS na16
+       |       FROM e),
+       |p AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna,
+       |        p16 AS pp16, na16 AS pna16
+       |      FROM pe WHERE vec_id >= 20 AND vec_id < 30),
+       |pre AS (
+       |  SELECT probe_id, c.vec_id, c.emb, c.na, p.pemb, p.pna,
+       |    round(list_sum(list_transform(list_zip(c.p16, p.pp16), x -> x[1] * x[2]))
+       |          / sqrt(c.na16 * p.pna16), 4) AS pscore
+       |  FROM pe c, p WHERE c.vec_id <> p.probe_id),
+       |short AS (
+       |  SELECT probe_id, vec_id, emb, na, pemb, pna FROM (
+       |    SELECT probe_id, vec_id, emb, na, pemb, pna,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                         ORDER BY pscore DESC, vec_id) AS srn
+       |    FROM pre) WHERE srn <= $PrefixShortlist),
+       |scored AS (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(list_zip(emb, pemb), x -> x[1] * x[2]))
+       |          / sqrt(na * pna), 4) AS score
+       |  FROM short),
+       |r AS (SELECT probe_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                           ORDER BY score DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_int8" -> (qEmbedInt8 _),
+    "q_sim_ann_prefix" -> (qSimAnnPrefix _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
@@ -1254,6 +1361,7 @@ object AnnOps {
 
   val oracle: Map[String, String] = Map(
     "q_embed_int8" -> qEmbedInt8Sql,
+    "q_sim_ann_prefix" -> qSimAnnPrefixSql,
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,

@@ -530,9 +530,108 @@ object StreamOps {
       |FROM sid GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  // ------------------------------------- outer stream-stream join
+
+  /** LEFT-OUTER STREAM-STREAM JOIN — q_stream_join's attribution funnel
+    * with the rows production actually wants MOST: the clicks that did
+    * NOT convert. Inner stream-stream joins emit on match; outer joins
+    * additionally emit the null-padded left row when the WATERMARK
+    * proves no match can still arrive (click_ts + 30 min join bound +
+    * 2 h watermark delay) — the state-eviction semantics that make the
+    * result exactly the batch LEFT JOIN, not a guess. A bounded run
+    * needs the watermark pushed past every real event or the unmatched
+    * rows stay in state forever, so the stage uses the q_stream_sink
+    * sentinel discipline (explicit far-future rows, mtime-pinned file
+    * order, maxFilesPerTrigger=1): batch 1 = data, batch 2 = click
+    * sentinel (advances the left watermark), batch 3 = purchase
+    * sentinel (advances the right / global watermark), batch 4 = a
+    * second click sentinel whose batch lets the now-advanced watermark
+    * evict and emit every unmatched real click. Sentinels carry
+    * user_id = -1 and are dropped on read-back; their own windows sit
+    * past the final watermark and never flush. At 100 TB this is the
+    * bounded-backfill termination story again: a watermark heartbeat,
+    * not a mode switch. State stays bounded by the 30-min join range +
+    * watermark on BOTH sides. */
+  def qStreamJoinOuter(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    val src = RelOps.stagingDir(s, "stream_join_outer_src")
+    RelOps.deleteRecursively(src)
+    def listParquet(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    def pin(files: Set[java.nio.file.Path], stage: Int): Unit =
+      files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(stage * 100000L)))
+    events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val dataFiles = listParquet()
+    pin(dataFiles, 1)
+    def sentinel(t: String, typ: String): DataFrame = s.range(1)
+      .select(lit(-1L).as("event_id"), to_timestamp(lit(t)).as("ts"),
+        lit(-1L).as("user_id"), lit(typ).as("event_type"))
+    sentinel("2100-01-01 00:00:00", "click")
+      .coalesce(1).write.mode("append").parquet(src)
+    val s1 = listParquet() -- dataFiles
+    pin(s1, 2)
+    sentinel("2100-01-02 00:00:00", "purchase")
+      .coalesce(1).write.mode("append").parquet(src)
+    val s2 = listParquet() -- dataFiles -- s1
+    pin(s2, 3)
+    sentinel("2100-01-03 00:00:00", "click")
+      .coalesce(1).write.mode("append").parquet(src)
+    pin(listParquet() -- dataFiles -- s1 -- s2, 4)
+    val schema = s.read.parquet(src).schema
+    def srcStream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val clicks = srcStream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = srcStream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("b_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(buys,
+        col("user_id") === col("b_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) /
+          lit(1000000L)).cast(LongType).as("secs_to_purchase"))
+    val sink = "graft_stream_join_outer_sink"
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** The c-side type filter sits in WHERE, not ON — in a LEFT JOIN an
+    * ON-side left filter would leak non-click rows through as
+    * null-padded output. */
+  val qStreamJoinOuterSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  (epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)))
+      |    // 1000000 AS secs_to_purchase
+      |FROM events c LEFT JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_stream_live" -> (qStreamLive _),
     "q_stream_live_sliding" -> (qStreamLiveSliding _),
     "q_stream_live_dedup" -> (qStreamLiveDedup _),
@@ -548,6 +647,7 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join_outer" -> qStreamJoinOuterSql,
     "q_stream_live" -> qStreamTumblingSql, // same semantics, streamed
     "q_stream_live_sliding" -> qStreamSlidingSql, // same semantics, streamed
     "q_stream_live_dedup" -> qStreamDedupSql, // same semantics, streamed

@@ -241,4 +241,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
       s"priority top-k per source must be two-phase:\n$p")
   }
+
+  test("prefix ANN broadcasts probes and bounds both rank windows") {
+    val p = plan("q_sim_ann_prefix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe fan-out must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus must never cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"shortlist/top-3 windows must be two-phase rank limits:\n$p")
+  }
 }
