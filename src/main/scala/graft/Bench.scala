@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       // static conf, must land before the first session: the default cache
       // holds 100 generated classes, but 110 queries in one JVM produce
       // ~1.5k — shared subtree shapes (table scans, family-common projections)

@@ -172,7 +172,7 @@ object StreamOps {
     // driver's tables are single parquet files — the [e] glob matches only
     // the events file while the basePath resolves to the sf directory
     val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
@@ -206,7 +206,7 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
@@ -237,7 +237,7 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), col("event_type"),
         window(col("ts"), "1 minute").as("w"))
@@ -267,7 +267,7 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val agg = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -469,7 +469,7 @@ object StreamOps {
     // a one-source self-join here (self-join state bookkeeping outweighs
     // the saved file listing at this scale)
     def src = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))

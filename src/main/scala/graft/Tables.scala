@@ -18,14 +18,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as a long (legacy nanosAsLong) and convert to
-    * a microsecond TimestampType by integer division — same truncation
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP. */
+  /** The driver has shipped events.ts under two parquet encodings:
+    * TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp — read
+    * as long via legacy nanosAsLong, ÷1000 → micros, same truncation DuckDB
+    * applies casting TIMESTAMP_NS to TIMESTAMP) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (TIMESTAMP_NTZ in Spark). Normalize either to a
+    * microsecond TimestampType so every downstream query sees one type;
+    * under the UTC session timezone all entrypoints set, the NTZ→TS cast is
+    * identity on the underlying micros, exactly matching DuckDB's naive
+    * reading of the same file. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

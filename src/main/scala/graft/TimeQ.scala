@@ -13,6 +13,7 @@ object TimeQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       // match Bench: see the comment there on the 100-entry default
       .config("spark.sql.codegen.cache.maxEntries", "10000")
     // A/B overrides: SPARK_GRAFT_CONF="k=v;k=v"

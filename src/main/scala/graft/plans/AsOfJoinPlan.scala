@@ -153,16 +153,22 @@ object AsOfJoinLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   * at 100 TB turns "shuffle the entire right history" into "shuffle only
   * rows inside the queried time range" (row-group skipping included).
   *
-  * The bound is read from the left child's CONSTRAINTS, not a structural
-  * Filter match: by the time this batch runs, predicate pushdown has moved
-  * the user's filter below any Projects (often re-expressed on the raw
-  * scan column), but constraint propagation carries the implied
-  * `leftTime ≤ literal` back up through the aliases. The right-constraints
-  * guard keeps the rewrite from re-firing at fixpoint. */
+  * The bound is read from the left child's CONSTRAINTS plus descendant
+  * Filter conjuncts, not a single structural Filter match: by the time
+  * this batch runs, predicate pushdown has moved the user's filter below
+  * any Projects — and when the normalizing projection is a plain
+  * timestamp-flavor cast, the optimizer UNWRAPS the comparison onto the
+  * raw scan column, so the bound is no longer a constraint on `leftTime`
+  * at all. We therefore also follow leftTime's identity/timestamp-cast
+  * alias chain down the left tree and accept bounds expressed on any
+  * attribute in that chain (a timestamp↔ntz cast is micros-identity under
+  * the UTC session semantics this engine pins, so the bound transfers
+  * unchanged). The right-constraints guard keeps the rewrite from
+  * re-firing at fixpoint. */
 object AsOfJoinTimeFilterPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{And, Attribute => Attr, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute => Attr, Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
   import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
   /** Both timestamp flavors carry epoch micros; the exec compares the raw
@@ -177,16 +183,56 @@ object AsOfJoinTimeFilterPushdown
       case _ => None
     }
 
+  private def isTsFlavor(e: Expression): Boolean =
+    e.dataType == TimestampType || e.dataType == TimestampNTZType
+
+  /** exprIds that carry the same micros as `t`: t itself plus every
+    * attribute it is a Project alias of, through identity or
+    * timestamp-flavor casts only (both are micros-preserving). */
+  private def timeIds(left: LogicalPlan, t: Attr): Set[Long] = {
+    var ids = Set(t.exprId.id)
+    var grew = true
+    while (grew) {
+      grew = false
+      left.foreach {
+        case p: Project => p.projectList.foreach {
+          case al: Alias if ids.contains(al.exprId.id) =>
+            val under = al.child match {
+              case a: Attr if isTsFlavor(a) => Some(a)
+              case Cast(a: Attr, TimestampType | TimestampNTZType, _, _)
+                  if isTsFlavor(a) => Some(a)
+              case _ => None
+            }
+            under.foreach { a =>
+              if (!ids.contains(a.exprId.id)) { ids += a.exprId.id; grew = true }
+            }
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    ids
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => other :: Nil
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case a: AsOfJoin =>
-      val bounds: Seq[Expression] = a.left.constraints.toSeq.collect {
-        case LessThanOrEqual(t: Attr, l: Literal) if t.semanticEquals(a.leftTime) =>
+      val ids = timeIds(a.left, a.leftTime)
+      def onTime(t: Attr): Boolean = ids.contains(t.exprId.id)
+      val cands: Seq[Expression] = a.left.constraints.toSeq ++
+        a.left.collect { case f: Filter => conjuncts(f.condition) }.flatten
+      val bounds: Seq[Expression] = cands.collect {
+        case LessThanOrEqual(t: Attr, l: Literal) if onTime(t) =>
           retype(l, a.rightTime).map(LessThanOrEqual(a.rightTime, _))
-        case LessThan(t: Attr, l: Literal) if t.semanticEquals(a.leftTime) =>
+        case LessThan(t: Attr, l: Literal) if onTime(t) =>
           retype(l, a.rightTime).map(LessThan(a.rightTime, _)) // rt ≤ lt < T ⇒ rt < T
-        case GreaterThanOrEqual(l: Literal, t: Attr) if t.semanticEquals(a.leftTime) =>
+        case GreaterThanOrEqual(l: Literal, t: Attr) if onTime(t) =>
           retype(l, a.rightTime).map(LessThanOrEqual(a.rightTime, _))
-        case GreaterThan(l: Literal, t: Attr) if t.semanticEquals(a.leftTime) =>
+        case GreaterThan(l: Literal, t: Attr) if onTime(t) =>
           retype(l, a.rightTime).map(LessThan(a.rightTime, _))
       }.flatten
       val fresh = bounds.filterNot(b => a.right.constraints.exists(_.semanticEquals(b)))
