@@ -1342,10 +1342,93 @@ object AnnOps {
        |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
        |ORDER BY probe_id, rn""".stripMargin
 
+  // ------------------------------------------- 1-bit binary quantization
+
+  private val BitShortlist = 64
+
+  /** BINARY QUANTIZATION + Hamming search — the terminal rung of the
+    * compression ladder (float32 32× → int8 4× → PQ/prefix → 1 BIT per
+    * dimension, 32× smaller than float32): each dimension keeps only its
+    * sign, packed into two 32-bit words (bits 0–31 of each long; staying
+    * off bit 63 keeps every shift portable — no engine-specific
+    * shift-overflow or sign-bit edge in either Spark or the oracle), and
+    * candidate distance is XOR + popcount (`bit_count`), the cheapest
+    * vector comparison that exists — SIMD-free integer ops, 16 bytes per
+    * vector. The top-`BitShortlist` Hamming shortlist per probe is then
+    * re-ranked with full-precision cosine (the same shortlist→refine
+    * architecture as `rerankAdc` and the prefix tier), top-5 kept.
+    *
+    * Scale shape: encode is a row-local fold in the scan projection (the
+    * corpus never shuffles), probes broadcast, and both rank-limit
+    * windows are the bounded-heap shape, so only ≤64 rows per probe ever
+    * touch a float. At 100 TB the packed words live as two int64 parquet
+    * columns: the Hamming sweep reads 16 B/vector instead of 256 B —
+    * the recall-for-bytes trade every production vector store ships
+    * (sign-bit BQ with exact re-rank). Sign is exact on both engines
+    * (no rounding mode is involved, unlike int8's half-up guard). */
+  def qEmbedBit(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    VectorFunctions.register(s)
+    def pack(offset: Int): String =
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(embedding, i + ${offset + 1}) >= 0.0D, shiftleft(1L, i), 0L))"
+    val e = embeddings(s, d)
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+      .withColumn("lo", expr(pack(0)))
+      .withColumn("hi", expr(pack(32)))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("lo").as("plo"), col("hi").as("phi"))
+    val ham = e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(probes))
+      .withColumn("hamming",
+        (expr("bit_count(lo ^ plo)") + expr("bit_count(hi ^ phi)")).cast("long"))
+    val ws = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    ham.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= BitShortlist)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("hamming"),
+        round(expr("graft_dot(embedding, pvec)") /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qEmbedBitSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |        list_sum(list_transform(emb, x -> x * x)) AS na FROM e),
+       |bits AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN emb[t.i + 1] >= 0 THEN (1::BIGINT << t.i) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN emb[t.i + 33] >= 0 THEN (1::BIGINT << t.i) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM n, range(32) t(i) GROUP BY vec_id),
+       |f AS (SELECT n.vec_id, n.emb, n.na, bits.lo, bits.hi
+       |      FROM n JOIN bits USING (vec_id)),
+       |h AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |        CAST(bit_count(xor(c.lo, p.lo)) + bit_count(xor(c.hi, p.hi)) AS BIGINT) AS hamming,
+       |        c.emb AS cemb, c.na AS cna, p.emb AS pemb, p.na AS pna
+       |      FROM f p, f c WHERE p.vec_id < 3 AND c.vec_id >= 3),
+       |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |         ORDER BY hamming, neighbor_id) AS srn FROM h),
+       |scored AS (SELECT probe_id, neighbor_id, hamming,
+       |    round(list_sum(list_transform(list_zip(cemb, pemb), x -> x[1] * x[2]))
+       |          / sqrt(cna * pna), 4) AS score
+       |  FROM sl WHERE srn <= $BitShortlist),
+       |r AS (SELECT probe_id, neighbor_id, hamming, score,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |          ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+       |SELECT probe_id, neighbor_id, hamming, score, rn FROM r WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_int8" -> (qEmbedInt8 _),
+    "q_embed_bit" -> (qEmbedBit _),
     "q_sim_ann_prefix" -> (qSimAnnPrefix _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
@@ -1361,6 +1444,7 @@ object AnnOps {
 
   val oracle: Map[String, String] = Map(
     "q_embed_int8" -> qEmbedInt8Sql,
+    "q_embed_bit" -> qEmbedBitSql,
     "q_sim_ann_prefix" -> qSimAnnPrefixSql,
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,

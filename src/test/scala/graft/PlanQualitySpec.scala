@@ -250,4 +250,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
       s"shortlist/top-3 windows must be two-phase rank limits:\n$p")
   }
+
+  test("bit quantization broadcasts probes; Hamming sweep never shuffles the corpus") {
+    val p = plan("q_embed_bit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe fan-out must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus must never cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"shortlist/top-5 windows must be two-phase rank limits:\n$p")
+  }
 }
