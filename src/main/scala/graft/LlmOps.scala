@@ -1076,10 +1076,11 @@ object LlmOps {
       |  FROM hh h LEFT JOIN bits b ON h.pos // 63 = b.block
       |  GROUP BY 1, 2)
       |SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_members,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_members,
       |  CAST(SUM(all_hit) AS BIGINT) AS n_flagged,
-      |  SUM(CASE WHEN all_hit = 1 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)
-      |    AS n_false_pos
+      |  CAST(SUM(CASE WHEN all_hit = 1 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------- registry

@@ -289,4 +289,60 @@ class QueriesSpec extends AnyFunSuite {
     // which the text row's distinct can never exceed
     assert(rows("text").getAs[Long]("n_distinct") <= ids.getAs[Long]("n_distinct"))
   }
+
+  test("oracle SQL: every final-projection SUM/AVG is CAST-wrapped") {
+    // DuckDB widens SUM(int) to HUGEINT (int128) and may return DECIMAL for
+    // other aggregates, while Spark emits BIGINT/DOUBLE — an uncast aggregate
+    // in an oracle's OUTPUT schema hash-mismatches even when every value is
+    // identical (the r10 q_dedup_bloom failure). COUNT/MIN/MAX are
+    // type-preserving and safe; SUM/AVG in the final SELECT list must be
+    // wrapped in CAST so both engines agree on the column type.
+    def bareAggs(sql: String): Seq[String] = {
+      val up = sql.toUpperCase
+      def isWord(i: Int) = i >= 0 && (up(i).isLetterOrDigit || up(i) == '_')
+      // last SELECT at paren depth 0 starts the final projection
+      var depth = 0; var lastSel = -1
+      for (i <- sql.indices) sql(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith("SELECT", i) && !isWord(i - 1))
+            lastSel = i
+      }
+      require(lastSel >= 0, "oracle has no top-level SELECT")
+      // projection ends at the next paren-depth-0 FROM
+      depth = 0; var end = sql.length; var i = lastSel + 6
+      while (i < sql.length && end == sql.length) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => if (depth == 0 && up.startsWith("FROM", i) && !isWord(i - 1)) end = i
+        }
+        i += 1
+      }
+      // walk the projection keeping a stack of open-paren "labels" (the
+      // identifier immediately before each '('); a SUM/AVG paren with no
+      // enclosing CAST label is a bare aggregate in the output schema
+      val stack = scala.collection.mutable.Stack[String]()
+      val bad = scala.collection.mutable.Buffer[String]()
+      for (j <- lastSel until end) sql(j) match {
+        case '(' =>
+          var k = j - 1
+          while (k >= lastSel && sql(k).isWhitespace) k -= 1
+          val e = k
+          while (k >= lastSel && isWord(k)) k -= 1
+          val label = up.substring(k + 1, e + 1)
+          if ((label == "SUM" || label == "AVG") && !stack.contains("CAST"))
+            bad += s"$label( at offset $j"
+          stack.push(label)
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      bad.toSeq
+    }
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => bareAggs(sql).map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
