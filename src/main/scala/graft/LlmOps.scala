@@ -579,7 +579,11 @@ object LlmOps {
   /** The FULL curation DAG of a data release — the composed gate sequence
     * every stage query covers in isolation, run as one plan with
     * per-stage survivor counts:
-    *   1 raw → 2 quality ≥ 0.5 → 3 exact-dedup survivor (min doc_id per
+    *   0 raw → 1 normalized (TextOps.normalizeCol gate 0: HTML strip +
+    *   entity decode + zero-width removal + NFC + whitespace collapse,
+    *   survivor = non-empty normalized text; every later gate tokenizes
+    *   the NORMALIZED text, which is where a real pipeline's gates read
+    *   from) → 2 quality ≥ 0.5 → 3 exact-dedup survivor (min doc_id per
     *   canonical token set) → 4 near-dup survivor (MinHash band: dropped
     *   iff any of the 4 band buckets holds a smaller surviving doc) →
     *   5 decontaminated (shingle overlap with the doc_id<10 benchmark
@@ -595,7 +599,7 @@ object LlmOps {
     * ever rescans the corpus. */
   def qPipelineCuration(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{MinHash => MH}
-    val tk = "split(text, ' ')"
+    val tk = "split(norm, ' ')"
     val shingleArr =
       s"""CASE WHEN size(tk) >= 3 THEN array_distinct(transform(
          |  sequence(1, size(tk) - 2),
@@ -607,8 +611,10 @@ object LlmOps {
         |ELSE slice(array(struct(tk[0] AS w1, tk[0] AS w2)), 1, 0) END""".stripMargin
     graft.functions.VectorFunctions.register(s)
     val base = documents(s, d)
-      .select(col("doc_id"), expr(tk).as("tk"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), TextOps.normalizeCol(col("text")).as("norm"))
+      .select(col("doc_id"), (length(col("norm")) > 0).as("s1"),
+        expr(tk).as("tk"))
+      .select(col("doc_id"), col("s1"),
         (lit(0.4) * (size(array_distinct(col("tk"))).cast(DoubleType) /
           size(col("tk")).cast(DoubleType)) +
           lit(0.3) * (lit(1.0) - size(filter(col("tk"), t => t === "the" || t === "a"))
@@ -630,8 +636,8 @@ object LlmOps {
     // funnel counts come out of ONE conditional-count aggregation — the
     // earlier 6-branch union re-executed the cumulative stage-k join
     // chain once per later branch (≈15 subtree executions vs ~7 here).
-    // stage 2: quality gate
-    val q2 = col("score") >= 0.5
+    // stage 2: quality gate (composed with gate 1 — normalized non-empty)
+    val q2 = col("s1") && col("score") >= 0.5
     // stage 3: exact-dedup survivor among quality survivors
     val canonMin = base.filter(q2)
       .groupBy(col("canon")).agg(min(col("doc_id")).as("cmin"))
@@ -680,7 +686,8 @@ object LlmOps {
       .filter(col("avg_p") >= 0.034)
       .agg(count(lit(1)).as("c6"))
     val crow = sp5.agg(
-      count(lit(1)).as("c1"),
+      count(lit(1)).as("c0"),
+      count(when(col("s1"), lit(1))).as("c1"),
       count(when(q2, lit(1))).as("c2"),
       count(when(col("s3"), lit(1))).as("c3"),
       count(when(col("s4"), lit(1))).as("c4"),
@@ -689,7 +696,8 @@ object LlmOps {
       struct(lit(stage).as("stage"), lit(label).as("label"), c.as("n_docs"))
     crow.crossJoin(c6row)
       .select(explode(array(
-        stageRow(1, "raw", col("c1")),
+        stageRow(0, "raw", col("c0")),
+        stageRow(1, "normalized", col("c1")),
         stageRow(2, "quality", col("c2")),
         stageRow(3, "dedup_exact", col("c3")),
         stageRow(4, "dedup_near", col("c4")),
@@ -707,9 +715,13 @@ object LlmOps {
       val ks = (0 until MH.R).map(r => s"m${MH.R * b + r} AS k$r").mkString(", ")
       s"SELECT $b AS band, $ks, doc_id FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tkd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH normed AS (
+       |  SELECT doc_id, ${TextOps.normalizeSqlOf("text")} AS norm
+       |  FROM documents),
+       |tkd AS (SELECT doc_id, len(norm) > 0 AS s1,
+       |               string_split(norm, ' ') AS tk FROM normed),
        |scored AS (
-       |  SELECT doc_id, tk,
+       |  SELECT doc_id, tk, s1,
        |    0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
        |    + 0.3 * (1.0 - CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE)
        |             / CAST(len(tk) AS DOUBLE))
@@ -725,7 +737,7 @@ object LlmOps {
        |sh AS (SELECT DISTINCT doc_id,
        |         ${textHashSql("tok || ' ' || t2 || ' ' || t3")} AS v
        |       FROM led WHERE t3 IS NOT NULL),
-       |d2 AS (SELECT doc_id, canon FROM scored WHERE score >= 0.5),
+       |d2 AS (SELECT doc_id, canon FROM scored WHERE s1 AND score >= 0.5),
        |cm AS (SELECT canon, MIN(doc_id) AS cmin FROM d2 GROUP BY canon),
        |d3 AS (SELECT d2.doc_id FROM d2
        |       JOIN cm ON d2.canon = cm.canon AND d2.doc_id = cm.cmin),
@@ -762,7 +774,8 @@ object LlmOps {
        |       WHERE bg.doc_id IN (SELECT doc_id FROM d5)
        |       GROUP BY bg.doc_id),
        |d6 AS (SELECT doc_id FROM ds WHERE avg_p >= 0.034)
-       |SELECT 1 AS stage, 'raw' AS label, (SELECT COUNT(*) FROM scored) AS n_docs
+       |SELECT 0 AS stage, 'raw' AS label, (SELECT COUNT(*) FROM scored) AS n_docs
+       |UNION ALL SELECT 1, 'normalized', (SELECT COUNT(*) FROM scored WHERE s1)
        |UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM d2)
        |UNION ALL SELECT 3, 'dedup_exact', (SELECT COUNT(*) FROM d3)
        |UNION ALL SELECT 4, 'dedup_near', (SELECT COUNT(*) FROM d4)

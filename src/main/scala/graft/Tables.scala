@@ -30,7 +30,13 @@ object Tables {
   def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+        // floor division, not `div`: DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+        // floors, while `div` truncates toward zero — pre-epoch (negative)
+        // nanos would disagree by 1µs between engines otherwise.
+        // n - pmod(n, 1000) is the largest multiple of 1000 ≤ n, so the
+        // div is exact and the result is floor(n/1000) for all signs.
+        df.withColumn(colName,
+          timestamp_micros(expr(s"($colName - pmod($colName, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(colName,
           col(colName).cast(org.apache.spark.sql.types.TimestampType))

@@ -587,6 +587,84 @@ object TextOps {
       |  CAST(SUM(len(txt) - len(re2)) AS BIGINT) AS chars_delta
       |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------- HTML strip + Unicode normalization
+
+  /** Unstructured-to-text extraction — the gate that precedes every
+    * dedup/quality pass in practice: strip HTML tags, decode the common
+    * entities, remove zero-width characters, NFC-canonicalize (via the
+    * codegen'd graft_nfc expression), collapse whitespace. The corpus
+    * texts are clean, so each doc is wrapped in deterministic dirt
+    * derived from doc_id (markup, an entity run, a zero-width space, and
+    * a combining-accent sequence that NFC must compose) — the operator
+    * then has real work to undo on every row and the oracle checks the
+    * full normalized STRING per doc, not just counts. Entirely row-local
+    * expression work: at 100 TB this is a scan-bound projection with no
+    * shuffle at all (the output is the per-doc normalized text itself).
+    * Entity decode order matters and is pinned identically on both
+    * sides: &lt;/&gt;/&quot;/&#39; first, &amp; last, so '&amp;' cannot
+    * double-decode. */
+  private val tagPat = "<[^>]*>"
+  private val zwPat = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+  private val wsPat = "[ \\t\\n\\r]+"
+
+  /** The full normalization chain as a reusable Column — shared by
+    * q_text_normalize and the curation funnel's gate 0. Requires
+    * VectorFunctions.register on the session (for graft_nfc). */
+  private[graft] def normalizeCol(c: Column): Column = {
+    val stripped = regexp_replace(c, tagPat, " ")
+    val decoded =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(stripped,
+          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+        "&amp;", "&")
+    val nozw = regexp_replace(decoded, zwPat, "")
+    trim(regexp_replace(call_function("graft_nfc", nozw), wsPat, " "))
+  }
+
+  /** The identical chain in DuckDB SQL over expression `e`. */
+  private[graft] def normalizeSqlOf(e: String): String =
+    s"""trim(regexp_replace(nfc_normalize(
+       |      regexp_replace(
+       |        replace(replace(replace(replace(replace(
+       |          regexp_replace($e, '<[^>]*>', ' ', 'g'),
+       |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |          '&amp;', '&'),
+       |        '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g')),
+       |      '[ \\t\\n\\r]+', ' ', 'g'))""".stripMargin
+
+  def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        concat(lit("<div id=\""), col("doc_id").cast(StringType),
+          lit("\" class='x'>"), col("text"),
+          lit("</div> &amp; &lt;t"), col("doc_id").cast(StringType),
+          // U+200B zero-width space, then 'e' + U+0301 combining
+          // acute (NFC must compose it) — explicit escapes so the
+          // bytes provably match the oracle's chr(8203)/chr(769)
+          lit("&gt;\u200B e\u0301 tail")).as("dirty"))
+      .withColumn("norm", normalizeCol(col("dirty")))
+      .select(col("doc_id"), col("lang"),
+        length(col("dirty")).as("n_raw"), length(col("norm")).as("n_norm"),
+        col("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextNormalizeSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    '<div id="' || CAST(doc_id AS VARCHAR) || '" class=''x''>' || text
+      |      || '</div> &amp; &lt;t' || CAST(doc_id AS VARCHAR)
+      |      || '&gt;' || chr(8203) || ' e' || chr(769) || ' tail' AS dirty
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, lang, dirty,
+      |    ${normalizeSqlOf("dirty")} AS norm
+      |  FROM t)
+      |SELECT doc_id, lang, length(dirty) AS n_raw, length(norm) AS n_norm,
+      |  norm
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- sequence packing
 
   /** Context-window length for training-example packing. */
@@ -836,6 +914,7 @@ object TextOps {
     "q_text_bpe" -> (qTextBpe _),
     "q_text_bpe_apply" -> (qTextBpeApply _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_text_normalize" -> (qTextNormalize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -855,5 +934,6 @@ object TextOps {
     "q_text_bpe" -> qTextBpeSql,
     "q_text_bpe_apply" -> qTextBpeApplySql,
     "q_pack_sequences" -> qPackSequencesSql,
+    "q_text_normalize" -> qTextNormalizeSql,
   )
 }

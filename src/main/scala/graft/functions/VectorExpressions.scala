@@ -552,6 +552,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_minhash_arr"),
       new ExpressionInfo(classOf[MinHashArrayExpr].getName, "graft_minhash_arr"),
       (es: Seq[Expression]) => MinHashArrayExpr(es.head)),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
   )
 
   /** Session-local registration (idempotent) — lets any query use the

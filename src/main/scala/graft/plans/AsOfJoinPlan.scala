@@ -186,21 +186,53 @@ object AsOfJoinTimeFilterPushdown
   private def isTsFlavor(e: Expression): Boolean =
     e.dataType == TimestampType || e.dataType == TimestampNTZType
 
+  /** A timestamp↔ntz Cast evaluates through the session time zone; treating
+    * it as micros-identity is only sound when that zone is UTC. All graft
+    * entrypoints pin UTC, but the rule must not rely on that for sessions
+    * that register GraftExtensions standalone. */
+  private def utcSession: Boolean = {
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+  }
+
+  /** The unary-operator chain from `p` down to the first non-unary node
+    * (scan, join, Union, ...). Filters/Projects gathered here dominate every
+    * row reaching the join; walking DEEPER is unsound — a Union reuses its
+    * first child's exprIds in its output, so a Filter inside one branch
+    * would masquerade as a bound that holds for all branches. */
+  private def spine(p: LogicalPlan): Seq[LogicalPlan] = {
+    val buf = scala.collection.mutable.Buffer[LogicalPlan]()
+    var cur = p
+    var descend = true
+    while (descend) {
+      buf += cur
+      cur match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+          cur = u.child
+        case _ => descend = false
+      }
+    }
+    buf.toSeq
+  }
+
   /** exprIds that carry the same micros as `t`: t itself plus every
-    * attribute it is a Project alias of, through identity or
-    * timestamp-flavor casts only (both are micros-preserving). */
+    * attribute it is a Project alias of, through identity or (UTC sessions
+    * only) timestamp-flavor casts — restricted to the unary spine so alias
+    * chains inside Union branches are never followed. */
   private def timeIds(left: LogicalPlan, t: Attr): Set[Long] = {
+    val chain = spine(left)
     var ids = Set(t.exprId.id)
     var grew = true
     while (grew) {
       grew = false
-      left.foreach {
+      chain.foreach {
         case p: Project => p.projectList.foreach {
           case al: Alias if ids.contains(al.exprId.id) =>
             val under = al.child match {
               case a: Attr if isTsFlavor(a) => Some(a)
               case Cast(a: Attr, TimestampType | TimestampNTZType, _, _)
-                  if isTsFlavor(a) => Some(a)
+                  if isTsFlavor(a) && utcSession => Some(a)
               case _ => None
             }
             under.foreach { a =>
@@ -224,7 +256,7 @@ object AsOfJoinTimeFilterPushdown
       val ids = timeIds(a.left, a.leftTime)
       def onTime(t: Attr): Boolean = ids.contains(t.exprId.id)
       val cands: Seq[Expression] = a.left.constraints.toSeq ++
-        a.left.collect { case f: Filter => conjuncts(f.condition) }.flatten
+        spine(a.left).collect { case f: Filter => conjuncts(f.condition) }.flatten
       val bounds: Seq[Expression] = cands.collect {
         case LessThanOrEqual(t: Attr, l: Literal) if onTime(t) =>
           retype(l, a.rightTime).map(LessThanOrEqual(a.rightTime, _))

@@ -179,14 +179,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(rerun.map(_.toSeq)))
   }
 
-  test("multimodal decode: empty payload yields first_byte 0, not a crash") {
+  test("multimodal decode: real WAV codec round-trips, skips junk, survives empty") {
     import spark.implicits._
+    import graft.functions.WavCodec
+    // direct codec round-trip: header fields and samples all survive,
+    // with and without the interposed LIST metadata chunk
+    for (junk <- Seq(true, false)) {
+      val w = WavCodec.parse(WavCodec.build("hello".getBytes("UTF-8"), 12000, junk))
+        .getOrElse(fail(s"parse failed (junk=$junk)"))
+      assert(w.sampleRate === 12000 && w.channels === 1 && w.bitsPerSample === 8)
+      assert(w.samples.toSeq === "hello".getBytes("UTF-8").map(_ & 0xff).toSeq)
+    }
+    // odd-length PCM exercises the RIFF word-alignment pad byte
+    val odd = WavCodec.parse(WavCodec.build(Array[Byte](1, 2, 3), 8000, true)).get
+    assert(odd.samples.toSeq === Seq(1, 2, 3))
+    // hostile bytes: truncated, wrong magic, empty — None, never a throw
+    assert(WavCodec.parse(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.parse("RIFFxxxxJUNK".getBytes("ASCII")).isEmpty)
+    assert(WavCodec.parse(WavCodec.build("x".getBytes, 8000, false).take(20)).isEmpty)
+    // the Spark pipeline: empty payload decodes to a 0-sample row, not a crash
     val docs = Seq((1L, "hello", "en"), (2L, "", "en"))
       .toDF("doc_id", "text", "lang")
-    val out = AnnOps.decodeBinary(spark, docs).orderBy(col("doc_id")).collect()
+    val out = AnnOps.decodeWav(spark, AnnOps.buildWavPayloads(spark, docs))
+      .orderBy(col("doc_id")).collect()
     assert(out.length === 2)
-    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 'h'.toLong)
-    assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
+    assert(out(0).getAs[Long]("n_samples") === 5L)
+    assert(out(0).getAs[Long]("sum_amp") === "hello".getBytes.map(_ & 0xff).sum.toLong)
+    assert(out(0).getAs[Long]("peak") === 'o'.toLong)
+    assert(out(1).getAs[Long]("n_samples") === 0L && out(1).getAs[Long]("peak") === 0L)
+    // doc 1 (odd id) gets rate 8000+1*4000; duration_ms floors n*1000/rate
+    assert(out(0).getAs[Long]("sample_rate") === 12000L)
+    assert(out(0).getAs[Long]("duration_ms") === 5L * 1000L / 12000L)
   }
 
   test("persisted ANN index probes (full build AND incremental append) return exactly the inline IVF-PQ answer") {
@@ -221,7 +244,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("curation funnel: stage counts are monotone non-increasing") {
     val rows = LlmOps.qPipelineCuration(spark, sf).collect()
-    assert(rows.map(_.getInt(0)).toSeq === (1 to 6))
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 6))
     val counts = rows.map(_.getLong(2))
     assert(counts.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
       s"a gate grew the corpus: ${counts.mkString(",")}")
