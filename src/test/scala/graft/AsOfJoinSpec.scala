@@ -122,6 +122,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length === b.length && a.sameElements(b))
   }
 
+  test("a filter inside ONE Union branch is NOT pushed as a right-side bound") {
+    // Union output reuses the FIRST child's exprIds, so a bound filtered in
+    // branch 1 must not prune right-side history that branch 2 still needs
+    // (the r10 ADVICE soundness hole — the rule now walks only the unary
+    // spine above the join's left child)
+    // the bound sits INSIDE the orders date range (1995–2001) while all
+    // events are later (2024): branch 1 is empty, branch 2 is everything,
+    // and an unsound right-side prune at the bound would drop the
+    // post-1998 orders that are the true as-of matches
+    val bound = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val early = e.filter(col("ts") <= lit(bound))
+    val late = e.filter(col("ts") > lit(bound))
+    val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))
+    val joined = AsOfJoinApi.asofJoin(early.union(late), o,
+      "user_id", "ts", "o_custkey", "o_orderdate")
+    // correctness: the union covers every event exactly once, so the result
+    // must equal the as-of join over the unsplit event set — if the branch-1
+    // bound leaked into the right scan, late events would lose matches
+    val whole = AsOfJoinApi.asofJoin(e, o, "user_id", "ts", "o_custkey", "o_orderdate")
+    val a = joined.orderBy(col("event_id")).collect().map(_.toSeq)
+    val b = whole.orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.length === b.length && a.sameElements(b))
+    // and at least one late event has a match beyond the branch-1 bound —
+    // otherwise this test couldn't detect the unsound prune
+    val lateMatched = joined.filter(col("ts") > lit(bound) &&
+      col("o_orderdate") > lit(bound)).count()
+    assert(lateMatched > 0,
+      "fixture has no match beyond the bound; the soundness check is vacuous")
+  }
+
   test("limit pushes through the as-of join (AsOfJoinLimitPushdown rule)") {
     val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderdate"))

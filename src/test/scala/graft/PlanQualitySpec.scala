@@ -206,15 +206,21 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("ANN recall truths broadcast their probes; no vector-by-vector cartesian") {
-    // the recall query's OUTPUT is a driver-assembled local relation (the
-    // six scorecards materialize concurrently), so plan quality is
-    // asserted on the per-method frames that actually execute
+    // the truths are computed in ONE pass (tagged probe union, single
+    // cross-join, per-(method,probe) window) and consumed via a lazy
+    // checkpoint, so the assertion targets the un-checkpointed truth
+    // frame — the plan that actually executes once
+    val truth = AnnOps.recallTruthAll(spark,
+      AnnOps.recallEmb(spark, sf), AnnOps.recallSpecs)
+    val p = truth.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"brute-force truths must be broadcast-nested-loop over ≤60 probes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast probe cross-join in the truth plan:\n$p")
+    // and no frame regresses to a cartesian anywhere
     AnnOps.recallFrames(spark, sf).foreach { df =>
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"brute-force truths must be broadcast-nested-loop over ≤10 probes:\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-        s"expected broadcast probe joins in the recall frame plan:\n$p")
+      val fp = df.queryExecution.executedPlan.toString
+      assert(!fp.contains("CartesianProduct"), s"cartesian in a recall frame:\n$fp")
     }
   }
 
