@@ -381,11 +381,16 @@ object StreamOps {
     def sentinel(t: String): DataFrame = s.range(1)
       .select(to_timestamp(lit(t)).as("ts"), lit("__wm__").as("event_type"),
         lit(0.0).as("value"))
+    // ONE sentinel suffices (r11, measured): its batch advances the
+    // watermark past every real window, and the engine's no-data
+    // micro-batch (noDataMicroBatches.enabled, default on) runs the
+    // flush that a second sentinel file used to force — one fewer
+    // sequential micro-batch; identical output at all three SFs. The
+    // sentinel's own window (2100-01-01+1h) stays above the final
+    // watermark and never flushes; the read-back filter drops it if a
+    // trailing no-data batch ever does.
     sentinel("2100-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
-    val s1Files = listParquet() -- dataFiles
-    pin(s1Files, 2)
-    sentinel("2101-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
-    pin(listParquet() -- dataFiles -- s1Files, 3)
+    pin(listParquet() -- dataFiles, 2)
     val schema = s.read.parquet(src).schema
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
@@ -544,9 +549,10 @@ object StreamOps {
     * sentinel discipline (explicit far-future rows, mtime-pinned file
     * order, maxFilesPerTrigger=1): batch 1 = data, batch 2 = click
     * sentinel (advances the left watermark), batch 3 = purchase
-    * sentinel (advances the right / global watermark), batch 4 = a
-    * second click sentinel whose batch lets the now-advanced watermark
-    * evict and emit every unmatched real click. Sentinels carry
+    * sentinel (advances the right / global watermark), after which the
+    * engine's no-data micro-batch lets the now-advanced watermark evict
+    * and emit every unmatched real click (r11: this replaced a fourth
+    * sentinel batch — measured identical output). Sentinels carry
     * user_id = -1 and are dropped on read-back; their own windows sit
     * past the final watermark and never flush. At 100 TB this is the
     * bounded-backfill termination story again: a watermark heartbeat,
@@ -576,13 +582,16 @@ object StreamOps {
       .coalesce(1).write.mode("append").parquet(src)
     val s1 = listParquet() -- dataFiles
     pin(s1, 2)
+    // TWO sentinels suffice (r11, measured): after the purchase sentinel
+    // lands, both sides' watermarks are past every data row's bound, and
+    // the engine's no-data micro-batch (spark.sql.streaming
+    // .noDataMicroBatches.enabled, default on) runs the flush batch that
+    // a third sentinel file used to force — one fewer sequential
+    // micro-batch on the fleet's most expensive query, identical output
+    // (oracle-checked at all three SFs)
     sentinel("2100-01-02 00:00:00", "purchase")
       .coalesce(1).write.mode("append").parquet(src)
-    val s2 = listParquet() -- dataFiles -- s1
-    pin(s2, 3)
-    sentinel("2100-01-03 00:00:00", "click")
-      .coalesce(1).write.mode("append").parquet(src)
-    pin(listParquet() -- dataFiles -- s1 -- s2, 4)
+    pin(listParquet() -- dataFiles -- s1, 3)
     val schema = s.read.parquet(src).schema
     def srcStream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
