@@ -28,10 +28,15 @@ else
   git -C "$ROOT" worktree add --detach "$CTRL_DIR" "$CTRL_SHA" >&2
 fi
 
+# Compile/products, NOT compile: `compile` alone does not copy
+# src/main/resources into the classes dir, so a fresh control worktree
+# would lack META-INF/services/...DataSourceRegister and every
+# format("terarecord") query would fail fast — recording a bogus-small
+# control time (this bit round 11: a phantom 1.83× "regression").
 echo "[ab] building current tree" >&2
-(cd "$ROOT" && sbt -batch compile >/dev/null)
+(cd "$ROOT" && sbt -batch Compile/products >/dev/null)
 echo "[ab] building control ($CTRL_REF = ${CTRL_SHA:0:9})" >&2
-(cd "$CTRL_DIR" && sbt -batch compile >/dev/null)
+(cd "$CTRL_DIR" && sbt -batch Compile/products >/dev/null)
 
 # mirrors build.sbt's javaOptions (Spark 4 on JDK 17 outside spark-submit)
 ADD_OPENS=""
@@ -47,6 +52,15 @@ run_bench() { # $1=tree dir  $2=output json path
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
     2>"$2.err" | grep -m1 '"metric"' >"$2") \
     || { echo "[ab] bench FAILED in $1 (stderr tail):" >&2; tail -5 "$2.err" >&2; exit 1; }
+  # a failed query records a bogus-small timing (stale controls can't
+  # read regenerated fixtures; resource-less builds can't find DSv2
+  # sources) — surface it or the ratios lie
+  local nfail
+  nfail=$(grep -c "QUERY FAILED" "$2.err" || true)
+  if [ "$nfail" -gt 0 ]; then
+    echo "[ab] WARNING: $nfail QUERY FAILED in $2 — those rows' ratios are meaningless:" >&2
+    grep "QUERY FAILED" "$2.err" | sed 's/^/[ab]   /' | head -30 >&2
+  fi
 }
 
 for i in $(seq 1 "$REPS"); do
