@@ -904,6 +904,14 @@ object AnnOps {
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+    probeIndexWith(s, emb, probeCells, cb, table)
+  }
+
+  /** Probe with an explicit probe→cell fan-out (the rebalanced index
+    * probes over an UPDATED centroid set, so its fan-out cannot come
+    * from the shared original-centroid `ranked`). */
+  private def probeIndexWith(s: SparkSession, emb: DataFrame,
+      probeCells: DataFrame, cb: DataFrame, table: String): DataFrame = {
     val adc = pqAdc(
       emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
@@ -1001,6 +1009,164 @@ object AnnOps {
     }
     probeIndex(s, emb, ranked, cb, t)
   }
+
+  /** Index CELL RE-BALANCING after drift — the third maintenance verb
+    * (build/append → delete/compact → rebalance): when ingest skew
+    * crowds one cell, a probe touching it scans a disproportionate
+    * shard. Split the most crowded cell in place: two deterministic
+    * sub-centroids seeded from the cell's min/max-id members, the
+    * cell's rows re-assigned to the nearer seed (stored PQ codes are
+    * FROZEN and travel untouched — only the partition key changes; no
+    * vector is re-encoded and no other cell's directory is read or
+    * written), the old directory dropped via ALTER TABLE DROP
+    * PARTITION, and the two new cells appended. Probing then fans out
+    * over the UPDATED centroid set (8 original minus the split one,
+    * plus the two seeds as cells 8/9). The seed/count collects are
+    * metadata-scale (one cell id, two seed ids). The oracle replays
+    * the whole topology change relationally — split choice,
+    * reassignment ties, probe fan-out over 9 centroids — so a
+    * compaction that touched the wrong directory or re-encoded a code
+    * diverges. */
+  private val RebalanceTable = "default.graft_ann_index_r"
+
+  /** Phase 1: full build + split-cell choice. Returns (emb, cb, bigCell).
+    * Extracted so the spec can hash the untouched cell directories
+    * between build and compaction. */
+  private[graft] def rebalanceBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    RelOps.dropManaged(s, "graft_ann_index_r")
+    val (emb, ranked, cb) = annIndexInputs(s, d)
+    indexRows(emb, ranked, cb, lit(true))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .saveAsTable(RebalanceTable)
+    // the most crowded cell (count desc, cell_id asc) — metadata-scale
+    val bigCell = s.table(RebalanceTable).groupBy(col("cell_id")).count()
+      .orderBy(col("count").desc, col("cell_id")).limit(1)
+      .collect()(0).getLong(0)
+    (emb, cb, bigCell)
+  }
+
+  /** Phase 2: split the crowded cell in place. Returns the updated
+    * centroid set (for the probe fan-out). */
+  private[graft] def rebalanceCompact(s: SparkSession, emb: DataFrame,
+      bigCell: Long): DataFrame = {
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    // split seeds: the cell's min/max vec_id members (deterministic);
+    // this reads ONLY the crowded cell's directory
+    val members = s.table(RebalanceTable).filter(col("cell_id") === bigCell)
+      .select(col("vec_id"), col("codes"))
+    val seedRow = members.agg(min(col("vec_id")).as("a"),
+      max(col("vec_id")).as("b")).collect()(0)
+    val (seedA, seedB) = (seedRow.getLong(0), seedRow.getLong(1))
+    // two explicit sub-centroid rows (cells 8 and 9) even if the seeds
+    // coincide — mirrors the oracle's UNION ALL shape exactly
+    val subCents = e.filter(col("vec_id") === seedA)
+      .select(lit(8L).as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+      .union(e.filter(col("vec_id") === seedB)
+        .select(lit(9L).as("cell_id"), col("embedding").as("cvec"),
+          col("na").as("nc")))
+    // EAGER checkpoint before the DROP: reassigned READS the partition the
+    // next statement deletes — a lazy plan would re-resolve the table
+    // after the drop and silently write zero rows (this bit at sf0.01:
+    // cells 8/9 never appeared). Materializing one cell's rows is
+    // bounded by the shard size — it IS the compaction write's input.
+    val reassigned = CellAssign.rank(
+      members.join(e.select(col("vec_id"), col("embedding"), col("na")),
+        Seq("vec_id")),
+      subCents, "embedding", "na", top = 1)
+      .select(col("vec_id"), col("codes"), col("cell_id"))
+      .localCheckpoint()
+    s.sql(s"ALTER TABLE $RebalanceTable DROP IF EXISTS PARTITION " +
+      s"(cell_id = $bigCell)")
+    reassigned.repartition(col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").saveAsTable(RebalanceTable)
+    // the updated centroid set: originals minus the split cell, plus the
+    // two sub-centroids as cells 8/9
+    e.filter(col("vec_id") < 8 && col("vec_id") =!= bigCell)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+      .union(subCents)
+  }
+
+  def qSimAnnIndexRebalance(s: SparkSession, d: String): DataFrame = {
+    val (emb, cb, bigCell) = rebalanceBuild(s, d)
+    val cents2 = rebalanceCompact(s, emb, bigCell)
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    val probeCells = CellAssign.rank(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"), col("na")),
+      cents2, "embedding", "na", top = IvfNProbe)
+      .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+    probeIndexWith(s, emb, probeCells, cb, RebalanceTable)
+  }
+
+  /** Oracle for the rebalanced index: the inline IVF-PQ pipeline with
+    * the split topology replayed relationally. */
+  lazy val qSimAnnIndexRebalanceSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS cvec, na AS nc FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.na, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM dists) t WHERE arn = 1),
+       |big AS (SELECT cell_id FROM assigned GROUP BY cell_id
+       |        ORDER BY COUNT(*) DESC, cell_id LIMIT 1),
+       |mem AS (SELECT vec_id FROM assigned
+       |        WHERE cell_id = (SELECT cell_id FROM big)),
+       |subc AS (
+       |  SELECT 8 AS cell_id, e.v AS cvec, e.na AS nc FROM e
+       |  WHERE e.vec_id = (SELECT MIN(vec_id) FROM mem)
+       |  UNION ALL
+       |  SELECT 9, e.v, e.na FROM e
+       |  WHERE e.vec_id = (SELECT MAX(vec_id) FROM mem)),
+       |redists AS (
+       |  SELECT m.vec_id, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM mem m JOIN e ON e.vec_id = m.vec_id, subc c),
+       |reassigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+       |    FROM redists) t WHERE rn = 1),
+       |assigned2 AS (
+       |  SELECT vec_id, cell_id FROM assigned
+       |  WHERE cell_id <> (SELECT cell_id FROM big)
+       |  UNION ALL SELECT vec_id, cell_id FROM reassigned),
+       |cents2 AS (
+       |  SELECT cell_id, cvec, nc FROM cents
+       |  WHERE cell_id <> (SELECT cell_id FROM big)
+       |  UNION ALL SELECT cell_id, cvec, nc FROM subc),
+       |pdists AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents2 c WHERE e.vec_id >= 10 AND e.vec_id < 20),
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, cell_id AS pcell FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM pdists) t WHERE arn <= $IvfNProbe),
+       |$pqCodeSqlCtes,
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 20),
+       |$pqAdcSqlCte,
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(adc.pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
+       |  FROM assigned2 a
+       |  JOIN pcells pc ON a.cell_id = pc.pcell AND a.vec_id <> pc.probe_id
+       |  JOIN code ON code.vec_id = a.vec_id
+       |  JOIN adc ON adc.probe_id = pc.probe_id
+       |           AND adc.m = code.m AND adc.c_id = code.code
+       |  GROUP BY 1, 2),
+       |${rerankSqlTail}""".stripMargin
 
   // ------------------------------------------------------- ANN recall@3
 
@@ -1594,6 +1760,7 @@ object AnnOps {
     "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
     "q_sim_ann_index_delete" -> (qSimAnnIndexDelete _),
+    "q_sim_ann_index_rebalance" -> (qSimAnnIndexRebalance _),
     "q_sim_ann_recall" -> (qSimAnnRecall _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -1614,6 +1781,7 @@ object AnnOps {
     // appended index must be indistinguishable from the full build
     "q_sim_ann_index_incr" -> qSimAnnIvfPqSql,
     "q_sim_ann_index_delete" -> ivfPqSqlWith("a.vec_id % 5 <> 2"),
+    "q_sim_ann_index_rebalance" -> qSimAnnIndexRebalanceSql,
     "q_sim_ann_recall" -> qSimAnnRecallSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_semantic" -> qDedupSemanticSql,

@@ -59,6 +59,43 @@ class SinkSemanticsSpec extends AnyFunSuite {
     assert(n > nBase, "inserts must have landed in the en partition")
   }
 
+  test("index rebalance touches ONLY the split cell's directory") {
+    import org.apache.spark.sql.functions.col
+    val (emb, _, bigCell) = AnnOps.rebalanceBuild(spark, sf)
+    val tableDir = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "graft_ann_index_r")
+    val cells = spark.table("default.graft_ann_index_r")
+      .select(col("cell_id")).distinct().collect().map(_.getLong(0)).sorted
+    val untouched = cells.filterNot(_ == bigCell)
+    assert(untouched.nonEmpty && cells.contains(bigCell))
+    val before = untouched.map(c =>
+      c -> fileHashes(tableDir.resolve(s"cell_id=$c"))).toMap
+    val bigBefore = spark.table("default.graft_ann_index_r")
+      .filter(col("cell_id") === bigCell)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val total = spark.table("default.graft_ann_index_r").count()
+
+    AnnOps.rebalanceCompact(spark, emb, bigCell)
+
+    untouched.foreach { c =>
+      assert(fileHashes(tableDir.resolve(s"cell_id=$c")) === before(c),
+        s"cell_id=$c was not split but its files changed")
+    }
+    assert(!Files.isDirectory(tableDir.resolve(s"cell_id=$bigCell")),
+      "the split cell's directory must be dropped")
+    val after = spark.table("default.graft_ann_index_r")
+    assert(after.count() === total, "rebalance must not lose or add rows")
+    // the moved rows keep their FROZEN codes and land only in cells 8/9
+    val moved = after.filter(col("cell_id") >= 8)
+      .select(col("vec_id"), col("codes"), col("cell_id")).collect()
+    assert(moved.map(_.getLong(0)).toSet === bigBefore.keySet)
+    moved.foreach { r =>
+      assert(r.getSeq[Int](1) === bigBefore(r.getLong(0)),
+        s"vec ${r.getLong(0)} was re-encoded during rebalance")
+    }
+  }
+
   test("merge-overwrite query is rerun-idempotent in one session") {
     val a = RelOps.qMergeOverwrite(spark, sf).collect().map(_.toSeq)
     val b = RelOps.qMergeOverwrite(spark, sf).collect().map(_.toSeq)
