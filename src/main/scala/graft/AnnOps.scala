@@ -1168,6 +1168,85 @@ object AnnOps {
        |  GROUP BY 1, 2),
        |${rerankSqlTail}""".stripMargin
 
+  // --------------------------------------------------------- kNN JOIN
+
+  /** Corpus-scale kNN JOIN — the ANN shape every other search query here
+    * deliberately avoids: the probe set is NOT a handful of broadcast
+    * vectors but a corpus-sized CLASS (vec_id % 7 = 3, ~14% of the
+    * table), so nothing can broadcast. Topology: both sides take the
+    * same IVF cell assignment (corpus at its nearest cell, each query
+    * fanned out to its 2 nearest), then a cell-keyed SHUFFLE join
+    * (hinted shuffle_hash so the plan at any scale is the partitioned
+    * join, never a broadcast that would OOM at corpus-sized probes)
+    * scores only within-cell pairs — Σ|cell|·|queries∩cell| work, never
+    * |corpus|·|queries| — and a per-query window takes top-3. This is
+    * the batch "attach nearest neighbors to EVERY row" operator a
+    * dedup/linking pipeline runs corpus-vs-corpus at 100 TB. */
+  private val KnnJoinFanout = 2
+
+  def qSimKnnJoin(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    // one assignment pass feeds both sides
+    val ranked = CellAssign.rank(e, cents, "embedding", "na",
+        top = KnnJoinFanout)
+      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"),
+        col("arn"))
+      .localCheckpoint(eager = false)
+    val corpus = ranked.filter(col("arn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"),
+        col("na").as("nna"), col("cell_id"))
+    val queries = ranked.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("na").as("qna"), col("cell_id"))
+    // a corpus vector sits in exactly ONE cell and a query's fanout cells
+    // are distinct, so each (query, neighbor) pair matches at most once —
+    // no pair dedup needed
+    val scored = corpus.hint("shuffle_hash").join(queries, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("graft_dot(nvec, qvec)") /
+          sqrt(col("nna") * col("qna")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val qSimKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, emb AS cvec, na AS nc FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.emb, e.na, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents c),
+       |ranked AS (
+       |  SELECT vec_id, emb, na, cell_id, arn FROM (
+       |    SELECT vec_id, emb, na, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM dists) t WHERE arn <= $KnnJoinFanout),
+       |corpus AS (SELECT vec_id AS neighbor_id, emb AS nvec, na AS nna, cell_id
+       |           FROM ranked WHERE arn = 1),
+       |queries AS (SELECT vec_id AS query_id, emb AS qvec, na AS qna, cell_id
+       |            FROM ranked WHERE vec_id % 7 = 3),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(list_zip(c.nvec, q.qvec), x -> x[1] * x[2]))
+       |          / sqrt(c.nna * q.qna), 4) AS sim
+       |  FROM corpus c JOIN queries q USING (cell_id)
+       |  WHERE c.neighbor_id <> q.query_id)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
+
   // ------------------------------------------------------- ANN recall@3
 
   /** ANN RECALL MEASUREMENT — the quality metric every index tuner reads
@@ -1761,6 +1840,7 @@ object AnnOps {
     "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
     "q_sim_ann_index_delete" -> (qSimAnnIndexDelete _),
     "q_sim_ann_index_rebalance" -> (qSimAnnIndexRebalance _),
+    "q_sim_knn_join" -> (qSimKnnJoin _),
     "q_sim_ann_recall" -> (qSimAnnRecall _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -1782,6 +1862,7 @@ object AnnOps {
     "q_sim_ann_index_incr" -> qSimAnnIvfPqSql,
     "q_sim_ann_index_delete" -> ivfPqSqlWith("a.vec_id % 5 <> 2"),
     "q_sim_ann_index_rebalance" -> qSimAnnIndexRebalanceSql,
+    "q_sim_knn_join" -> qSimKnnJoinSql,
     "q_sim_ann_recall" -> qSimAnnRecallSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_semantic" -> qDedupSemanticSql,

@@ -224,6 +224,13 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("kNN join partitions by cell — never broadcasts the corpus-sized probe side") {
+    val p = plan("q_sim_knn_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the pair join must be the cell-keyed shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the kNN join:\n$p")
+  }
+
   test("merge-overwrite's write input scans only the change set's partition") {
     // the ACTUAL frame mergeOverwriteEn writes: every documents scan in
     // it must carry the lang pushdown — the merge reads the affected
