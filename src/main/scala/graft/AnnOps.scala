@@ -1182,7 +1182,13 @@ object AnnOps {
     * |corpus|·|queries| — and a per-query window takes top-3. This is
     * the batch "attach nearest neighbors to EVERY row" operator a
     * dedup/linking pipeline runs corpus-vs-corpus at 100 TB. */
-  private val KnnJoinFanout = 2
+  /** Query-side cell fanout — picked from the measured KnnLadder grid at
+    * sf0.1 (recall@3 vs brute truth over the whole query class):
+    * fanout 1 → 216/858, 2 → 382, 3 → 521, 4 → 618, wall flat
+    * 0.5–0.6 s throughout. 4 is the knee and matches IvfNProbe. At real
+    * scale fanout multiplies the query-side shuffle volume linearly, so
+    * rerun the ladder before raising it further. */
+  private val KnnJoinFanout = 4
 
   def qSimKnnJoin(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
