@@ -96,11 +96,86 @@ object BpeLadder {
         f"d$i=${g.sum / g.length}%.3f"
       }.mkString(" ")
 
+    /** BATCHED rounds: up to `batch` symbol-disjoint top pairs merged per
+      * round (the 50k-round lever named in SCALE.md — driver round-trips
+      * divide by ~batch). Disjoint symbols guarantee the batch's merges
+      * don't perturb each other's counts; equivalence to SERIAL greedy
+      * BPE is then an empirical question (a merge may create a pair that
+      * serial would have ranked next), so the caller diffs the merge
+      * tables rather than assuming. Returns (merges in application
+      * order, per-round secs). */
+    def runBatched(batch: Int, cadence: Int)
+        : (Seq[(String, String)], Array[Double]) = {
+      var st = freshTable().localCheckpoint()
+      val merges = Seq.newBuilder[(String, String)]
+      val times = Array.newBuilder[Double]
+      var done = 0
+      var round = 0
+      while (done < rounds) {
+        val t0 = System.nanoTime()
+        val pairs = st
+          .select(col("n"), split(trim(col("st")), "  ").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS x, tk[i] AS y))"))
+            .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("n")).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
+          .limit(3 * batch).collect()
+        if (top.isEmpty) {
+          println(s"[bpe-ladder] vocabulary exhausted after $done merges ($round batched rounds)")
+          return (merges.result(), times.result())
+        }
+        // greedy symbol-disjoint selection in rank order
+        val used = scala.collection.mutable.Set[String]()
+        val sel = top.iterator.map(r => (r.getString(0), r.getString(1)))
+          .filter { case (x, y) =>
+            val ok = !used(x) && !used(y) && x != y
+            if (ok) { used += x; used += y }
+            ok
+          }.take(math.min(batch, rounds - done)).toSeq
+        val merged = sel.foldLeft(st.select(col("word"), col("st"), col("n"))) {
+          case (df, (x, y)) =>
+            df.select(col("word"),
+              regexp_replace(col("st"),
+                java.util.regex.Pattern.quote(s" $x  $y "),
+                java.util.regex.Matcher.quoteReplacement(s" $x$y ")).as("st"),
+              col("n"))
+        }
+        merges ++= sel
+        done += sel.size
+        round += 1
+        st = if (round % cadence == 0) {
+          val cp = merged.localCheckpoint()
+          org.apache.spark.sql.GraftShim.freeCheckpointBlocks(st)
+          cp
+        } else merged
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      (merges.result(), times.result())
+    }
+
+    var serialMerges: Seq[(String, String)] = Seq.empty
     Seq(1, 10).foreach { cadence =>
       val ts = run(cadence)
       println(f"[bpe-ladder] cadence=$cadence rounds=${ts.length} " +
         f"total=${ts.sum}%.1f s mean=${ts.sum / ts.length}%.3f s/round")
       println(s"[bpe-ladder]   per-decade mean s/round: ${decades(ts)}")
+    }
+    // serial merge table for the equivalence diff (re-derive via batch=1)
+    val (sm, _) = runBatched(1, 10)
+    serialMerges = sm
+    Seq(4, 8).foreach { b =>
+      val (bm, ts) = runBatched(b, 10)
+      val agree = serialMerges.zip(bm).takeWhile { case (a, c) => a == c }.size
+      println(f"[bpe-ladder] batch=$b rounds=${ts.length} merges=${bm.size} " +
+        f"total=${ts.sum}%.1f s mean/round=${ts.sum / ts.length}%.3f")
+      println(s"[bpe-ladder]   merge-table agreement with serial: $agree/" +
+        s"${math.min(serialMerges.size, bm.size)} prefix" +
+        (if (agree == math.min(serialMerges.size, bm.size)) " (IDENTICAL)"
+         else s"; first divergence at merge $agree: serial=" +
+           s"${serialMerges.lift(agree)} batched=${bm.lift(agree)}"))
     }
     spark.stop()
   }
