@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.functions.{VectorFunctions, WavCodec}
+import graft.functions.{BmpCodec, VectorFunctions, WavCodec}
 
 /** Approximate-nearest-neighbor and embedding near-dup operators plus the
   * multimodal binary-column pipeline (BASELINE.json north star).
@@ -1576,6 +1576,114 @@ object AnnOps {
       |FROM c LEFT JOIN amp ON c.doc_id = amp.doc_id
       |GROUP BY c.lang ORDER BY c.lang""".stripMargin
 
+  /** Multimodal IMAGE decode — the vision sibling of qMultimodalBinary:
+    * each document's payload is synthesized as a genuine 24-bit Windows
+    * BMP (graft.functions.BmpCodec): width varies per doc (8/10/12 —
+    * w=10 rows need 2 pad bytes, so 4-byte row alignment is exercised),
+    * pixels are stored BOTTOM-UP, and every third doc carries a junk gap
+    * between the headers and the pixel array so the parser must honor
+    * the header's pixel-offset field. Channels derive from the text:
+    * pixel (x, y) ← char c at index y·w+x gives (b, g, r) =
+    * (c, (c+x) mod 256, (2c+y) mod 256). Decode is a real header-driven
+    * parser in the same partition-batched pass; features are exact
+    * integer arithmetic (luminance = (299r + 587g + 114b) div 1000).
+    * `row0_sum_b` sums blue over IMAGE row 0 — which is stored LAST in
+    * the file, so a parser that read rows top-down (or mis-stepped
+    * padding, or ignored the offset field) diverges from the oracle
+    * immediately. Row-local throughout: build → decode → featurize is
+    * one scan-bound projection per doc, no shuffle until the final
+    * per-lang rollup — the operator keeps that shape at any corpus
+    * size. */
+  private[graft] def buildBmpPayloads(s: SparkSession, docs: DataFrame)
+      : Dataset[(Long, String, Array[Byte])] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("txt"))
+      .as[(Long, String, Array[Byte])]
+      .filter(t => t._3.length >= 8 + (t._1 % 3).toInt * 2)
+      .mapPartitions(_.map { case (id, lang, txt) =>
+        val w = 8 + (id % 3).toInt * 2
+        val h = txt.length / w
+        val px = Array.tabulate(h, w) { (y, x) =>
+          val c = txt(y * w + x) & 0xff
+          (c, (c + x) % 256, (2 * c + y) % 256)
+        }
+        (id, lang, BmpCodec.build(px, gapBytes = if (id % 3 == 0) 16 else 0))
+      })
+  }
+
+  def qMultimodalImage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = buildBmpPayloads(s, asciiOnly(documents(s, d)))
+    val decoded = payloads.mapPartitions(_.flatMap { case (id, lang, bytes) =>
+      // malformed payloads drop out here; the oracle's n_docs would
+      // flag any loss loudly, so a decode bug cannot pass silently
+      BmpCodec.parse(bytes).iterator.map { bmp =>
+        var sumB = 0L; var sumG = 0L; var sumR = 0L
+        var row0B = 0L; var maxLum = 0L
+        var y = 0
+        while (y < bmp.height) {
+          val row = bmp.px(y)
+          var x = 0
+          while (x < bmp.width) {
+            val (b, g, r) = row(x)
+            sumB += b; sumG += g; sumR += r
+            if (y == 0) row0B += b
+            val lum = (299L * r + 587L * g + 114L * b) / 1000L
+            if (lum > maxLum) maxLum = lum
+            x += 1
+          }
+          y += 1
+        }
+        (id, lang, bmp.height.toLong, sumB, sumG, sumR, row0B, maxLum)
+      }
+    }).toDF("doc_id", "lang", "height", "sum_b", "sum_g", "sum_r",
+      "row0_sum_b", "max_lum")
+    decoded.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("height")).as("sum_h"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("row0_sum_b")).as("row0_sum_b"),
+        max(col("max_lum")).as("max_lum"))
+      .orderBy(col("lang"))
+  }
+
+  val qMultimodalImageSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(8 + (doc_id % 3) * 2 AS INTEGER) AS w,
+       |    CAST(length(text) // (8 + (doc_id % 3) * 2) AS INTEGER) AS h
+       |  FROM documents
+       |  WHERE $asciiOnlySql AND length(text) >= 8 + (doc_id % 3) * 2),
+       |px AS (
+       |  SELECT doc_id, lang, w, h, text,
+       |    unnest(range(0, w * h)) AS i
+       |  FROM c),
+       |f AS (
+       |  SELECT doc_id, lang, w, h,
+       |    ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS cc,
+       |    CAST(i % w AS INTEGER) AS x, CAST(i // w AS INTEGER) AS y
+       |  FROM px),
+       |feat AS (
+       |  SELECT doc_id, lang, MAX(h) AS h,
+       |    SUM(cc) AS sum_b,
+       |    SUM((cc + x) % 256) AS sum_g,
+       |    SUM((2 * cc + y) % 256) AS sum_r,
+       |    SUM(CASE WHEN y = 0 THEN cc ELSE 0 END) AS row0_sum_b,
+       |    MAX((299 * ((2 * cc + y) % 256) + 587 * ((cc + x) % 256)
+       |         + 114 * cc) // 1000) AS max_lum
+       |  FROM f GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(h) AS BIGINT) AS sum_h,
+       |  CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       |  CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       |  CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       |  CAST(SUM(row0_sum_b) AS BIGINT) AS row0_sum_b,
+       |  CAST(MAX(max_lum) AS BIGINT) AS max_lum
+       |FROM feat GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------- int8 scalar-quantized search
 
   /** Symmetric int8 scalar quantization + quantized top-k search — the
@@ -1852,6 +1960,7 @@ object AnnOps {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_image" -> (qMultimodalImage _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1874,5 +1983,6 @@ object AnnOps {
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_image" -> qMultimodalImageSql,
   )
 }
