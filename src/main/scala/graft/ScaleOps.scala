@@ -241,6 +241,80 @@ object ScaleOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- HLL register sketch
+
+  /** Distinct users per event type through a native HyperLogLog register
+    * sketch (graft.functions.HllSketchAgg): fixed 256-byte state per
+    * group at ANY input size, partials merge by element-wise max, so a
+    * 1e12-row distinct count shuffles 256 bytes per group — the sketch
+    * that replaces q_profile_stats' exact multi-distinct at 100 TB.
+    * Where the KMV query grades only the sketch's exact regime, this one
+    * grades the ESTIMATOR end to end: the input is a 48-bit md5 hash
+    * both engines compute byte-identically, eval exposes the register
+    * array, and the oracle REBUILDS all 256 registers relationally
+    * (MAX-rank per bucket against a generated bucket grid) plus the
+    * harmonic-mean estimate itself — update, partial serialization,
+    * merge, and final estimate are all hash-checked. The only floats are
+    * IEEE +,*,/ and a branch-free floor(x+0.5) (bit-deterministic across
+    * engines); ln appears only in the linear-counting branch, whose 256
+    * possible inputs all sit ≥0.005 from a rounding boundary. */
+  def qAggHll(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    events(s, d)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+          .as("h48"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_hll(h48)").as("regs"), count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        expr("size(filter(regs, r -> r = 0))").as("v_empty"),
+        expr("aggregate(regs, 0, (a, x) -> a + x)").as("sum_ranks"),
+        expr("aggregate(regs, 0L, (a, x) -> a + shiftleft(1L, 41 - x))")
+          .as("s_scaled"))
+      .withColumn("est", expr(
+        """CAST(CASE WHEN v_empty > 0
+          |  THEN floor(256.0D * ln(256.0D / v_empty) + 0.5D)
+          |  ELSE floor(1846528.0D / 2570790.0D * 144115188075855872.0D
+          |             / s_scaled + 0.5D) END AS BIGINT)""".stripMargin))
+      .orderBy(col("event_type"))
+  }
+
+  val qAggHllSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      AS h48
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type,
+      |    CAST(h48 // 1099511627776 AS INTEGER) AS bucket,
+      |    CASE WHEN h48 % 1099511627776 = 0 THEN 41
+      |         ELSE 41 - length(bin(h48 % 1099511627776)) END AS rank
+      |  FROM h),
+      |regs AS (SELECT event_type, bucket, MAX(rank) AS mj
+      |         FROM rk GROUP BY 1, 2),
+      |grid AS (SELECT event_type, unnest(range(0, 256)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM events) t),
+      |fullregs AS (
+      |  SELECT g.event_type, COALESCE(r.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN regs r
+      |    ON g.event_type = r.event_type AND g.bucket = r.bucket),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v_empty,
+      |    CAST(SUM(mj) AS INTEGER) AS sum_ranks,
+      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INTEGER)) AS BIGINT)
+      |      AS s_scaled
+      |  FROM fullregs GROUP BY 1),
+      |ne AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+      |SELECT a.event_type, ne.n_events, a.v_empty, a.sum_ranks, a.s_scaled,
+      |  CAST(CASE WHEN a.v_empty > 0
+      |    THEN floor(256.0 * ln(256.0 / a.v_empty) + 0.5)
+      |    ELSE floor(1846528.0 / 2570790.0 * 144115188075855872.0
+      |               / a.s_scaled + 0.5) END AS BIGINT) AS est
+      |FROM agg a JOIN ne ON a.event_type = ne.event_type
+      |ORDER BY a.event_type""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: 8 coarse cells seeded by the first 8 vectors; every
@@ -668,6 +742,7 @@ object ScaleOps {
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
+    "q_agg_hll" -> (qAggHll _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -684,6 +759,7 @@ object ScaleOps {
     "q_agg_salted" -> qAggSaltedSql,
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
+    "q_agg_hll" -> qAggHllSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,

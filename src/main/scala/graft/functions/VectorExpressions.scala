@@ -537,6 +537,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_approx_distinct"),
       new ExpressionInfo(classOf[KmvDistinctAgg].getName, "graft_approx_distinct"),
       (es: Seq[Expression]) => KmvDistinctAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
+      (es: Seq[Expression]) => HllSketchAgg(es.head).toAggregateExpression()),
     (FunctionIdentifier("graft_count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
