@@ -176,6 +176,72 @@ object LlmOps {
       |HAVING COUNT(*) >= 2
       |ORDER BY band, rep_doc_id""".stripMargin
 
+  /** INCREMENTAL near-dup against a PERSISTED signature store — the
+    * daily-crawl shape of MinHash dedup: the historical corpus (even
+    * doc_ids) is reduced once to its LSH band rows and saved as a
+    * band-partitioned table (`default.graft_sig_store`); a new batch
+    * (odd doc_ids) then shingles/sketches ONLY itself and answers "does
+    * this doc near-dup the history?" by an equi-join of its band rows
+    * against the store — the history TEXT is never re-read, never
+    * re-shingled, and the join is band-keyed (Σ|bucket|² candidate work,
+    * partition-pruned to the probe's band). in_batch is the same gate
+    * within the delta (a self-join of delta-sized band rows). At 100 TB
+    * the store is the only history artifact the pipeline keeps: K·8
+    * bytes per doc vs the corpus' raw text, appended per crawl exactly
+    * like the ANN index's incremental ingest. Per-doc flags (not a
+    * rollup) so the oracle pins every decision. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    RelOps.dropManaged(s, "graft_sig_store")
+    val bands = bandsOf(minhashOf(shingles(s, d)))
+    bands.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("band")
+      .saveAsTable("default.graft_sig_store")
+    val store = s.table("default.graft_sig_store")
+    // three consumers (doc list, store join, self-join) — checkpoint the
+    // delta's band rows once instead of re-sketching per consumer
+    val newB = bands.filter(col("doc_id") % 2 === 1)
+      .localCheckpoint(eager = false)
+    val kEq = bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+    val histHit = newB.as("x")
+      .join(store.as("y"), col("x.band") === col("y.band") && kEq)
+      .select(col("x.doc_id")).distinct()
+      .withColumn("in_hist", lit(1L))
+    val batchHit = newB.as("x")
+      .join(newB.as("y"),
+        col("x.band") === col("y.band") && kEq &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id")).distinct()
+      .withColumn("in_batch", lit(1L))
+    newB.select(col("doc_id")).distinct()
+      .join(histHit, Seq("doc_id"), "left_outer")
+      .join(batchHit, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("in_hist"), lit(0L)).as("in_hist"),
+        coalesce(col("in_batch"), lit(0L)).as("in_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$mhSqlCte,
+       |${bandsSqlCte(tagged = true)},
+       |hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+       |newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+       |hh AS (SELECT DISTINCT x.doc_id FROM newb x JOIN hist y
+       |        ON x.band = y.band AND ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")}),
+       |bh AS (SELECT DISTINCT x.doc_id FROM newb x JOIN newb y
+       |        ON x.band = y.band AND ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")}
+       |           AND x.doc_id <> y.doc_id)
+       |SELECT n.doc_id,
+       |  CAST(CASE WHEN hh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_hist,
+       |  CAST(CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_batch
+       |FROM (SELECT DISTINCT doc_id FROM newb) n
+       |LEFT JOIN hh ON n.doc_id = hh.doc_id
+       |LEFT JOIN bh ON n.doc_id = bh.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   /** The same MinHash minima computed through the typed UDAF surface
     * (graft.functions.MinHashAggregator) instead of expression minima —
     * per-doc sketch slots, checked against the identical SQL oracle. */
@@ -1103,6 +1169,7 @@ object LlmOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_minhash_agg" -> (qDedupMinhashAgg _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -1121,6 +1188,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_near" -> qDedupNearSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_minhash_agg" -> qDedupMinhashAggSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,

@@ -241,6 +241,83 @@ object ScaleOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- Z-order data layout
+
+  /** Bit-interleave z-value over 16-bit (x, y) — the Morton curve key
+    * behind multi-dimensional data clustering (Delta/Iceberg OPTIMIZE
+    * ZORDER). Built from shiftleft/shiftright/& only, so both engines
+    * compute it integer-exact. */
+  private[graft] val zInterleaveSpark: String =
+    """aggregate(sequence(0, 15), 0L, (acc, i) -> acc
+      |  + shiftleft(shiftright(x, i) & 1, 2 * i)
+      |  + shiftleft(shiftright(y, i) & 1, 2 * i + 1))""".stripMargin
+  private val zInterleaveDuck: String =
+    """CAST(list_sum(list_transform(range(0, 16), i ->
+      |  (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+      |  AS BIGINT)""".stripMargin
+
+  /** Orders projected to the 2-D layout space: x = custkey (16-bit
+    * masked), y = days since 1995-01-01 — the two columns real order
+    * queries box-filter on. */
+  private def ordersXY(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"), col("o_orderdate"),
+        (col("o_custkey").bitwiseAND(65535)).as("x"),
+        (datediff(col("o_orderdate"), lit("1995-01-01")).cast(LongType)
+          .bitwiseAND(65535)).as("y"))
+
+  /** Z-ORDER clustered layout — the write-side operator that makes 2-D
+    * box queries cheap at 100 TB: rows get a Morton z-value over
+    * (custkey, order-day), are range-partitioned AND sorted by z, and
+    * written as a table whose every file covers a small contiguous z
+    * range — hence a SMALL x-range × y-range rectangle (measured in
+    * LayoutSpec), so ordinary parquet min/max stats prune most files for
+    * a predicate on EITHER or BOTH raw columns. A single-column sort
+    * gets pruning only on that column; z-order buys it on all interleaved
+    * dimensions at once, with nothing custom at read time — the scan
+    * below filters on raw o_custkey/o_orderdate, never on z. The graded
+    * result is the box query over the CLUSTERED table (layout must not
+    * change answers) plus min/max z per group (pins the interleave
+    * arithmetic cross-engine). At larger key domains the masks widen and
+    * the file count scales with data, keeping per-file spans constant —
+    * the layout is append-compactable per z range, like the ANN index's
+    * cell partitions. */
+  def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
+    RelOps.dropManaged(s, "graft_orders_z")
+    ordersXY(s, d)
+      .withColumn("z", expr(zInterleaveSpark))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").saveAsTable("default.graft_orders_z")
+    s.table("default.graft_orders_z")
+      .filter(col("o_custkey").between(25, 75) &&
+        col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLayoutZorderSql: String =
+    s"""WITH xy AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    o_custkey & 65535 AS x,
+       |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      & 65535 AS y
+       |  FROM orders
+       |  WHERE o_custkey BETWEEN 25 AND 75
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+       |z AS (SELECT o_orderpriority, o_totalprice,
+       |        $zInterleaveDuck AS z
+       |      FROM xy)
+       |SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  MIN(z) AS min_z, MAX(z) AS max_z
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- HLL register sketch
 
   /** Distinct users per event type through a native HyperLogLog register
@@ -743,6 +820,7 @@ object ScaleOps {
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
     "q_agg_hll" -> (qAggHll _),
+    "q_layout_zorder" -> (qLayoutZorder _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -760,6 +838,7 @@ object ScaleOps {
     "q_agg_heavy_hitters" -> qAggHeavyHittersSql,
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
     "q_agg_hll" -> qAggHllSql,
+    "q_layout_zorder" -> qLayoutZorderSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
