@@ -582,6 +582,68 @@ object LlmOps {
       |FROM comp GROUP BY label
       |ORDER BY rep_doc_id""".stripMargin
 
+  /** LEAKAGE-FREE train/val/test split — the composition that makes
+    * q_sample_split safe to train on: a near-dup pair split across train
+    * and test leaks evaluation data, so the split key must be the
+    * near-dup COMPONENT, not the document. Docs get their MinHash-band
+    * connected-component label (singletons label themselves), and the
+    * deterministic LCG split (same constants as q_sample_split) hashes
+    * the label — every member of a component lands in the same split BY
+    * CONSTRUCTION, so the graded per-(lang, split) counts pin the Spark
+    * and oracle component labelings against each other: one disagreeing
+    * label moves whole docs across split buckets. Scale shape is the
+    * components loop's (bounded rounds over (node, label) state) plus one
+    * row-local hash — nothing new shuffles at corpus scale. */
+  def qSampleSplitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(minhashOf(shingles(s, d)))
+      .select(bandKeys.map(col) :+ col("doc_id"): _*)
+      .localCheckpoint(eager = false)
+    val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
+      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
+      .distinct()
+    val labels = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("lang"), coalesce(col("label"), col("doc_id")).as("comp"))
+      .withColumn("h",
+        expr("((comp % 2147483647) * 2654435761 + 23) % 2147483647"))
+      .withColumn("split",
+        when(col("h") % 100 < 90, lit("train"))
+          .when(col("h") % 100 < 95, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp")).as("n_components"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val qSampleSplitLeakfreeSql: String =
+    s"""WITH RECURSIVE $shinglesSqlCte,
+       |$mhSqlCte,
+       |${bandsSqlCte(tagged = false)},
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
+       |  FROM bands x JOIN bands y
+       |    ON ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")} AND x.doc_id < y.doc_id),
+       |edges AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT va, vb FROM edges
+       |  UNION
+       |  SELECT r.a, e.vb FROM reach r JOIN edges e ON r.b = e.va),
+       |comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS label
+       |         FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT d.lang, COALESCE(c.label, d.doc_id) AS comp
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |h AS (SELECT lang, comp,
+       |        ((comp % 2147483647) * 2654435761 + 23) % 2147483647 AS h
+       |      FROM labeled)
+       |SELECT lang,
+       |  CASE WHEN h % 100 < 90 THEN 'train'
+       |       WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_components
+       |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   // --------------------------------------------------- curation funnel
 
   /** The composed curation funnel of a data release — raw → quality
@@ -1175,6 +1237,7 @@ object LlmOps {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_sample_split_leakfree" -> (qSampleSplitLeakfree _),
     "q_text_contamination" -> (qTextContamination _),
     "q_pipeline_funnel" -> (qPipelineFunnel _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -1194,6 +1257,7 @@ object LlmOps {
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_dedup_components" -> qDedupComponentsSql,
+    "q_sample_split_leakfree" -> qSampleSplitLeakfreeSql,
     "q_text_contamination" -> qTextContaminationSql,
     "q_pipeline_funnel" -> qPipelineFunnelSql,
     "q_pipeline_curation" -> qPipelineCurationSql,

@@ -405,6 +405,51 @@ object RelOps {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SMALL-FILE COMPACTION — the table-maintenance op every streaming or
+    * micro-batch ingest needs: a lang-partitioned table fragmented into
+    * many tiny files (here: deliberately written with 16-way hash
+    * fragmentation per partition, the shape an hourly append job leaves
+    * behind) is rewritten PARTITION-LOCALLY into one file per partition —
+    * `repartition(lang)` moves each partition's rows to one task, so no
+    * global shuffle beyond the partition key, and untouched-partition
+    * semantics follow the q_merge_overwrite dynamic-overwrite machinery
+    * at scale (here all partitions compact). At 100 TB the target is
+    * files of `maxPartitionBytes` (so scans stop paying per-file open
+    * cost), picked per partition from its size — the knob, not the
+    * topology, changes. Graded output is the compacted table's rollup:
+    * compaction must be content-invariant, which is exactly what the
+    * plain-documents oracle checks; CompactionSpec asserts the file
+    * count actually dropped. */
+  def qMaintenanceCompact(s: SparkSession, d: String): DataFrame = {
+    dropManaged(s, "graft_docs_frag")
+    dropManaged(s, "graft_docs_compact")
+    // explicit numPartitions pins 16 writer tasks (AQE would otherwise
+    // coalesce the tiny shuffle away and un-fragment the fixture): each
+    // task holds docs of every lang, so every lang partition gets ~16
+    // files — the hourly-append debris shape
+    documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      .repartition(16, pmod(col("doc_id"), lit(16)))
+      .write.mode("overwrite").partitionBy("lang")
+      .saveAsTable("default.graft_docs_frag")
+    s.table("default.graft_docs_frag")
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang")
+      .saveAsTable("default.graft_docs_compact")
+    s.table("default.graft_docs_compact")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val qMaintenanceCompactSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------- merge / upsert
 
   /** Snapshot MERGE (the CDC/upsert pattern without a table format):
@@ -546,6 +591,94 @@ object RelOps {
       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** SCD TYPE-2 MERGE — versioned-dimension maintenance: the customer's
+    * "tier" (derived from order priority, min per order-day) is tracked
+    * as history rows (tier, valid_from, valid_to, current = NULL
+    * valid_to). The initial dimension is built from pre-cutoff changes
+    * and PERSISTED; the post-cutoff batch is then merged INCREMENTALLY:
+    * batch changes collapse to segments (lag within the delta only),
+    * a head segment equal to the stored current tier is dropped,
+    * affected current rows are closed at the first real change, new
+    * segments append, untouched history passes through byte-identical.
+    * The merged table is written as a NEW version (copy-on-write + swap,
+    * how lakehouse formats commit) — never read-and-overwrite in place.
+    * The oracle rebuilds the FULL history from all changes in one pass:
+    * incremental merge == full rebuild is the invariant that makes
+    * daily-batch SCD2 trustworthy at 100 TB, where only the delta (and
+    * the current-row slice of affected keys) is ever computed. All work
+    * is keyed shuffles/windows on the customer key — no driver state. */
+  def qMergeScd2(s: SparkSession, d: String): DataFrame = {
+    dropManaged(s, "graft_dim_scd2")
+    dropManaged(s, "graft_dim_scd2_v2")
+    val ch = orders(s, d)
+      .groupBy(col("o_custkey").as("c"),
+        col("o_orderdate").cast(DateType).as("dt"))
+      .agg(min(col("o_orderpriority")).as("tier"))
+    val cutoff = lit("1999-01-01").cast(DateType)
+    val wSeq = Window.partitionBy(col("c")).orderBy(col("dt"))
+    def segments(changes: DataFrame): DataFrame =
+      changes.withColumn("pt", lag(col("tier"), 1).over(wSeq))
+        .filter(col("pt").isNull || col("tier") =!= col("pt"))
+        .select(col("c"), col("dt").as("valid_from"), col("tier"))
+    val wv = Window.partitionBy(col("c")).orderBy(col("valid_from"))
+
+    // phase 1: initial dimension from pre-cutoff history
+    segments(ch.filter(col("dt") < cutoff))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .write.mode("overwrite").saveAsTable("default.graft_dim_scd2")
+
+    // phase 2: incremental merge of the post-cutoff batch
+    val dim = s.table("default.graft_dim_scd2")
+    val current = dim.filter(col("valid_to").isNull)
+      .select(col("c"), col("valid_from"), col("tier"))
+    val batch = segments(ch.filter(col("dt") >= cutoff))
+      .withColumn("rn", row_number().over(wv))
+      .join(current.select(col("c"), col("tier").as("cur_tier")),
+        Seq("c"), "left_outer")
+      // a head segment repeating the stored current tier is a no-op;
+      // segments alternate, so the remainder still alternates after the
+      // drop (null-safe: a key new to the dimension keeps its head)
+      .filter(!(col("rn") === 1 && col("cur_tier").isNotNull &&
+        col("tier") === col("cur_tier")))
+      .select(col("c"), col("valid_from"), col("tier"))
+    val firstChange = batch.groupBy(col("c"))
+      .agg(min(col("valid_from")).as("first_change"))
+    val closedCurrent = current.join(firstChange, Seq("c"), "left_outer")
+      .select(col("c"), col("valid_from"), col("tier"),
+        col("first_change").as("valid_to"))
+    val newRows = batch
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+    dim.filter(col("valid_to").isNotNull)
+      .select(col("c"), col("valid_from"), col("tier"), col("valid_to"))
+      .unionByName(closedCurrent).unionByName(newRows)
+      .write.mode("overwrite").saveAsTable("default.graft_dim_scd2_v2")
+
+    s.table("default.graft_dim_scd2_v2")
+      .select(col("c").as("custkey"), col("tier"),
+        col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
+  val qMergeScd2Sql: String =
+    """WITH ch AS (
+      |  SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt,
+      |         MIN(o_orderpriority) AS tier
+      |  FROM orders GROUP BY 1, 2),
+      |seq AS (SELECT c, dt, tier,
+      |          LAG(tier) OVER (PARTITION BY c ORDER BY dt) AS pt
+      |        FROM ch),
+      |seg AS (SELECT c, dt AS valid_from, tier
+      |        FROM seq WHERE pt IS NULL OR tier <> pt),
+      |fin AS (SELECT c AS custkey, tier, valid_from,
+      |          LEAD(valid_from) OVER (PARTITION BY c ORDER BY valid_from)
+      |            AS valid_to
+      |        FROM seg)
+      |SELECT custkey, tier, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM fin ORDER BY custkey, valid_from""".stripMargin
 
   // ------------------------------------------------- JSON/CSV round-trip
 
@@ -730,9 +863,11 @@ object RelOps {
     "q_source_orc" -> (qSourceOrc _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_overwrite" -> (qMergeOverwrite _),
+    "q_merge_scd2" -> (qMergeScd2 _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_sink_partitioned" -> (qSinkPartitioned _),
+    "q_maintenance_compact" -> (qMaintenanceCompact _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -755,9 +890,11 @@ object RelOps {
     "q_source_orc" -> qSourceOrcSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_overwrite" -> qMergeOverwriteSql,
+    "q_merge_scd2" -> qMergeScd2Sql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,
+    "q_maintenance_compact" -> qMaintenanceCompactSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,
