@@ -277,4 +277,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
       s"shortlist/top-5 windows must be two-phase rank limits:\n$p")
   }
+
+  test("z-order box query pushes both raw-column predicates into the clustered scan") {
+    // the layout's whole point: the read path is stock — min/max file
+    // skipping needs the predicates AT the scan, nothing custom
+    val p = plan("q_layout_zorder")
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"),
+      s"custkey bound not pushed to the clustered-table scan:\n$p")
+    assert(p.contains("o_orderdate"),
+      s"date bound not pushed to the clustered-table scan:\n$p")
+  }
+
+  test("HLL sketch partial-aggregates before the group shuffle") {
+    // map-side combine of 256-byte registers is what makes the sketch a
+    // shuffle-volume win; losing the partial phase would ship raw hashes
+    val p = plan("q_agg_hll")
+    assert(p.contains("partial_graft_hll"),
+      s"expected a partial (map-side) graft_hll phase:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan ObjectHashAggregate:\n$p")
+  }
+
+  test("incremental dedup joins the signature store by band keys, never all-pairs") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"store/batch joins must be band-keyed equi-joins:\n$p")
+  }
+
+  test("SCD2 merge plans keyed joins only (no nested loop over the dimension)") {
+    val p = plan("q_merge_scd2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dimension/batch joins must be keyed:\n$p")
+  }
 }
