@@ -405,6 +405,41 @@ object RelOps {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Correlated LATERAL join — the "top-N related rows per driving row"
+    * SQL surface (a per-customer top-2 orders here). Spark decorrelates
+    * the LIMITed correlated subquery (DecorrelateInnerQuery) into a
+    * per-key rank limit that the session's TopKPerGroup rewrite then
+    * captures — the executed plan is a bounded-heap two-phase rank
+    * limit feeding a broadcast hash join (PlanQualitySpec pins it),
+    * never a per-driving-row loop; the LATERAL form is the USER
+    * surface, graded to prove the engine decorrelates it correctly.
+    * Only customers with orders appear (inner lateral join). */
+  def qJoinLateral(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_cust_lat")
+    orders(s, d).createOrReplaceTempView("graft_orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_cust_lat c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM graft_orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val qJoinLateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t ON TRUE
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   /** SMALL-FILE COMPACTION — the table-maintenance op every streaming or
     * micro-batch ingest needs: a lang-partitioned table fragmented into
     * many tiny files (here: deliberately written with 16-way hash
@@ -868,6 +903,7 @@ object RelOps {
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_sink_partitioned" -> (qSinkPartitioned _),
     "q_maintenance_compact" -> (qMaintenanceCompact _),
+    "q_join_lateral" -> (qJoinLateral _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -895,6 +931,7 @@ object RelOps {
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,
     "q_maintenance_compact" -> qMaintenanceCompactSql,
+    "q_join_lateral" -> qJoinLateralSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,

@@ -241,6 +241,84 @@ object ScaleOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- filtered ANN search
+
+  /** FILTERED vector search — the production shape most ANN papers skip:
+    * "top-k neighbors WHERE attr = …". Strategy is PRE-filtering inside
+    * cells: probes fan out over nprobe cells exactly as in q_sim_ann_ivf,
+    * but cell candidates are filtered on the metadata predicate BEFORE
+    * any distance is computed — correct top-k under the filter by
+    * construction (post-filtering an unfiltered top-k would UNDERFILL
+    * whenever fewer than k of the k nearest satisfy the predicate). The
+    * filter is a row-local scan predicate, so at 100 TB it rides the
+    * same column-stat pruning as any scan filter (with a
+    * partition-funneling attribute, cell×attr co-partitioning turns it
+    * into directory pruning, the q_sim_ann_index layout's lever); the
+    * selectivity knob trades against nprobe — a 1/3-selective filter
+    * keeps ~1/3 of each cell's candidates, so recall at fixed nprobe is
+    * the unfiltered recall of a 3×-sparser corpus. Topology otherwise
+    * identical to the graded IVF: broadcast probes, cell equi-join,
+    * bounded-heap top-3 — the corpus never shuffles. */
+  def qSimAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = AnnOps.IvfNProbe)
+      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"), col("arn"))
+      .localCheckpoint(eager = false)
+    // pre-filter: the metadata predicate lands on the candidate scan,
+    // before any scoring work
+    val candidates = ranked.filter(col("arn") === 1 && col("vec_id") % 3 === 0)
+    val probes = ranked.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("cell_id").as("pcell"))
+    val scored = candidates.join(broadcast(probes),
+        col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_dot(embedding, pvec)") /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val qSimAnnFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS cvec, na AS nc FROM e WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT e.vec_id, e.emb, e.na, c.cell_id,
+      |    e.na - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+      |  FROM e, cents c),
+      |ranked AS (
+      |  SELECT vec_id, emb, na, cell_id, arn FROM (
+      |    SELECT vec_id, emb, na, cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+      |    FROM dists) t WHERE arn <= ${AnnOps.IvfNProbe}),
+      |cand AS (SELECT vec_id, emb, na, cell_id FROM ranked
+      |         WHERE arn = 1 AND vec_id % 3 = 0),
+      |probes AS (SELECT vec_id AS probe_id, emb AS pemb, na AS pna, cell_id AS pcell
+      |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
+      |scored AS (
+      |  SELECT probe_id, a.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(a.emb, p.pemb), x -> x[1] * x[2]))
+      |          / sqrt(a.na * p.pna), 4) AS score
+      |  FROM cand a JOIN probes p
+      |    ON a.cell_id = p.pcell AND a.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, neighbor_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                           ORDER BY score DESC, neighbor_id) AS rn
+      |      FROM scored)
+      |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------- Z-order data layout
 
   /** Bit-interleave z-value over 16-bit (x, y) — the Morton curve key
@@ -821,6 +899,7 @@ object ScaleOps {
     "q_agg_distinct_sketch" -> (qAggDistinctSketch _),
     "q_agg_hll" -> (qAggHll _),
     "q_layout_zorder" -> (qLayoutZorder _),
+    "q_sim_ann_filtered" -> (qSimAnnFiltered _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -839,6 +918,7 @@ object ScaleOps {
     "q_agg_distinct_sketch" -> qAggDistinctSketchSql,
     "q_agg_hll" -> qAggHllSql,
     "q_layout_zorder" -> qLayoutZorderSql,
+    "q_sim_ann_filtered" -> qSimAnnFilteredSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,

@@ -304,6 +304,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"store/batch joins must be band-keyed equi-joins:\n$p")
   }
 
+  test("correlated LATERAL decorrelates to a rank-limit join, not a per-row loop") {
+    val p = plan("q_join_lateral")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"expected the LIMITed lateral subquery to decorrelate into a two-phase rank limit:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral must not execute per driving row:\n$p")
+  }
+
   test("SCD2 merge plans keyed joins only (no nested loop over the dimension)") {
     val p = plan("q_merge_scd2")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
