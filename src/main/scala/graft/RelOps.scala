@@ -405,6 +405,42 @@ object RelOps {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SCHEMA EVOLUTION read — the lakehouse reality that a long-lived
+    * table's files were written under DIFFERENT schema versions: batch 1
+    * (odd doc_ids) lacks the later `score` column, batch 2 (even ids)
+    * carries it. `mergeSchema` unions the file footers at read time and
+    * back-fills missing columns with NULL — no rewrite of old files
+    * (the only scalable way to add a column to 100 TB). The rollup
+    * grades both halves: n_scored counts exactly the batch-2 rows,
+    * sum_score must survive the widening, and total counts prove no row
+    * was dropped by the footer merge. Old-file scans still prune and
+    * push filters normally — evolution is metadata-only. */
+  def qSourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = stagingDir(s, "evolve")
+    deleteRecursively(dir)
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("score", col("n_chars").cast(LongType) * 2L)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("score")).as("n_scored"),
+        sum(col("score")).as("sum_score"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qSourceSchemaEvolutionSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_scored,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * 2 END) AS BIGINT)
+      |    AS sum_score,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Correlated LATERAL join — the "top-N related rows per driving row"
     * SQL surface (a per-customer top-2 orders here). Spark decorrelates
     * the LIMITed correlated subquery (DecorrelateInnerQuery) into a
@@ -904,6 +940,7 @@ object RelOps {
     "q_sink_partitioned" -> (qSinkPartitioned _),
     "q_maintenance_compact" -> (qMaintenanceCompact _),
     "q_join_lateral" -> (qJoinLateral _),
+    "q_source_schema_evolution" -> (qSourceSchemaEvolution _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -932,6 +969,7 @@ object RelOps {
     "q_sink_partitioned" -> qSinkPartitionedSql,
     "q_maintenance_compact" -> qMaintenanceCompactSql,
     "q_join_lateral" -> qJoinLateralSql,
+    "q_source_schema_evolution" -> qSourceSchemaEvolutionSql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,

@@ -241,6 +241,79 @@ object ScaleOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- HLL sketch rollup table
+
+  /** SKETCH RE-AGGREGATION — the reason sketches get STORED, not just
+    * computed: per-(event_type, day) HLL registers form a rollup table
+    * (what a 100 TB deployment materializes nightly: 256 B per cell vs
+    * the day's raw user ids), and any coarser question — here distinct
+    * users per type across ALL days — is answered by element-wise-max
+    * MERGING the stored sketches (`graft_hll_merge`), never re-reading
+    * raw data. merged(daily) == direct(raw) is the max-merge algebraic
+    * identity; the oracle rebuilds the registers DIRECTLY from the raw
+    * hashes (same SQL as q_agg_hll), so the graded equality proves the
+    * two-level aggregate path — fine-grain sketch, serialize, regroup,
+    * merge — loses nothing. */
+  def qAggHllReagg(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+          .as("h48"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("graft_hll(h48)").as("regs"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("graft_hll_merge(regs)").as("regs"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        expr("size(filter(regs, r -> r = 0))").as("v_empty"),
+        expr("aggregate(regs, 0, (a, x) -> a + x)").as("sum_ranks"),
+        expr("aggregate(regs, 0L, (a, x) -> a + shiftleft(1L, 41 - x))")
+          .as("s_scaled"))
+      .withColumn("est", expr(
+        """CAST(CASE WHEN v_empty > 0
+          |  THEN floor(256.0D * ln(256.0D / v_empty) + 0.5D)
+          |  ELSE floor(1846528.0D / 2570790.0D * 144115188075855872.0D
+          |             / s_scaled + 0.5D) END AS BIGINT)""".stripMargin))
+      .orderBy(col("event_type"))
+  }
+
+  val qAggHllReaggSql: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      AS h48
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type,
+      |    CAST(h48 // 1099511627776 AS INTEGER) AS bucket,
+      |    CASE WHEN h48 % 1099511627776 = 0 THEN 41
+      |         ELSE 41 - length(bin(h48 % 1099511627776)) END AS rank
+      |  FROM h),
+      |regs AS (SELECT event_type, bucket, MAX(rank) AS mj
+      |         FROM rk GROUP BY 1, 2),
+      |grid AS (SELECT event_type, unnest(range(0, 256)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM events) t),
+      |fullregs AS (
+      |  SELECT g.event_type, COALESCE(r.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN regs r
+      |    ON g.event_type = r.event_type AND g.bucket = r.bucket),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v_empty,
+      |    CAST(SUM(mj) AS INTEGER) AS sum_ranks,
+      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INTEGER)) AS BIGINT)
+      |      AS s_scaled
+      |  FROM fullregs GROUP BY 1),
+      |nd AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM h GROUP BY 1)
+      |SELECT a.event_type, nd.n_days, a.v_empty, a.sum_ranks, a.s_scaled,
+      |  CAST(CASE WHEN a.v_empty > 0
+      |    THEN floor(256.0 * ln(256.0 / a.v_empty) + 0.5)
+      |    ELSE floor(1846528.0 / 2570790.0 * 144115188075855872.0
+      |               / a.s_scaled + 0.5) END AS BIGINT) AS est
+      |FROM agg a JOIN nd ON a.event_type = nd.event_type
+      |ORDER BY a.event_type""".stripMargin
+
   // ------------------------------------------------- filtered ANN search
 
   /** FILTERED vector search — the production shape most ANN papers skip:
@@ -900,6 +973,7 @@ object ScaleOps {
     "q_agg_hll" -> (qAggHll _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_sim_ann_filtered" -> (qSimAnnFiltered _),
+    "q_agg_hll_reagg" -> (qAggHllReagg _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -919,6 +993,7 @@ object ScaleOps {
     "q_agg_hll" -> qAggHllSql,
     "q_layout_zorder" -> qLayoutZorderSql,
     "q_sim_ann_filtered" -> qSimAnnFilteredSql,
+    "q_agg_hll_reagg" -> qAggHllReaggSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,

@@ -540,6 +540,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
       (es: Seq[Expression]) => HllSketchAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression()),
     (FunctionIdentifier("graft_count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),

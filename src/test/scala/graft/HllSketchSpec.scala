@@ -74,6 +74,24 @@ class HllSketchSpec extends AnyFunSuite {
     assert(once.toSeq == tripled.toSeq)
   }
 
+  test("re-aggregation: merging ANY partition of the input by any grouping equals direct") {
+    // the q_agg_hll_reagg invariant: fine-grain sketches (per day, per
+    // shard, any disjoint-or-not cover) max-merge to the direct sketch
+    val gen = for {
+      n <- Gen.choose(1, 3000)
+      nGroups <- Gen.choose(1, 12)
+      assign <- Gen.listOfN(n, Gen.choose(0, nGroups - 1))
+    } yield (n, assign)
+    check("reagg", Prop.forAll(gen) { case (n, assign) =>
+      val vals = (0L until n.toLong).toVector
+      val direct = sketchOf(vals)
+      val groups = vals.zip(assign).groupBy(_._2).values
+        .map(g => sketchOf(g.map(_._1)))
+      val merged = groups.foldLeft(new Array[Int](HllSketchAgg.M))(mergeRegs)
+      merged.toSeq == direct.toSeq
+    })
+  }
+
   test("estimator branches agree with the documented formulas") {
     // tiny input → linear counting branch (some register must be empty)
     val small = sketchOf(0L until 20L)
