@@ -1503,6 +1503,67 @@ object AnnOps {
        |  CAST(MAX(fi) AS BIGINT) AS max_frame_idx
        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SHOT-BOUNDARY DETECTION over the frame sequence — the video
+    * pipeline's segmentation pass: per doc, the stride-1 frame features
+    * are scanned for jumps (|Δfeature| > 40 = a cut), yielding per-doc
+    * shot counts and the max jump. Detection is ROW-LOCAL — the whole
+    * frame sequence of one payload lives in its row, so boundaries are
+    * found inside the same partition-batched pass as the decode, zero
+    * shuffles before the per-lang rollup (a windowed LAG over exploded
+    * frames — the oracle's formulation — would shuffle every frame on
+    * doc_id; at 100 TB of video that is the difference between a scan
+    * and a sort of the corpus). */
+  def qMultimodalShots(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = asciiOnly(documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("lang"))
+      .as[(Long, Array[Byte], String)]
+    payloads.mapPartitions(_.flatMap { case (id, bytes, lang) =>
+      val nf = bytes.length / FrameBytes
+      if (nf < 1) Iterator.empty
+      else {
+        var shots = 0L; var maxJump = 0L
+        var i = 1
+        while (i < nf) {
+          val d = math.abs((bytes(i * FrameBytes) & 0xff) -
+            (bytes((i - 1) * FrameBytes) & 0xff)).toLong
+          if (d > 40) shots += 1
+          if (d > maxJump) maxJump = d
+          i += 1
+        }
+        Iterator.single((id, lang, nf.toLong, shots, maxJump))
+      }
+    }).toDF("doc_id", "lang", "n_frames", "n_shots", "max_jump")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_shots")).as("n_shots"),
+        max(col("max_jump")).as("max_jump"))
+      .orderBy(col("lang"))
+  }
+
+  val qMultimodalShotsSql: String =
+    s"""WITH f AS (SELECT doc_id, lang, text, len(text) // $FrameBytes AS nf
+       |           FROM documents WHERE $asciiOnlySql),
+       |fr AS (SELECT doc_id, lang, nf, text, unnest(range(0, nf)) AS i
+       |       FROM f WHERE nf >= 1),
+       |feat AS (SELECT doc_id, lang, nf, i,
+       |           ascii(substr(text, CAST(i * $FrameBytes + 1 AS INTEGER), 1)) AS v
+       |         FROM fr),
+       |lagd AS (SELECT doc_id, lang, nf,
+       |           abs(v - LAG(v) OVER (PARTITION BY doc_id ORDER BY i)) AS dv
+       |         FROM feat),
+       |perdoc AS (SELECT doc_id, lang, MAX(nf) AS nf,
+       |             SUM(CASE WHEN dv > 40 THEN 1 ELSE 0 END) AS shots,
+       |             COALESCE(MAX(dv), 0) AS maxj
+       |           FROM lagd GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(nf) AS BIGINT) AS n_frames,
+       |  CAST(SUM(shots) AS BIGINT) AS n_shots,
+       |  CAST(MAX(maxj) AS BIGINT) AS max_jump
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Multimodal binary decode, REAL codec edition (replaces the r5–r10
     * stub): each document's payload is synthesized as a genuine RIFF/WAVE
     * file (8-bit unsigned mono PCM of the UTF-8 text bytes; sample rate
@@ -1961,6 +2022,7 @@ object AnnOps {
     "q_multimodal_binary" -> (qMultimodalBinary _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_image" -> (qMultimodalImage _),
+    "q_multimodal_shots" -> (qMultimodalShots _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1984,5 +2046,6 @@ object AnnOps {
     "q_multimodal_binary" -> qMultimodalBinarySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_image" -> qMultimodalImageSql,
+    "q_multimodal_shots" -> qMultimodalShotsSql,
   )
 }

@@ -241,6 +241,61 @@ object ScaleOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- data-quality check gate
+
+  /** DATA-QUALITY EXPECTATIONS (the Deequ/Great-Expectations shape) —
+    * the validation gate a pipeline runs before trusting a new batch:
+    * declared constraints over orders evaluated in ONE scan (conditional
+    * aggregates; uniqueness via count vs distinct — the only
+    * full-shuffle check, and the one a 100 TB run approximates with the
+    * HLL path q_agg_hll grades), emitted as a per-check violation table
+    * with pass flags. A failed check gates the batch; the row-shaped
+    * output is what lands in a quality-history table. */
+  def qProfileChecks(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null_key"),
+      countDistinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("v_status"),
+      sum(when(col("o_orderdate") < lit("1990-01-01") ||
+        col("o_orderdate") >= lit("2005-01-01"), 1L).otherwise(0L))
+        .as("v_date"))
+    agg.select(expr(
+      """stack(5,
+        |  'key_not_null',  v_null_key,
+        |  'key_unique',    n - n_distinct_key,
+        |  'price_positive', v_price,
+        |  'status_domain', v_status,
+        |  'date_in_range', v_date) AS (check_name, n_violations)""".stripMargin))
+      .withColumn("passed", (col("n_violations") === 0L).cast("int").cast(LongType))
+      .orderBy(col("check_name"))
+  }
+
+  val qProfileChecksSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null_key,
+      |    COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+      |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+      |      AS v_status,
+      |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |             OR o_orderdate >= TIMESTAMP '2005-01-01'
+      |             THEN 1 ELSE 0 END) AS v_date
+      |  FROM orders),
+      |checks AS (
+      |  SELECT 'key_not_null' AS check_name, CAST(v_null_key AS BIGINT) AS n_violations FROM a
+      |  UNION ALL SELECT 'key_unique', CAST(n - n_distinct_key AS BIGINT) FROM a
+      |  UNION ALL SELECT 'price_positive', CAST(v_price AS BIGINT) FROM a
+      |  UNION ALL SELECT 'status_domain', CAST(v_status AS BIGINT) FROM a
+      |  UNION ALL SELECT 'date_in_range', CAST(v_date AS BIGINT) FROM a)
+      |SELECT check_name, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   // --------------------------------------------- HLL sketch rollup table
 
   /** SKETCH RE-AGGREGATION — the reason sketches get STORED, not just
@@ -974,6 +1029,7 @@ object ScaleOps {
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_sim_ann_filtered" -> (qSimAnnFiltered _),
     "q_agg_hll_reagg" -> (qAggHllReagg _),
+    "q_profile_checks" -> (qProfileChecks _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -994,6 +1050,7 @@ object ScaleOps {
     "q_layout_zorder" -> qLayoutZorderSql,
     "q_sim_ann_filtered" -> qSimAnnFilteredSql,
     "q_agg_hll_reagg" -> qAggHllReaggSql,
+    "q_profile_checks" -> qProfileChecksSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
