@@ -794,7 +794,111 @@ object AggWinOps {
       |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
       |FROM mo ORDER BY l_returnflag""".stripMargin
 
+  /** ORDERED EVENT FUNNEL (ClickHouse windowFunnel shape) — per (user,
+    * day): how far does view → click → purchase progress in strict
+    * timestamp order? Implemented as ONE shuffle: the day's events
+    * collect into a sorted array per (user, day) and a row-local
+    * `aggregate` HOF runs the 3-state machine over it — at 100 TB this
+    * is a single keyed aggregation whose state is the user-day's own
+    * events (bounded by session size), where the oracle's formulation
+    * (three chained conditional-min aggregates, each joined back)
+    * re-shuffles the events once per funnel step. Strict progression:
+    * each step needs a LATER timestamp (fixture has no same-user ts
+    * ties at any sf — checked; a production funnel would tiebreak on
+    * event_id). Per-day counts of user-days reaching steps ≥1/≥2/≥3. */
+  def qWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val steps = events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_type").as("et")).as("ev"))
+    steps.groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .withColumn("step", expr(
+        """aggregate(evs, 0, (st, e) ->
+          |  CASE WHEN st = 0 AND e.et = 'view' THEN 1
+          |       WHEN st = 1 AND e.et = 'click' THEN 2
+          |       WHEN st = 2 AND e.et = 'purchase' THEN 3
+          |       ELSE st END)""".stripMargin))
+      .groupBy(col("day"))
+      .agg(sum(when(col("step") >= 1, 1L).otherwise(0L)).as("n_step1"),
+        sum(when(col("step") >= 2, 1L).otherwise(0L)).as("n_step2"),
+        sum(when(col("step") >= 3, 1L).otherwise(0L)).as("n_step3"))
+      .orderBy(col("day"))
+  }
+
+  val qWindowFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |t1 AS (SELECT user_id, day, MIN(ts) AS ts1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1, 2),
+      |t2 AS (SELECT e.user_id, e.day, MIN(e.ts) AS ts2
+      |       FROM e JOIN t1 ON e.user_id = t1.user_id AND e.day = t1.day
+      |       WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1, 2),
+      |t3 AS (SELECT e.user_id, e.day, MIN(e.ts) AS ts3
+      |       FROM e JOIN t2 ON e.user_id = t2.user_id AND e.day = t2.day
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1, 2),
+      |ud AS (SELECT DISTINCT user_id, day FROM e),
+      |steps AS (
+      |  SELECT ud.user_id, ud.day,
+      |    CASE WHEN t3.ts3 IS NOT NULL THEN 3
+      |         WHEN t2.ts2 IS NOT NULL THEN 2
+      |         WHEN t1.ts1 IS NOT NULL THEN 1 ELSE 0 END AS step
+      |  FROM ud
+      |  LEFT JOIN t1 ON ud.user_id = t1.user_id AND ud.day = t1.day
+      |  LEFT JOIN t2 ON ud.user_id = t2.user_id AND ud.day = t2.day
+      |  LEFT JOIN t3 ON ud.user_id = t3.user_id AND ud.day = t3.day)
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN step >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_step1,
+      |  CAST(SUM(CASE WHEN step >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+      |  CAST(SUM(CASE WHEN step >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+      |FROM steps GROUP BY day ORDER BY day""".stripMargin
+
+  /** COHORT RETENTION — the activation dashboard every event pipeline
+    * feeds: users grouped by first-SIGNUP day, retention measured as
+    * "active exactly k days after signup" for k ∈ {0, 7, 14, 21}
+    * (r0 doubles as a sanity row: signup itself is activity). Two
+    * keyed aggregations (distinct user-days; min day per user) and one
+    * user-keyed join — nothing wider than the user key shuffles, and
+    * the (cohort × offset) output is calendar-bounded regardless of
+    * corpus size. */
+  def qAggCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // cohort on first SIGNUP day (first-any-activity collapses to one
+    // cohort in this fixture — every user has some event on day 1)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("c_day"))
+    ud.join(cohort, Seq("user_id"))
+      .withColumn("k", datediff(col("day"), col("c_day")))
+      .groupBy(col("c_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("k") === 0, 1L).otherwise(0L)).as("r0"),
+        sum(when(col("k") === 7, 1L).otherwise(0L)).as("r7"),
+        sum(when(col("k") === 14, 1L).otherwise(0L)).as("r14"),
+        sum(when(col("k") === 21, 1L).otherwise(0L)).as("r21"))
+      .orderBy(col("c_day"))
+  }
+
+  val qAggCohortSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS c_day
+      |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |j AS (SELECT ud.user_id, cohort.c_day, ud.day - cohort.c_day AS k
+      |      FROM ud JOIN cohort ON ud.user_id = cohort.user_id)
+      |SELECT c_day, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+      |  CAST(SUM(CASE WHEN k = 7 THEN 1 ELSE 0 END) AS BIGINT) AS r7,
+      |  CAST(SUM(CASE WHEN k = 14 THEN 1 ELSE 0 END) AS BIGINT) AS r14,
+      |  CAST(SUM(CASE WHEN k = 21 THEN 1 ELSE 0 END) AS BIGINT) AS r21
+      |FROM j GROUP BY c_day ORDER BY c_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funnel" -> (qWindowFunnel _),
+    "q_agg_cohort" -> (qAggCohort _),
     "q_window_navigation" -> (qWindowNavigation _),
     "q_agg_stats_moments" -> (qAggStatsMoments _),
     "q_agg_unpivot" -> (qAggUnpivot _),
@@ -834,6 +938,8 @@ object AggWinOps {
     "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_subquery_not_in" -> qSubqueryNotInSql,
     "q_window_gapfill" -> qWindowGapfillSql,
+    "q_window_funnel" -> qWindowFunnelSql,
+    "q_agg_cohort" -> qAggCohortSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
     "q_agg_distinct" -> qAggDistinctSql,
