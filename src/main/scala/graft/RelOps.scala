@@ -405,6 +405,123 @@ object RelOps {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CORRUPT-FILE RESILIENCE — the parquet sibling of q_source_csv_robust:
+    * a directory holding good parquet files PLUS a truncated-garbage
+    * `part-*.parquet` (what a killed writer or a bad disk leaves behind)
+    * is read under `ignoreCorruptFiles` with an EXPLICIT schema (schema
+    * inference could die on the bad footer before per-file skipping even
+    * starts — the same no-inference discipline as the CSV/JSON reads).
+    * The corrupt member is skipped file-granularly; the rollup must
+    * equal the intact rows exactly — nothing dropped beyond the bad
+    * file, nothing corrupt leaking through. At 100 TB this knob is the
+    * difference between one bad file failing a 10-hour job and a
+    * logged skip. */
+  def qSourceCorruptResilience(s: SparkSession, d: String): DataFrame = {
+    val dir = stagingDir(s, "corrupt")
+    deleteRecursively(dir)
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val bad = new java.io.FileOutputStream(s"$dir/part-99999-garbage.parquet")
+    bad.write("PAR1 this is not a parquet file, just a dead writer's debris"
+      .getBytes("UTF-8"))
+    bad.close()
+    s.read.schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val qSourceCorruptResilienceSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** TPC-H Q3 (shipping priority, adapted to the fixture's columns — no
+    * shippriority): revenue of undelivered BUILDING-segment orders as of
+    * the cutoff, top 10. The canonical 3-way fact chain: customer is a
+    * FILTERED broadcast dim, orders⋈lineitem shuffles on the order key
+    * with both date filters PUSHED to the scans, revenue = exact decimal
+    * sum of l_extendedprice·(1−l_discount), top-10 via
+    * TakeOrderedAndProject (never a global sort). */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val li = lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("rev"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  val qTpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): ASIA-region 1996 revenue where
+    * the customer and supplier share a nation — the 6-table join that
+    * exercises join ORDER: nation⋈region collapse to a broadcast key
+    * set, supplier and customer broadcast against the fact chain, and
+    * the only big shuffle is orders⋈lineitem; the c_nationkey =
+    * s_nationkey residual rides the join, never a cross product. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier(s, d)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("rev"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val qTpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** SCHEMA EVOLUTION read — the lakehouse reality that a long-lived
     * table's files were written under DIFFERENT schema versions: batch 1
     * (odd doc_ids) lacks the later `score` column, batch 2 (even ids)
@@ -941,6 +1058,9 @@ object RelOps {
     "q_maintenance_compact" -> (qMaintenanceCompact _),
     "q_join_lateral" -> (qJoinLateral _),
     "q_source_schema_evolution" -> (qSourceSchemaEvolution _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_source_corrupt_resilience" -> (qSourceCorruptResilience _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -970,6 +1090,9 @@ object RelOps {
     "q_maintenance_compact" -> qMaintenanceCompactSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_source_schema_evolution" -> qSourceSchemaEvolutionSql,
+    "q_tpch_q3" -> qTpchQ3Sql,
+    "q_source_corrupt_resilience" -> qSourceCorruptResilienceSql,
+    "q_tpch_q5" -> qTpchQ5Sql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,
