@@ -644,6 +644,72 @@ object LlmOps {
        |  COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_components
        |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** CONTRASTIVE TRAINING-PAIR GENERATION — the dataset an embedding
+    * model trains on: every doc appearing in a MinHash-band candidate
+    * pair becomes an ANCHOR with its near-dup partners as positives
+    * (n_pos), plus ONE deterministic hard-ish negative drawn WITHOUT a
+    * global rank: docs hash into 64 buckets (doc_id mod 64), the
+    * 64-row (bucket → min doc_id) table broadcasts, and the anchor's
+    * LCG hash picks a bucket — so negative selection is a row-local
+    * lookup at any corpus size (a row_number over the corpus, the
+    * obvious alternative, is a single-partition sort at 100 TB). A
+    * negative that collides with the anchor itself or one of its
+    * positives is nulled, not silently replaced — the dropped count is
+    * part of the graded output, and per-anchor rows pin every
+    * decision. */
+  def qPairsContrastive(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(minhashOf(shingles(s, d)))
+      .select(bandKeys.map(col) :+ col("doc_id"): _*)
+      .localCheckpoint(eager = false)
+    val pairs = bands.as("x").join(bands.as("y"), bandJoinCond)
+      .select(col("x.doc_id").as("va"), col("y.doc_id").as("vb"))
+      .distinct()
+    // both directions: every member of a pair anchors
+    val adj = pairs.unionByName(
+        pairs.select(col("vb").as("va"), col("va").as("vb")))
+      .localCheckpoint(eager = false)
+    val buckets = documents(s, d)
+      .groupBy((col("doc_id") % 64).as("bucket"))
+      .agg(min(col("doc_id")).as("neg_cand"))
+    val anchors = adj.groupBy(col("va").as("anchor"))
+      .agg(count(lit(1)).as("n_pos"))
+      .withColumn("nb",
+        expr("((anchor % 2147483647) * 2654435761 + 37) % 2147483647 % 64"))
+      .join(broadcast(buckets), col("nb") === col("bucket"))
+    anchors.join(adj.select(col("va").as("anchor"), col("vb").as("neg_cand"))
+        .withColumn("is_pos", lit(1)), Seq("anchor", "neg_cand"), "left_outer")
+      .select(col("anchor"), col("n_pos"),
+        when(col("neg_cand") === col("anchor") || col("is_pos").isNotNull,
+          lit(null).cast(LongType))
+          .otherwise(col("neg_cand")).as("neg_id"))
+      .orderBy(col("anchor"))
+  }
+
+  val qPairsContrastiveSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$mhSqlCte,
+       |${bandsSqlCte(tagged = false)},
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS va, y.doc_id AS vb
+       |  FROM bands x JOIN bands y
+       |    ON ${bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")} AND x.doc_id < y.doc_id),
+       |adj AS (SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs),
+       |buckets AS (SELECT doc_id % 64 AS bucket, MIN(doc_id) AS neg_cand
+       |            FROM documents GROUP BY 1),
+       |anchors AS (
+       |  SELECT va AS anchor, COUNT(*) AS n_pos,
+       |    ((va % 2147483647) * 2654435761 + 37) % 2147483647 % 64 AS nb
+       |  FROM adj GROUP BY va),
+       |cand AS (
+       |  SELECT a.anchor, a.n_pos, b.neg_cand
+       |  FROM anchors a JOIN buckets b ON a.nb = b.bucket)
+       |SELECT c.anchor, c.n_pos,
+       |  CASE WHEN c.neg_cand = c.anchor OR p.vb IS NOT NULL THEN NULL
+       |       ELSE c.neg_cand END AS neg_id
+       |FROM cand c
+       |LEFT JOIN adj p ON p.va = c.anchor AND p.vb = c.neg_cand
+       |ORDER BY c.anchor""".stripMargin
+
   // --------------------------------------------------- curation funnel
 
   /** The composed curation funnel of a data release — raw → quality
@@ -1238,6 +1304,7 @@ object LlmOps {
     "q_dedup_minhash_native" -> (qDedupMinhashNative _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_sample_split_leakfree" -> (qSampleSplitLeakfree _),
+    "q_pairs_contrastive" -> (qPairsContrastive _),
     "q_text_contamination" -> (qTextContamination _),
     "q_pipeline_funnel" -> (qPipelineFunnel _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -1258,6 +1325,7 @@ object LlmOps {
     "q_dedup_minhash_native" -> qDedupMinhashAggSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_sample_split_leakfree" -> qSampleSplitLeakfreeSql,
+    "q_pairs_contrastive" -> qPairsContrastiveSql,
     "q_text_contamination" -> qTextContaminationSql,
     "q_pipeline_funnel" -> qPipelineFunnelSql,
     "q_pipeline_curation" -> qPipelineCurationSql,
