@@ -644,6 +644,83 @@ object LlmOps {
        |  COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_components
        |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** END-TO-END RAG INGESTION + RETRIEVAL — the composed pipeline a
+    * retrieval corpus runs nightly: documents → 32-token chunks →
+    * per-chunk embedding → top-5 retrieval for a query. The "embedding
+    * model" is a deterministic integer projection (dim j of a chunk =
+    * Σ_tokens (token_hash·(2j+1)) mod 2003 — a stand-in with the same
+    * dataflow as a real encoder batch), which keeps every score's
+    * numerator EXACT in int64: cosine = int dot / sqrt(int norms), one
+    * IEEE division — bit-portable. Chunk+embed is one keyed aggregation
+    * over exploded tokens (at scale the same sums fold row-locally over
+    * the token array in the scan projection — the shape the TextOps r5
+    * rewrite uses); the query embeds in-plan from a literal and
+    * broadcasts, so retrieval never shuffles the corpus. The graded
+    * top-5 pins the whole composition; the ANN index queries grade the
+    * sublinear retrieval tier this brute-force scorer would swap to. */
+  def qPipelineRag(s: SparkSession, d: String): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    val ragQuery = "model training data quality and dedup"
+    def embed(tokens: DataFrame, keys: Seq[String]): DataFrame = {
+      val dims = (0 until 8).map(j =>
+        sum(expr(s"(${textHash("tok")} * ${2 * j + 1}) % 2003")).as(s"e$j"))
+      tokens.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_tokens"), dims: _*)
+    }
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("chunk", expr("pos div 32"))
+    val chunks = embed(toks, Seq("doc_id", "chunk"))
+      .filter(col("n_tokens") >= 8)
+    val qemb = embed(
+      s.range(1).select(posexplode(split(lit(ragQuery), " ")).as(Seq("qpos", "tok"))),
+      Seq.empty) // global aggregate: the one-row query embedding
+      .select((0 until 8).map(j => col(s"e$j").as(s"q$j")): _*)
+    val dot = (0 until 8).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+    val nc = (0 until 8).map(j => col(s"e$j") * col(s"e$j")).reduce(_ + _)
+    val nq = (0 until 8).map(j => col(s"q$j") * col(s"q$j")).reduce(_ + _)
+    val scored = chunks.crossJoin(broadcast(qemb))
+      .select(col("doc_id"), col("chunk"),
+        round(dot.cast(DoubleType) / sqrt((nc * nq).cast(DoubleType)), 4)
+          .as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("rn"))
+  }
+
+  val qPipelineRagSql: String = {
+    val qh = textHashSql("tok")
+    val dims = (0 until 8).map(j => s"SUM(($qh * ${2 * j + 1}) % 2003) AS e$j")
+      .mkString(",\n    ")
+    val qdims = (0 until 8).map(j => s"SUM(($qh * ${2 * j + 1}) % 2003) AS q$j")
+      .mkString(",\n    ")
+    val dot = (0 until 8).map(j => s"c.e$j * q.q$j").mkString(" + ")
+    val nc = (0 until 8).map(j => s"c.e$j * c.e$j").mkString(" + ")
+    val nq = (0 until 8).map(j => s"q.q$j * q.q$j").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, (pos - 1) // 32 AS chunk, COUNT(*) AS n_tokens,
+       |    $dims
+       |  FROM toks GROUP BY 1, 2),
+       |kept AS (SELECT * FROM chunks WHERE n_tokens >= 8),
+       |qtoks AS (
+       |  SELECT unnest(string_split('model training data quality and dedup', ' ')) AS tok),
+       |q AS (SELECT $qdims FROM qtoks),
+       |scored AS (
+       |  SELECT c.doc_id, c.chunk,
+       |    round(CAST($dot AS DOUBLE) / sqrt(CAST(($nc) * ($nq) AS DOUBLE)), 4)
+       |      AS score
+       |  FROM kept c, q),
+       |r AS (SELECT doc_id, chunk, score,
+       |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id, chunk) AS rn
+       |      FROM scored)
+       |SELECT doc_id, chunk, score, rn FROM r WHERE rn <= 5 ORDER BY rn""".stripMargin
+  }
+
   /** CONTRASTIVE TRAINING-PAIR GENERATION — the dataset an embedding
     * model trains on: every doc appearing in a MinHash-band candidate
     * pair becomes an ANCHOR with its near-dup partners as positives
@@ -1305,6 +1382,7 @@ object LlmOps {
     "q_dedup_components" -> (qDedupComponents _),
     "q_sample_split_leakfree" -> (qSampleSplitLeakfree _),
     "q_pairs_contrastive" -> (qPairsContrastive _),
+    "q_pipeline_rag" -> (qPipelineRag _),
     "q_text_contamination" -> (qTextContamination _),
     "q_pipeline_funnel" -> (qPipelineFunnel _),
     "q_pipeline_curation" -> (qPipelineCuration _),
@@ -1326,6 +1404,7 @@ object LlmOps {
     "q_dedup_components" -> qDedupComponentsSql,
     "q_sample_split_leakfree" -> qSampleSplitLeakfreeSql,
     "q_pairs_contrastive" -> qPairsContrastiveSql,
+    "q_pipeline_rag" -> qPipelineRagSql,
     "q_text_contamination" -> qTextContaminationSql,
     "q_pipeline_funnel" -> qPipelineFunnelSql,
     "q_pipeline_curation" -> qPipelineCurationSql,
