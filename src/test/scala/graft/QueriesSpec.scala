@@ -368,4 +368,57 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("funnel steps are monotone: reaching step k implies step k-1") {
+    AggWinOps.qWindowFunnel(spark, sf).collect().foreach { r =>
+      val (s1, s2, s3) = (r.getAs[Long]("n_step1"), r.getAs[Long]("n_step2"),
+        r.getAs[Long]("n_step3"))
+      assert(s1 >= s2 && s2 >= s3, s"non-monotone funnel row: $r")
+    }
+  }
+
+  test("cohort r0 equals cohort size (signup day is itself activity)") {
+    AggWinOps.qAggCohort(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("r0") == r.getAs[Long]("n_users"), s"row: $r")
+    }
+  }
+
+  test("contrastive negatives never collide with the anchor or a positive") {
+    val rows = LlmOps.qPairsContrastive(spark, sf)
+    val negs = rows.filter(col("neg_id").isNotNull)
+      .select(col("anchor"), col("neg_id"))
+    assert(negs.filter(col("anchor") === col("neg_id")).count() == 0)
+    // rebuild the positive adjacency via the graded components input:
+    // a negative that IS a band partner would be a label leak
+    val half = LlmOps.qDedupJaccard(spark, sf).select(col("va"), col("vb"))
+    val pos = half.select(col("va").as("anchor"), col("vb").as("neg_id"))
+      .union(half.select(col("vb").as("anchor"), col("va").as("neg_id")))
+    assert(negs.join(pos, Seq("anchor", "neg_id")).count() == 0)
+  }
+
+  test("rag retrieval: exactly 5 chunks, cosine in [-1,1], descending") {
+    val rows = LlmOps.qPipelineRag(spark, sf).collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("SCD2 history per customer is contiguous and singly-current") {
+    val rows = RelOps.qMergeScd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("custkey"))
+    rows.foreach { case (c, hs) =>
+      val sorted = hs.sortBy(r => r.getAs[java.sql.Date]("valid_from").getTime)
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1,
+        s"customer $c must have exactly one current row")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Date]("valid_to") ==
+            b.getAs[java.sql.Date]("valid_from"),
+            s"customer $c: history gap between $a and $b")
+        case _ =>
+      }
+      assert(sorted.last.getAs[java.sql.Date]("valid_to") == null)
+    }
+  }
 }
