@@ -794,6 +794,37 @@ object AggWinOps {
       |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
       |FROM mo ORDER BY l_returnflag""".stripMargin
 
+  /** Spark 4 COLLATION surface — case-insensitive semantics as a COLUMN
+    * TYPE property instead of scattered lower() calls: lang codes are
+    * deterministically case-mixed (even doc_ids upper-cased), then
+    * grouped and equality-filtered under UTF8_LCASE collation — the
+    * engine's comparators, grouping and the filter all honor it, and
+    * unlike lower()-wrapping, collation survives into pushed filters
+    * and join keys at plan time. The group key is re-projected through
+    * lower() for display (a collated group's representative case is
+    * engine-arbitrary; its lowercase is not). Oracle: the lower()
+    * formulation, which UTF8_LCASE matches exactly on this ASCII
+    * domain. */
+  def qScalarCollation(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("mixed",
+        when(col("doc_id") % 2 === 0, upper(col("lang"))).otherwise(col("lang")))
+      .groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("collate(mixed, 'UTF8_LCASE')") === lit("EN"), 1L)
+          .otherwise(0L)).as("n_en_ci"))
+      .select(lower(col("k")).as("lang_ci"), col("n_docs"), col("n_en_ci"))
+      .orderBy(col("lang_ci"))
+
+  val qScalarCollationSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mixed
+      |  FROM documents)
+      |SELECT lower(mixed) AS lang_ci, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lower(mixed) = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_en_ci
+      |FROM m GROUP BY lower(mixed) ORDER BY lang_ci""".stripMargin
+
   /** ORDERED EVENT FUNNEL (ClickHouse windowFunnel shape) — per (user,
     * day): how far does view → click → purchase progress in strict
     * timestamp order? Implemented as ONE shuffle: the day's events
@@ -899,6 +930,7 @@ object AggWinOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_funnel" -> (qWindowFunnel _),
     "q_agg_cohort" -> (qAggCohort _),
+    "q_scalar_collation" -> (qScalarCollation _),
     "q_window_navigation" -> (qWindowNavigation _),
     "q_agg_stats_moments" -> (qAggStatsMoments _),
     "q_agg_unpivot" -> (qAggUnpivot _),
@@ -940,6 +972,7 @@ object AggWinOps {
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_funnel" -> qWindowFunnelSql,
     "q_agg_cohort" -> qAggCohortSql,
+    "q_scalar_collation" -> qScalarCollationSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
     "q_agg_distinct" -> qAggDistinctSql,
