@@ -794,6 +794,77 @@ object AggWinOps {
       |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
       |FROM mo ORDER BY l_returnflag""".stripMargin
 
+  /** ERROR-SAFE (try_*) arithmetic — the ANSI-mode escape hatches that
+    * keep a 100 TB batch from dying on one bad row: try_divide yields
+    * NULL on a zero divisor, try_cast NULL on a malformed string — both
+    * graded against DuckDB's NULL-on-div-zero and TRY_CAST semantics.
+    * Aggregates over the maybe-NULL column stick to order-free
+    * reductions (COUNT/MIN/MAX — a SUM of doubles would re-introduce
+    * accumulation-order drift). */
+  def qScalarTry(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus"),
+        expr("try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))").as("d1"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("d1")).as("n_div_ok"),
+        count(col("bad_int")).as("n_bad_casts"),
+        round(min(col("d1")), 4).as("min_d1"),
+        round(max(col("d1")), 4).as("max_d1"),
+        sum(col("prio")).as("sum_prio"))
+      .orderBy(col("o_orderstatus"))
+
+  val qScalarTrySql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  COUNT(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE))
+      |    AS n_div_ok,
+      |  COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_bad_casts,
+      |  round(MIN(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE)), 4)
+      |    AS min_d1,
+      |  round(MAX(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE)), 4)
+      |    AS max_d1,
+      |  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+      |    AS sum_prio
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** max_by / min_by — the argmax scalar-aggregate surface, made
+    * DETERMINISTIC under ties by ordering on a struct key (total, then
+    * negated user id): the winner is "highest spend, lowest user id on
+    * ties" in both engines; the oracle picks the same winner with a
+    * rank-1 window, proving the struct-ordered max_by agrees with the
+    * explicit tie-break. */
+  def qAggArgmax(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("total"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("max_by(user_id, named_struct('t', total, 'u', -user_id))")
+          .as("top_user"),
+        expr("min_by(user_id, named_struct('t', total, 'u', user_id))")
+          .as("bottom_user"),
+        max(col("total")).cast(DoubleType).as("top_total"))
+      .orderBy(col("event_type"))
+
+  val qAggArgmaxSql: String =
+    """WITH t AS (
+      |  SELECT event_type, user_id,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS total
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, total,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY total DESC, user_id) AS rmax,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY total, user_id) AS rmin
+      |      FROM t)
+      |SELECT a.event_type, a.user_id AS top_user, b.user_id AS bottom_user,
+      |  CAST(a.total AS DOUBLE) AS top_total
+      |FROM r a JOIN r b ON a.event_type = b.event_type
+      |WHERE a.rmax = 1 AND b.rmin = 1
+      |ORDER BY a.event_type""".stripMargin
+
   /** Spark 4 COLLATION surface — case-insensitive semantics as a COLUMN
     * TYPE property instead of scattered lower() calls: lang codes are
     * deterministically case-mixed (even doc_ids upper-cased), then
@@ -931,6 +1002,8 @@ object AggWinOps {
     "q_window_funnel" -> (qWindowFunnel _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
+    "q_scalar_try" -> (qScalarTry _),
+    "q_agg_argmax" -> (qAggArgmax _),
     "q_window_navigation" -> (qWindowNavigation _),
     "q_agg_stats_moments" -> (qAggStatsMoments _),
     "q_agg_unpivot" -> (qAggUnpivot _),
@@ -973,6 +1046,8 @@ object AggWinOps {
     "q_window_funnel" -> qWindowFunnelSql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,
+    "q_scalar_try" -> qScalarTrySql,
+    "q_agg_argmax" -> qAggArgmaxSql,
     "q_window_rolling" -> qWindowRollingSql,
     "q_scalar_null_bitwise" -> qScalarNullBitwiseSql,
     "q_agg_distinct" -> qAggDistinctSql,
