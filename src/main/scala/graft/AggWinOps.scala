@@ -810,7 +810,7 @@ object AggWinOps {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         count(col("d1")).as("n_div_ok"),
-        count(col("bad_int")).as("n_bad_casts"),
+        (count(lit(1)) - count(col("bad_int"))).as("n_bad_casts"),
         round(min(col("d1")), 4).as("min_d1"),
         round(max(col("d1")), 4).as("max_d1"),
         sum(col("prio")).as("sum_prio"))
@@ -820,7 +820,7 @@ object AggWinOps {
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  COUNT(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE))
       |    AS n_div_ok,
-      |  COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_bad_casts,
+      |  COUNT(*) - COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_bad_casts,
       |  round(MIN(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE)), 4)
       |    AS min_d1,
       |  round(MAX(o_totalprice / CAST(NULLIF(o_custkey % 3, 0) AS DOUBLE)), 4)

@@ -93,14 +93,19 @@ object BmpCodec {
     if (dibSize < 40) return None
     val w = readLe32(bytes, 18)
     val rawH = readLe32(bytes, 22)
+    // math.abs(Int.MinValue) is still negative — reject it outright.
+    if (rawH == Int.MinValue) return None
     val bottomUp = rawH > 0
     val h = math.abs(rawH)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val stride = rowStride(w)
-    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > bytes.length)
+    // Stride math in Long: a hostile width near 2^30 overflows w*3 in Int,
+    // poisoning the bounds guard below with a negative stride.
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (pixOff < 54 || pixOff.toLong + strideL * h > bytes.length)
       return None
+    val stride = strideL.toInt // safe: strideL * h fits in bytes.length
     val px = Array.ofDim[Array[(Int, Int, Int)]](h)
     var fy = 0
     while (fy < h) {

@@ -102,9 +102,14 @@ case class HllMergeAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   import HllSketchAgg.M
+
+  // Without declared input types an array<bigint> column would resolve
+  // uncast and arr.getInt would read the wrong 4 bytes of each element.
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
@@ -115,7 +120,11 @@ case class HllMergeAgg(
       val n = math.min(arr.numElements(), M)
       var i = 0
       while (i < n) {
-        val r = arr.getInt(i)
+        // Clamp to the valid rank domain [0, 41]: an out-of-domain element
+        // in a malformed persisted sketch (e.g. 300) must not win the max
+        // then wrap negative/garbage via toByte.
+        val r0 = if (arr.isNullAt(i)) 0 else arr.getInt(i)
+        val r = if (r0 < 0) 0 else if (r0 > 41) 41 else r0
         if (r > regs(i)) regs(i) = r.toByte
         i += 1
       }

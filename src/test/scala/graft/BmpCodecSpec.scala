@@ -12,8 +12,9 @@ import graft.functions.BmpCodec
   * never throw on a corrupt payload, only return None. */
 class BmpCodecSpec extends AnyFunSuite {
 
-  private def check(name: String, prop: Prop): Unit = {
-    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+  private def check(name: String, prop: Prop, minSuccessful: Int = 200): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
     assert(res.passed, s"$name: $res")
   }
 
@@ -84,6 +85,28 @@ class BmpCodecSpec extends AnyFunSuite {
               bb >= 0 && bb <= 255 && g >= 0 && g <= 255 && r >= 0 && r <= 255
             }
       }
-    })
+    }, minSuccessful = 2000)
+  }
+
+  test("overflow regressions: hostile width/height fields return None") {
+    val base = BmpCodec.build(
+      Array.tabulate(5, 10)((y, x) => (x * 20, y * 40, (x + y) % 256)),
+      gapBytes = 0)
+    def withLe32(at: Int, v: Int): Array[Byte] = {
+      val b = base.clone()
+      b(at) = (v & 0xff).toByte
+      b(at + 1) = ((v >> 8) & 0xff).toByte
+      b(at + 2) = ((v >> 16) & 0xff).toByte
+      b(at + 3) = ((v >> 24) & 0xff).toByte
+      b
+    }
+    // width ~2^30: w*3 overflows negative in Int — the r11 fuzz crash
+    assert(BmpCodec.parse(withLe32(18, (1 << 30) + 10)).isEmpty)
+    // width whose Int stride would be exactly poisoned (0x2AAAAAAB * 3 < 0)
+    assert(BmpCodec.parse(withLe32(18, 0x2AAAAAAB)).isEmpty)
+    // height = Int.MinValue: math.abs stays negative
+    assert(BmpCodec.parse(withLe32(22, Int.MinValue)).isEmpty)
+    // jointly hostile dims
+    assert(BmpCodec.parse(withLe32(18, Int.MaxValue)).isEmpty)
   }
 }
