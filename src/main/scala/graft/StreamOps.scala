@@ -1,6 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -339,16 +338,19 @@ object StreamOps {
     *
     * Append mode (the only file-sink mode) emits a window only after the
     * watermark passes its end, and the watermark used by batch N comes
-    * from batch N−1's data — so a single-batch bounded source would emit
-    * NOTHING. The stage therefore writes the events as one data file plus
-    * two far-future `__wm__` sentinel rows as separate later files and
-    * runs with maxFilesPerTrigger=1: batch 1's sentinel pushes the
-    * watermark past every real window, and the next batch flushes them
-    * all. The sentinels' own windows sit above the final watermark and
-    * never flush; the read-back filter drops them if a trailing no-data
-    * batch ever flushes one. This is exactly how a bounded backfill run
-    * of an unbounded pipeline terminates cleanly at 100 TB: a watermark
-    * heartbeat past the horizon, not a mode switch. */
+    * from batch N−1's data — so a data-only bounded source would emit
+    * NOTHING. The stage therefore stages the events together with a
+    * far-future `__wm__` sentinel row: the single data batch processes
+    * everything and advances the watermark past every real window, and
+    * the engine's trailing no-data micro-batch
+    * (noDataMicroBatches.enabled, default on) flushes them all — one
+    * sequential micro-batch total, down from r11's staged
+    * data-then-sentinel pair (measured identical output at all three
+    * SFs). The sentinel's own window (2100-01-01+1h) sits above the
+    * final watermark and never flushes; the read-back filter drops it if
+    * a trailing batch ever does. This is exactly how a bounded backfill
+    * run of an unbounded pipeline terminates cleanly at 100 TB: a
+    * watermark heartbeat past the horizon, not a mode switch. */
   def qStreamSink(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     val src = RelOps.stagingDir(s, "stream_sink_src")
     val out = RelOps.stagingDir(s, "stream_sink_out")
@@ -358,42 +360,14 @@ object StreamOps {
     // different sfDir in the same session) would silently keep the old
     // answer — delete-then-rebuild makes the query idempotent
     Seq(src, out, ckpt).foreach(RelOps.deleteRecursively)
-    // FileStreamSource orders pending files by MODIFICATION TIME with
-    // arbitrary tie order — on a coarse-mtime filesystem a sentinel
-    // could tie with (and sort before) the data file, land in batch 0,
-    // and push the watermark past every real event before any is seen.
-    // Pin the intended order explicitly: after each staged write, the
-    // files that write ADDED (set difference, never mtime inference) get
-    // a fixed, strictly increasing mtime in stage order.
-    def listParquet(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    def pin(files: Set[java.nio.file.Path], stage: Int): Unit =
-      files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(stage * 100000L)))
+    val sentinel = s.range(1)
+      .select(to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+        lit("__wm__").as("event_type"), lit(0.0).as("value"))
     events(s, d).select(col("ts"), col("event_type"), col("value"))
+      .union(sentinel)
       .coalesce(1).write.mode("overwrite").parquet(src)
-    val dataFiles = listParquet()
-    pin(dataFiles, 1)
-    def sentinel(t: String): DataFrame = s.range(1)
-      .select(to_timestamp(lit(t)).as("ts"), lit("__wm__").as("event_type"),
-        lit(0.0).as("value"))
-    // ONE sentinel suffices (r11, measured): its batch advances the
-    // watermark past every real window, and the engine's no-data
-    // micro-batch (noDataMicroBatches.enabled, default on) runs the
-    // flush that a second sentinel file used to force — one fewer
-    // sequential micro-batch; identical output at all three SFs. The
-    // sentinel's own window (2100-01-01+1h) stays above the final
-    // watermark and never flushes; the read-back filter drops it if a
-    // trailing no-data batch ever does.
-    sentinel("2100-01-01 00:00:00").coalesce(1).write.mode("append").parquet(src)
-    pin(listParquet() -- dataFiles, 2)
     val schema = s.read.parquet(src).schema
-    val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
+    val agg = s.readStream.schema(schema).parquet(src)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
@@ -545,56 +519,34 @@ object StreamOps {
     * 2 h watermark delay) — the state-eviction semantics that make the
     * result exactly the batch LEFT JOIN, not a guess. A bounded run
     * needs the watermark pushed past every real event or the unmatched
-    * rows stay in state forever, so the stage uses the q_stream_sink
-    * sentinel discipline (explicit far-future rows, mtime-pinned file
-    * order, maxFilesPerTrigger=1): batch 1 = data, batch 2 = click
-    * sentinel (advances the left watermark), batch 3 = purchase
-    * sentinel (advances the right / global watermark), after which the
-    * engine's no-data micro-batch lets the now-advanced watermark evict
-    * and emit every unmatched real click (r11: this replaced a fourth
-    * sentinel batch — measured identical output). Sentinels carry
-    * user_id = -1 and are dropped on read-back; their own windows sit
-    * past the final watermark and never flush. At 100 TB this is the
-    * bounded-backfill termination story again: a watermark heartbeat,
-    * not a mode switch. State stays bounded by the 30-min join range +
-    * watermark on BOTH sides. */
+    * rows stay in state forever, so the stage stages far-future click
+    * and purchase sentinel rows TOGETHER with the data: the single data
+    * batch matches every real pair and advances BOTH sides' watermarks
+    * past every data row's bound, and the engine's trailing no-data
+    * micro-batch (spark.sql.streaming.noDataMicroBatches.enabled,
+    * default on) evicts and emits every unmatched real click — one
+    * sequential micro-batch total, down from r11's three staged batches
+    * (measured identical output at all three SFs; matches are found
+    * before eviction within a batch, so no click is null-padded while
+    * its purchase sits in the same batch). Sentinels carry user_id = -1
+    * and are dropped on read-back; their own bounds sit past the final
+    * watermark and never flush. At 100 TB this is the bounded-backfill
+    * termination story again: a watermark heartbeat, not a mode switch.
+    * State stays bounded by the 30-min join range + watermark on BOTH
+    * sides. */
   def qStreamJoinOuter(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     val src = RelOps.stagingDir(s, "stream_join_outer_src")
     RelOps.deleteRecursively(src)
-    def listParquet(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    def pin(files: Set[java.nio.file.Path], stage: Int): Unit =
-      files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(stage * 100000L)))
-    events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .coalesce(1).write.mode("overwrite").parquet(src)
-    val dataFiles = listParquet()
-    pin(dataFiles, 1)
     def sentinel(t: String, typ: String): DataFrame = s.range(1)
       .select(lit(-1L).as("event_id"), to_timestamp(lit(t)).as("ts"),
         lit(-1L).as("user_id"), lit(typ).as("event_type"))
-    sentinel("2100-01-01 00:00:00", "click")
-      .coalesce(1).write.mode("append").parquet(src)
-    val s1 = listParquet() -- dataFiles
-    pin(s1, 2)
-    // TWO sentinels suffice (r11, measured): after the purchase sentinel
-    // lands, both sides' watermarks are past every data row's bound, and
-    // the engine's no-data micro-batch (spark.sql.streaming
-    // .noDataMicroBatches.enabled, default on) runs the flush batch that
-    // a third sentinel file used to force — one fewer sequential
-    // micro-batch on the fleet's most expensive query, identical output
-    // (oracle-checked at all three SFs)
-    sentinel("2100-01-02 00:00:00", "purchase")
-      .coalesce(1).write.mode("append").parquet(src)
-    pin(listParquet() -- dataFiles -- s1, 3)
+    events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .union(sentinel("2100-01-01 00:00:00", "click"))
+      .union(sentinel("2100-01-02 00:00:00", "purchase"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema
-    def srcStream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
+    def srcStream = s.readStream.schema(schema).parquet(src)
     val clicks = srcStream.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
