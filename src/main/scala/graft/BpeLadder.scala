@@ -156,6 +156,78 @@ object BpeLadder {
       (merges.result(), times.result())
     }
 
+    /** SAFE batched rounds — TextOps.bpeTrainBatched's selection rule
+      * (symbol-disjoint prefix + frequency gap above the created-pair
+      * bounds max(maxInto(x), maxOutOf(y)), singleton self-pairs), which
+      * is PROVABLY sequential-equivalent — the graded q_text_bpe_batched
+      * hash-matches the sequential oracle. This mode measures the
+      * realized driver-round reduction at ladder scale. */
+    def runSafe(batch: Int, cadence: Int)
+        : (Seq[(String, String)], Array[Double]) = {
+      var st = freshTable().localCheckpoint()
+      val merges = Seq.newBuilder[(String, String)]
+      val times = Array.newBuilder[Double]
+      var done = 0
+      var round = 0
+      while (done < rounds) {
+        val t0 = System.nanoTime()
+        val pairs = st
+          .select(col("n"), split(trim(col("st")), "  ").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS x, tk[i] AS y))"))
+            .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("n")).as("cnt"))
+          .localCheckpoint()
+        val top = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
+          .limit(3 * batch).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (top.isEmpty) {
+          println(s"[bpe-ladder] vocabulary exhausted after $done merges ($round safe rounds)")
+          return (merges.result(), times.result())
+        }
+        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+        val bounds = pairs.select(col("x").as("sym"), col("cnt"), lit("out").as("dir"))
+          .union(pairs.select(col("y").as("sym"), col("cnt"), lit("in").as("dir")))
+          .filter(col("sym").isin(syms: _*))
+          .groupBy(col("sym"), col("dir")).agg(max(col("cnt")).as("m"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var open = true
+        for ((x, y, cnt) <- top if open &&
+            accepted.length < batch && done + accepted.length < rounds) {
+          val singletonSelf = accepted.isEmpty && x == y
+          val ok = singletonSelf || (x != y &&
+            accepted.forall { case (ax, ay, _) =>
+              ax != x && ax != y && ay != x && ay != y &&
+                cnt > math.max(bounds.getOrElse((ax, "in"), 0L),
+                  bounds.getOrElse((ay, "out"), 0L))
+            })
+          if (ok) accepted += ((x, y, cnt))
+          if (!ok || singletonSelf) open = false
+        }
+        val merged = accepted.foldLeft(st.select(col("word"), col("st"), col("n"))) {
+          case (df, (x, y, _)) =>
+            df.select(col("word"),
+              regexp_replace(col("st"),
+                java.util.regex.Pattern.quote(s" $x  $y "),
+                java.util.regex.Matcher.quoteReplacement(s" $x$y ")).as("st"),
+              col("n"))
+        }
+        merges ++= accepted.map(a => (a._1, a._2))
+        done += accepted.size
+        round += 1
+        st = if (round % cadence == 0) {
+          val cp = merged.localCheckpoint()
+          org.apache.spark.sql.GraftShim.freeCheckpointBlocks(st)
+          cp
+        } else merged
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      (merges.result(), times.result())
+    }
+
     var serialMerges: Seq[(String, String)] = Seq.empty
     Seq(1, 10).foreach { cadence =>
       val ts = run(cadence)
@@ -171,6 +243,18 @@ object BpeLadder {
       val agree = serialMerges.zip(bm).takeWhile { case (a, c) => a == c }.size
       println(f"[bpe-ladder] batch=$b rounds=${ts.length} merges=${bm.size} " +
         f"total=${ts.sum}%.1f s mean/round=${ts.sum / ts.length}%.3f")
+      println(s"[bpe-ladder]   merge-table agreement with serial: $agree/" +
+        s"${math.min(serialMerges.size, bm.size)} prefix" +
+        (if (agree == math.min(serialMerges.size, bm.size)) " (IDENTICAL)"
+         else s"; first divergence at merge $agree: serial=" +
+           s"${serialMerges.lift(agree)} batched=${bm.lift(agree)}"))
+    }
+    Seq(8, 16).foreach { b =>
+      val (bm, ts) = runSafe(b, 10)
+      val agree = serialMerges.zip(bm).takeWhile { case (a, c) => a == c }.size
+      println(f"[bpe-ladder] SAFE batch=$b driver-rounds=${ts.length} " +
+        f"merges=${bm.size} total=${ts.sum}%.1f s " +
+        f"reduction=${bm.size.toDouble / ts.length}%.2fx merges/round")
       println(s"[bpe-ladder]   merge-table agreement with serial: $agree/" +
         s"${math.min(serialMerges.size, bm.size)} prefix" +
         (if (agree == math.min(serialMerges.size, bm.size)) " (IDENTICAL)"

@@ -1043,6 +1043,58 @@ object RelOps {
       |     IS NOT DISTINCT FROM NULLIF(CAST(n_nationkey AS BIGINT), 13)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** SNAPSHOT / TIME-TRAVEL through the native mini-log table format
+    * ([[graft.sources.MiniLog]]) — the transactional-table read path the
+    * q_merge_* family lacked: three commits (v1 full load; v2
+    * copy-on-write price adjustment confined to bucket 2; v3 delete
+    * confined to bucket 5), then a read AS OF v2 that must (a) see v2's
+    * update, and (b) NOT see v3's delete even though v3 is already
+    * committed — snapshot isolation via immutable files + versioned
+    * manifests, never via data copies (v2's manifest shares 7 of its 8
+    * files with v1 by path). The oracle recomputes the v2 snapshot
+    * relationally from the raw orders table, so a log that leaked v3's
+    * delete, missed v2's rewrite, or resolved the wrong file set
+    * diverges. At 100 TB the commits stay metadata-scale: each rewrite
+    * touches one bucket's files, each manifest is a file LIST, and old
+    * snapshots remain readable until explicitly vacuumed. */
+  def qTimetravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MiniLog
+    val table = stagingDir(s, "timetravel")
+    deleteRecursively(table)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") % 8).as("bucket"))
+    // v1: initial load, one immutable file per bucket
+    val v1 = MiniLog.writeBucketFiles(base, table, "v1")
+    MiniLog.commit(table, 1, v1)
+    // v2: copy-on-write UPDATE of exactly the keys in bucket 2
+    // (o_orderkey % 8 = 2): rewrite that one file, share the rest
+    val b2 = s.read.parquet(v1(2L))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100))
+      .withColumn("bucket", lit(2L))
+    val v2 = v1 ++ MiniLog.writeBucketFiles(b2, table, "v2")
+    MiniLog.commit(table, 2, v2)
+    // v3: DELETE of bucket 5's 'F' rows — rewrite that one file
+    val b5 = s.read.parquet(v2(5L))
+      .filter(col("o_orderstatus") =!= "F")
+      .withColumn("bucket", lit(5L))
+    val v3 = v2 ++ MiniLog.writeBucketFiles(b5, table, "v3")
+    MiniLog.commit(table, 3, v3)
+    // time-travel: read AS OF v2 — sees the update, not the delete
+    MiniLog.readAsOf(s, table, 2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qTimetravelSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey % 8 = 2
+      |                     THEN o_totalprice + 100
+      |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+      |       AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1052,6 +1104,7 @@ object RelOps {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_overwrite" -> (qMergeOverwrite _),
     "q_merge_scd2" -> (qMergeScd2 _),
+    "q_timetravel" -> (qTimetravel _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_sink_partitioned" -> (qSinkPartitioned _),
@@ -1084,6 +1137,7 @@ object RelOps {
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_overwrite" -> qMergeOverwriteSql,
     "q_merge_scd2" -> qMergeScd2Sql,
+    "q_timetravel" -> qTimetravelSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,

@@ -369,6 +369,82 @@ object ScaleOps {
       |FROM agg a JOIN nd ON a.event_type = nd.event_type
       |ORDER BY a.event_type""".stripMargin
 
+  // --------------------------------------- quantile sketch rollup table
+
+  /** MERGEABLE QUANTILE SKETCH in its colliding/merging regime — the
+    * percentile sibling of q_agg_hll_reagg, completing the native sketch
+    * family (HLL / KMV / CMS / Misra-Gries / MinHash / bottom-k
+    * quantile). Fine-grained sketches per (l_returnflag, 8-way shard) —
+    * what a 100 TB deployment persists per (day, shard): ≤ 8 KB per cell
+    * vs the shard's raw prices — are merged per flag with
+    * `graft_quantile_merge`, and p25/50/75/95 are read off the merged
+    * sample. merged(fine) == direct(raw) is the bottom-k truncation
+    * identity (any global bottom-K pair survives its shard's cut); the
+    * oracle rebuilds the ENTIRE sketch relationally — a
+    * `row_number() OVER (ORDER BY hash, value) <= K` window straight on
+    * the raw rows — so the graded equality proves the two-level path
+    * (fine sketch, serialize, regroup, merge, quantile) loses nothing.
+    * Quantile values are verbatim input doubles (the sketch does zero
+    * float arithmetic); positions use floor(p·(m−1))+1 integer-exactly
+    * in both engines. See [[graft.functions.QuantileSketchAgg]] for why
+    * bottom-k-by-hash beats KLL/t-digest here (deterministic merge). */
+  def qAggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    def qpos(p: Double): Column =
+      element_at(col("vs"),
+        (floor(lit(p) * (col("m") - 1)) + 1).cast(IntegerType))
+    lineitem(s, d)
+      .select(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"),
+        expr("""CAST(conv(substring(md5(CAST(CAST(l_orderkey AS BIGINT) * 10
+                |  + l_linenumber AS STRING)), 1, 12), 16, 10) AS BIGINT)"""
+          .stripMargin).as("hk"),
+        col("l_extendedprice").cast(DoubleType).as("v"))
+      .groupBy(col("l_returnflag"), col("shard"))
+      .agg(expr("graft_quantile(hk, v)").as("sk"), count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_quantile_merge(sk)").as("sk"),
+        sum(col("n")).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        expr("array_sort(transform(sk, p -> p.v))").as("vs"))
+      .withColumn("m", size(col("vs")))
+      .select(col("l_returnflag"), col("n_rows"), col("m"),
+        qpos(0.25).as("p25"), qpos(0.50).as("p50"),
+        qpos(0.75).as("p75"), qpos(0.95).as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qAggQuantileSketchSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(('0x' || substr(md5(CAST(CAST(l_orderkey AS BIGINT) * 10
+      |      + l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) AS hk,
+      |    CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem),
+      |bk AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hk, v) AS rn
+      |  FROM r),
+      |srt AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+      |  FROM bk WHERE rn <= 512),
+      |q AS (
+      |  SELECT l_returnflag, CAST(MAX(m) AS INTEGER) AS m,
+      |    MAX(CASE WHEN vr = CAST(floor(0.25 * (m - 1)) AS BIGINT) + 1
+      |             THEN v END) AS p25,
+      |    MAX(CASE WHEN vr = CAST(floor(0.50 * (m - 1)) AS BIGINT) + 1
+      |             THEN v END) AS p50,
+      |    MAX(CASE WHEN vr = CAST(floor(0.75 * (m - 1)) AS BIGINT) + 1
+      |             THEN v END) AS p75,
+      |    MAX(CASE WHEN vr = CAST(floor(0.95 * (m - 1)) AS BIGINT) + 1
+      |             THEN v END) AS p95
+      |  FROM srt GROUP BY l_returnflag),
+      |n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+      |SELECT q.l_returnflag, n.n_rows, q.m, q.p25, q.p50, q.p75, q.p95
+      |FROM q JOIN n ON q.l_returnflag = n.l_returnflag
+      |ORDER BY q.l_returnflag""".stripMargin
+
   // ------------------------------------------------- filtered ANN search
 
   /** FILTERED vector search — the production shape most ANN papers skip:
@@ -1029,6 +1105,7 @@ object ScaleOps {
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_sim_ann_filtered" -> (qSimAnnFiltered _),
     "q_agg_hll_reagg" -> (qAggHllReagg _),
+    "q_agg_quantile_sketch" -> (qAggQuantileSketch _),
     "q_profile_checks" -> (qProfileChecks _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
@@ -1050,6 +1127,7 @@ object ScaleOps {
     "q_layout_zorder" -> qLayoutZorderSql,
     "q_sim_ann_filtered" -> qSimAnnFilteredSql,
     "q_agg_hll_reagg" -> qAggHllReaggSql,
+    "q_agg_quantile_sketch" -> qAggQuantileSketchSql,
     "q_profile_checks" -> qProfileChecksSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_mixture" -> qSampleMixtureSql,

@@ -786,6 +786,132 @@ object TextOps {
     mergeRows.reduce(_ union _).orderBy(col("merge_rank"))
   }
 
+  /** FREQUENCY-GAP-SAFE BATCHED BPE TRAINING — the driver-round lever
+    * for production vocabularies (50k merges of the sequential loop ≈ an
+    * hour of pure scheduler round-trips at the measured 70–90 ms/round
+    * floor; see SCALE.md "BPE merge-round scaling"). Per round, the top
+    * candidates are collected (bounded, ≤ 3·maxBatch rows) and a PREFIX
+    * of the (cnt DESC, x, y) ranking is accepted greedily while each
+    * candidate is provably what sequential BPE would pick next:
+    *
+    *  - SYMBOL-DISJOINT from every earlier accepted pair: merging (a,b)
+    *    cannot change the count of (c,d) when {a,b} ∩ {c,d} = ∅ (no
+    *    instance is shared or newly created), so accepted counts stay
+    *    exact through the batch.
+    *  - FREQUENCY GAP beats cross-interference: a merge of p = (x,y) can
+    *    only create pairs (z,·xy) with count ≤ cnt(z,x) ≤ maxInto(x) and
+    *    (xy·,w) with count ≤ cnt(y,w) ≤ maxOutOf(y) — each created
+    *    instance was an adjacency into x / out of y before the merge
+    *    (this also covers merged-merged adjacencies, whose underlying
+    *    (y_j, x_k) adjacency is bounded by the same maxima). Requiring
+    *    cnt(candidate) STRICTLY above every earlier accepted pair's
+    *    max(maxInto(x), maxOutOf(y)) — maxima read off the SAME pair
+    *    table — guarantees no created pair can outrank it, even on ties.
+    *  - PREFIX discipline: the first candidate that fails ends the
+    *    batch (skipping it would let it win the next sequential round).
+    *    A first candidate with x = y is taken as a singleton batch (its
+    *    greedy run-merging needs a real recount).
+    *
+    * The batch applies as chained row-local replaces; token counts
+    * decrement EXACTLY by each accepted cnt (an x ≠ y pair has no
+    * overlapping instances, and disjointness keeps the other members'
+    * instances untouched), so per-merge n_tokens_after needs no
+    * intermediate job. Worst case every batch degenerates to size 1 =
+    * the sequential loop; the oracle is q_text_bpe's UNCHANGED
+    * sequential replay, so the hash match IS the vocabulary-equivalence
+    * proof. BpeLadder measures the realized driver-round reduction. */
+  private[graft] def bpeTrainBatched(s: SparkSession, d: String,
+      maxBatch: Int = 8): DataFrame = {
+    import s.implicits._
+    var st = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"),
+        concat(regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("st"),
+        col("n")).localCheckpoint(eager = false)
+    var nTokens = st
+      .agg(sum(col("n") * size(split(trim(col("st")), "  "))))
+      .collect()(0).getLong(0)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var rank = 0
+    while (rank < BpeRounds) {
+      val pairs = st
+        .select(col("n"), split(trim(col("st")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS x, tk[i] AS y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+        .localCheckpoint(eager = false) // reused by the rank + bounds reads
+      val top = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(3 * maxBatch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) { rank = BpeRounds }
+      else {
+        // created-pair count bounds for the candidate symbols, one job:
+        // maxInto(sym) = max cnt(·, sym), maxOutOf(sym) = max cnt(sym, ·)
+        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+        val bounds = pairs.select(col("x").as("sym"), col("cnt"),
+            lit("out").as("dir"))
+          .union(pairs.select(col("y").as("sym"), col("cnt"),
+            lit("in").as("dir")))
+          .filter(col("sym").isin(syms: _*))
+          .groupBy(col("sym"), col("dir")).agg(max(col("cnt")).as("m"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var open = true
+        for ((x, y, cnt) <- top if open &&
+            accepted.length < maxBatch && rank + accepted.length < BpeRounds) {
+          val singletonSelf = accepted.isEmpty && x == y
+          val ok = singletonSelf || (x != y &&
+            accepted.forall { case (ax, ay, _) =>
+              ax != x && ax != y && ay != x && ay != y &&
+                cnt > math.max(bounds.getOrElse((ax, "in"), 0L),
+                  bounds.getOrElse((ay, "out"), 0L))
+            })
+          if (ok) accepted += ((x, y, cnt))
+          if (!ok || singletonSelf) open = false
+        }
+        val merged = accepted.foldLeft(st) { case (df, (x, y, _)) =>
+          df.select(col("word"),
+            expr(s"replace(st, concat(' ', ${sqlStr(x)}, '  ', ${sqlStr(y)}, ' '), " +
+              s"concat(' ', ${sqlStr(x)}, ${sqlStr(y)}, ' '))").as("st"),
+            col("n"))
+        }
+        st = merged.localCheckpoint(eager = false)
+        if (accepted.length == 1 && accepted(0)._1 == accepted(0)._2) {
+          // self-pair: greedy run merging applies fewer than cnt — recount
+          nTokens = st
+            .agg(sum(col("n") * size(split(trim(col("st")), "  "))))
+            .collect()(0).getLong(0)
+          val (x, y, cnt) = accepted(0)
+          out += ((rank, x, y, cnt, nTokens))
+          rank += 1
+        } else {
+          for ((x, y, cnt) <- accepted) {
+            nTokens -= cnt
+            out += ((rank, x, y, cnt, nTokens))
+            rank += 1
+          }
+        }
+      }
+    }
+    out.result()
+      .toDF("merge_rank", "x", "y", "cnt", "n_tokens_after")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** SQL string literal with single quotes escaped (symbols are corpus
+    * characters — a quote in a document must not break the expression). */
+  private def sqlStr(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  def qTextBpeBatched(s: SparkSession, d: String): DataFrame =
+    bpeTrainBatched(s, d)
+
   /** BPE APPLY — tokenize the corpus with the TRAINED vocabulary (the
     * step every downstream consumer of a tokenizer runs; until now the
     * engine trained merges but never applied them). Production shape:
@@ -912,6 +1038,7 @@ object TextOps {
     "q_text_chunk" -> (qTextChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_text_bpe_batched" -> (qTextBpeBatched _),
     "q_text_bpe_apply" -> (qTextBpeApply _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -932,6 +1059,9 @@ object TextOps {
     "q_text_chunk" -> qTextChunkSql,
     "q_text_tfidf" -> qTextTfidfSql,
     "q_text_bpe" -> qTextBpeSql,
+    // identical sequential replay: the hash match IS the
+    // vocabulary-equivalence proof for the batched trainer
+    "q_text_bpe_batched" -> qTextBpeSql,
     "q_text_bpe_apply" -> qTextBpeApplySql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_text_normalize" -> qTextNormalizeSql,

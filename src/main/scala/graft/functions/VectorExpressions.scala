@@ -546,6 +546,12 @@ object VectorFunctions {
     (FunctionIdentifier("graft_count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_quantile"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_quantile"),
+      (es: Seq[Expression]) => QuantileSketchAgg(es(0), es(1)).toAggregateExpression()),
+    (FunctionIdentifier("graft_quantile_merge"),
+      new ExpressionInfo(classOf[QuantileMergeAgg].getName, "graft_quantile_merge"),
+      (es: Seq[Expression]) => QuantileMergeAgg(es.head).toAggregateExpression()),
     (FunctionIdentifier("graft_pq_subdists"),
       new ExpressionInfo(classOf[PqSubDistances].getName, "graft_pq_subdists"),
       (es: Seq[Expression]) => PqSubDistances(es(0), es(1), litInt(es(2), "graft_pq_subdists", "m"))),

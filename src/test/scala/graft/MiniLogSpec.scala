@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MiniLog
+
+/** The mini-log contract behind q_timetravel: immutable data files +
+  * versioned manifests give structural sharing across commits and
+  * snapshot-isolated historical reads. */
+class MiniLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("commits share unchanged files; as-of reads are snapshot-isolated") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_spec"
+    RelOps.deleteRecursively(table)
+    val base = spark.range(100).select(col("id"),
+      (col("id") % 4).as("bucket"), (col("id") * 2).as("v"))
+
+    val v1 = MiniLog.writeBucketFiles(base, table, "v1")
+    MiniLog.commit(table, 1, v1)
+    assert(v1.keySet === Set(0L, 1L, 2L, 3L))
+
+    // v2: rewrite ONLY bucket 1 (v += 1000)
+    val b1 = spark.read.parquet(v1(1L))
+      .withColumn("v", col("v") + 1000).withColumn("bucket", lit(1L))
+    val v2 = v1 ++ MiniLog.writeBucketFiles(b1, table, "v2")
+    MiniLog.commit(table, 2, v2)
+    // structural sharing: buckets 0/2/3 reference the v1 files BY PATH
+    assert(Seq(0L, 2L, 3L).forall(b => v2(b) == v1(b)))
+    assert(v2(1L) != v1(1L))
+
+    // v3: delete bucket 3's id % 8 == 7 half (bucket 3 holds ids
+    // ≡ 3 mod 4, i.e. ≡ 3 or 7 mod 8 — the rewrite must stay non-empty;
+    // an EMPTIED bucket is dropped from the manifest map instead, per
+    // the MiniLog contract)
+    val b3 = spark.read.parquet(v2(3L))
+      .filter(col("id") % 8 === 3).withColumn("bucket", lit(3L))
+    val v3 = v2 ++ MiniLog.writeBucketFiles(b3, table, "v3")
+    MiniLog.commit(table, 3, v3)
+    assert(MiniLog.latestVersion(table) === 3)
+
+    // manifest round-trip is exact
+    assert(MiniLog.manifest(table, 2) === v2)
+
+    def sumV(version: Int): Long =
+      MiniLog.readAsOf(spark, table, version)
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+    def nRows(version: Int): Long =
+      MiniLog.readAsOf(spark, table, version).count()
+
+    val baseSum = (0L until 100L).map(_ * 2).sum
+    val b1Rows = (0L until 100L).count(_ % 4 == 1)
+    assert(sumV(1) === baseSum)                      // v1: pristine
+    assert(sumV(2) === baseSum + 1000L * b1Rows)     // v2: update visible
+    assert(nRows(2) === 100L)                        // v3's delete invisible
+    assert(nRows(3) === 100L - (0L until 100L).count(_ % 8 == 7))
+    // historical reads unchanged AFTER later commits (files immutable)
+    assert(sumV(1) === baseSum)
+    RelOps.deleteRecursively(table)
+  }
+}

@@ -242,6 +242,14 @@ class QueriesSpec extends AnyFunSuite {
       "corpus token count must be non-increasing across merges")
   }
 
+  test("batched BPE trains the IDENTICAL merge table (vocabulary equivalence)") {
+    val serial = TextOps.qTextBpe(spark, sf).collect().map(_.toSeq)
+    val batched = TextOps.qTextBpeBatched(spark, sf).collect().map(_.toSeq)
+    assert(serial.nonEmpty && batched.sameElements(serial),
+      "frequency-gap-safe batching must reproduce sequential BPE exactly, " +
+        "including per-merge counts and token totals")
+  }
+
   test("curation funnel: stage counts are monotone non-increasing") {
     val rows = LlmOps.qPipelineCuration(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq === (0 to 6))
