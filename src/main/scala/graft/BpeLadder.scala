@@ -187,26 +187,9 @@ object BpeLadder {
           println(s"[bpe-ladder] vocabulary exhausted after $done merges ($round safe rounds)")
           return (merges.result(), times.result())
         }
-        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
-        val bounds = pairs.select(col("x").as("sym"), col("cnt"), lit("out").as("dir"))
-          .union(pairs.select(col("y").as("sym"), col("cnt"), lit("in").as("dir")))
-          .filter(col("sym").isin(syms: _*))
-          .groupBy(col("sym"), col("dir")).agg(max(col("cnt")).as("m"))
-          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-        var open = true
-        for ((x, y, cnt) <- top if open &&
-            accepted.length < batch && done + accepted.length < rounds) {
-          val singletonSelf = accepted.isEmpty && x == y
-          val ok = singletonSelf || (x != y &&
-            accepted.forall { case (ax, ay, _) =>
-              ax != x && ax != y && ay != x && ay != y &&
-                cnt > math.max(bounds.getOrElse((ax, "in"), 0L),
-                  bounds.getOrElse((ay, "out"), 0L))
-            })
-          if (ok) accepted += ((x, y, cnt))
-          if (!ok || singletonSelf) open = false
-        }
+        val (tripTopK, pairSub, clash) = TextOps.safeBatchInputs(spark, st, pairs, top)
+        val accepted = TextOps.selectSafeBatch(top, tripTopK, pairSub, clash,
+          batch, rounds - done)
         val merged = accepted.foldLeft(st.select(col("word"), col("st"), col("n"))) {
           case (df, (x, y, _)) =>
             df.select(col("word"),

@@ -75,7 +75,9 @@ object KnnLadder {
     }
 
     println(f"${"fanout"}%6s ${"recall@3"}%12s ${"secs"}%s")
-    Seq(1, 2, 3, 4).foreach { f =>
+    // fanout can run to the full cell count (8 = no pruning, recall 1.0);
+    // the graded config sits at the measured knee of this table
+    Seq(1, 2, 3, 4, 5, 6).foreach { f =>
       val hits = knn(f).join(truth, Seq("query_id", "neighbor_id")).count()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

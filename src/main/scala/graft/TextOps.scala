@@ -798,15 +798,19 @@ object TextOps {
     *    cannot change the count of (c,d) when {a,b} ∩ {c,d} = ∅ (no
     *    instance is shared or newly created), so accepted counts stay
     *    exact through the batch.
-    *  - FREQUENCY GAP beats cross-interference: a merge of p = (x,y) can
-    *    only create pairs (z,·xy) with count ≤ cnt(z,x) ≤ maxInto(x) and
-    *    (xy·,w) with count ≤ cnt(y,w) ≤ maxOutOf(y) — each created
-    *    instance was an adjacency into x / out of y before the merge
-    *    (this also covers merged-merged adjacencies, whose underlying
-    *    (y_j, x_k) adjacency is bounded by the same maxima). Requiring
-    *    cnt(candidate) STRICTLY above every earlier accepted pair's
-    *    max(maxInto(x), maxOutOf(y)) — maxima read off the SAME pair
-    *    table — guarantees no created pair can outrank it, even on ties.
+    *  - FREQUENCY GAP beats cross-interference: a merge of p = (x,y)
+    *    can only create pairs (z,·xy), each instance a "z x y" trigram
+    *    before the merge, so count ≤ tripleCnt(z,x,y) ≤ the pair's max
+    *    trigram extension — and (xy·,w) symmetrically — plus
+    *    merged-merged adjacencies (x_jy_j, x_ky_k) whose every instance
+    *    overlies a (y_j, x_k) adjacency, bounded by that pair's EXACT
+    *    count in the same table. Requiring cnt(candidate) STRICTLY
+    *    above every earlier accepted pair's max trigram extension and
+    *    above every (y_j, x_k) count among accepted pairs guarantees no
+    *    created pair can outrank it, even on ties. (Trigram bounds
+    *    replaced round 12's first pair-level maxima — maxInto/maxOutOf
+    *    collapse to the global top count for common symbols and capped
+    *    batches at 1.62 merges/round; specific trigrams are far rarer.)
     *  - PREFIX discipline: the first candidate that fails ends the
     *    batch (skipping it would let it win the next sequential round).
     *    A first candidate with x = y is taken as a singleton batch (its
@@ -850,31 +854,9 @@ object TextOps {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) { rank = BpeRounds }
       else {
-        // created-pair count bounds for the candidate symbols, one job:
-        // maxInto(sym) = max cnt(·, sym), maxOutOf(sym) = max cnt(sym, ·)
-        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
-        val bounds = pairs.select(col("x").as("sym"), col("cnt"),
-            lit("out").as("dir"))
-          .union(pairs.select(col("y").as("sym"), col("cnt"),
-            lit("in").as("dir")))
-          .filter(col("sym").isin(syms: _*))
-          .groupBy(col("sym"), col("dir")).agg(max(col("cnt")).as("m"))
-          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-          .toMap
-        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-        var open = true
-        for ((x, y, cnt) <- top if open &&
-            accepted.length < maxBatch && rank + accepted.length < BpeRounds) {
-          val singletonSelf = accepted.isEmpty && x == y
-          val ok = singletonSelf || (x != y &&
-            accepted.forall { case (ax, ay, _) =>
-              ax != x && ax != y && ay != x && ay != y &&
-                cnt > math.max(bounds.getOrElse((ax, "in"), 0L),
-                  bounds.getOrElse((ay, "out"), 0L))
-            })
-          if (ok) accepted += ((x, y, cnt))
-          if (!ok || singletonSelf) open = false
-        }
+        val (tripTopK, pairSub, clash) = safeBatchInputs(s, st, pairs, top)
+        val accepted = selectSafeBatch(top, tripTopK, pairSub, clash,
+          maxBatch, BpeRounds - rank)
         val merged = accepted.foldLeft(st) { case (df, (x, y, _)) =>
           df.select(col("word"),
             expr(s"replace(st, concat(' ', ${sqlStr(x)}, '  ', ${sqlStr(y)}, ' '), " +
@@ -908,6 +890,299 @@ object TextOps {
     * characters — a quote in a document must not break the expression). */
   private def sqlStr(v: String): String =
     "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Driver-side snapshots feeding one safe-batch selection step, run as
+    * CONCURRENT Spark jobs (all three derive from the already-counted
+    * pair table / symbol table, so the round pays one barrier, not
+    * three):
+    *  - tripTopK: per top candidate pair, its four best trigram
+    *    extensions (count, side L/R, extending symbol) in (count DESC,
+    *    side, z) order — upper bounds on its created pairs' counts
+    *    (exact when the consumption guards hold);
+    *  - pairSub: exact counts of every pair among the candidate symbols
+    *    (merged-merged adjacency bounds + reverse-pair chain checks);
+    *  - clash: candidate concatenations that ALREADY exist as symbols
+    *    in the pair table (a chained merge on a colliding symbol would
+    *    mix old and new tokens of the same string). */
+  private[graft] def safeBatchInputs(s: SparkSession, st: DataFrame,
+      pairs: DataFrame, top: Array[(String, String, Long)])
+      : (Map[(String, String), Seq[(Long, String, String)]],
+         Map[(String, String), Long], Set[String]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+    val topKeys = top.map(t => t._1 + " " + t._2).toSeq
+    val concats = top.map(t => t._1 + t._2).distinct.toSeq
+    val tripF = Future {
+      val trip = st
+        .select(col("n"), split(trim(col("st")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("n"), explode(expr(
+          "transform(sequence(2, size(tk) - 1), i -> struct(tk[i-2] AS a, tk[i-1] AS b, tk[i] AS c))"))
+          .as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"),
+          col("n"))
+      trip.select(col("b").as("px"), col("c").as("py"), col("a").as("z"),
+          lit("L").as("side"), col("n"))
+        .union(trip.select(col("a").as("px"), col("b").as("py"),
+          col("c").as("z"), lit("R").as("side"), col("n")))
+        .filter(concat_ws(" ", col("px"), col("py")).isin(topKeys: _*))
+        .groupBy(col("px"), col("py"), col("side"), col("z"))
+        .agg(sum(col("n")).as("c3"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(4), r.getString(2), r.getString(3)))
+        .groupBy(_._1)
+        .map { case (k, vs) =>
+          k -> vs.map(_._2).sortBy { case (c3, side, z) => (-c3, side, z) }
+            .take(4).toSeq
+        }
+    }
+    val pairF = Future {
+      pairs.filter(col("x").isin(syms: _*) && col("y").isin(syms: _*))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    val clashF = Future {
+      pairs.filter(col("x").isin(concats: _*) || col("y").isin(concats: _*))
+        .select(col("x"), col("y")).collect()
+        .flatMap(r => Seq(r.getString(0), r.getString(1)))
+        .filter(concats.contains).toSet
+    }
+    (Await.result(tripF, Duration.Inf), Await.result(pairF, Duration.Inf),
+      Await.result(clashF, Duration.Inf))
+  }
+
+  /** One safe-batch selection step — a PURE function over the snapshots
+    * (shared by bpeTrainBatched and BpeLadder.runSafe; unit-testable
+    * without Spark). Returns accepted merges in application order; each
+    * entry (x, y, cnt) has an EXACT count, so token totals decrement per
+    * merge without intermediate jobs. The full safety argument lives on
+    * [[bpeTrainBatched]]; in short, a candidate joins the batch while it
+    * is provably sequential BPE's next pick, and when an original
+    * candidate first fails, ONE chained merge — the best created pair of
+    * the accepted prefix — may close the batch if its exact trigram
+    * count strictly dominates everything else in sight and the
+    * chain-free / collision / survival guards all hold. */
+  private[graft] def selectSafeBatch(
+      top: Array[(String, String, Long)],
+      tripTopK: Map[(String, String), Seq[(Long, String, String)]],
+      pairSub: Map[(String, String), Long],
+      clash: Set[String],
+      maxBatch: Int, remaining: Int): Seq[(String, String, Long)] = {
+    // sequential BPE's tie order: (cnt DESC, x ASC, y ASC) — at equal
+    // counts the lexicographically smaller pair wins
+    def tupleWins(x: String, y: String, ox: String, oy: String): Boolean =
+      x < ox || (x == ox && y < oy)
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var open = true
+    var failedCnt = -1L
+    var failedTuple: (String, String) = ("", "")
+    for ((x, y, cnt) <- top if open &&
+        accepted.length < maxBatch && accepted.length < remaining) {
+      val singletonSelf = accepted.isEmpty && x == y
+      val ok = singletonSelf || (x != y &&
+        accepted.forall { case (ax, ay, _) =>
+          // only CROSS overlaps interact: merging (ax,ay) destroys an
+          // (x,y) instance only when x == ay (candidate's left eaten as
+          // the merge's right, "ax ay ...") or y == ax (candidate's
+          // right eaten as the merge's left, "... ax ay"). Shared lefts
+          // or shared rights leave both counts exactly invariant and
+          // the replaces commute.
+          ay != x && ax != y && {
+            // the candidate must outrank every created pair of (ax,ay):
+            // an extension bound BELOW cnt can never win; a bound EQUAL
+            // to cnt resolves by the tie order (a bound is an upper
+            // bound, so if the real count is lower the candidate wins
+            // outright, and if equal the tuple decides — either way a
+            // tuple win suffices); a bound ABOVE cnt rejects. The 4th
+            // collected entry must sit strictly below cnt or deeper
+            // unseen ties could lurk.
+            val exts = tripTopK.getOrElse((ax, ay), Seq.empty)
+            exts.forall { case (c3, side, z) =>
+              val (ex, ey) =
+                if (side == "L") (z, ax + ay) else (ax + ay, z)
+              c3 < cnt || (c3 == cnt && tupleWins(x, y, ex, ey))
+            } && (exts.length < 4 || exts.last._1 < cnt)
+          }
+        } &&
+        accepted.forall { case (kx, ky, _) =>
+          accepted.forall { case (lx, ly, _) =>
+            // merged-merged created pair (kxky, lxly): every instance
+            // overlies a (ky, lx) adjacency — same tie resolution
+            val bound = pairSub.getOrElse((ky, lx), 0L)
+            bound < cnt ||
+              (bound == cnt && tupleWins(x, y, kx + ky, lx + ly))
+          }
+        })
+      if (ok) accepted += ((x, y, cnt))
+      else { failedCnt = cnt; failedTuple = (x, y) }
+      if (!ok || singletonSelf) open = false
+    }
+    // CHAINED merges: when an original candidate was refused and the
+    // batch has room, the best created pair (exact count, all ties
+    // resolved by sequential's (cnt DESC, x, y) order) may provably be
+    // sequential's next pick — accept it, then keep extending the
+    // chained token while further extensions are FORCED at exactly its
+    // count. This is how whole words batch in one round:
+    // (c,t) → (ct,or) → (e,ctor) each provably next.
+    if (failedCnt >= 0 && accepted.nonEmpty &&
+        accepted.length < maxBatch && accepted.length < remaining) {
+      // every known created-pair candidate across the accepted prefix,
+      // with its pair tuple for tie resolution
+      val cands = accepted.flatMap { case (jx, jy, _) =>
+        tripTopK.getOrElse((jx, jy), Seq.empty).map { case (c3, side, z) =>
+          val tuple = if (side == "L") (z, jx + jy) else (jx + jy, z)
+          (jx, jy, c3, side, z, tuple)
+        }
+      }
+      // unseen-extension guard: a pair whose 4 collected extensions do
+      // not bottom out below the pick's count may hide deeper ties
+      def capOk(c3: Long): Boolean = accepted.forall { case (jx, jy, _) =>
+        val es = tripTopK.getOrElse((jx, jy), Seq.empty)
+        es.length < 4 || es.last._1 < c3
+      }
+      if (cands.nonEmpty) {
+        val pick = cands.minBy { case (_, _, c3, _, _, tuple) =>
+          (-c3, tuple._1, tuple._2)
+        }
+        val (jx, jy, c3, side, z, chainTuple) = pick
+        val merged = jx + jy
+        // the pick must dominate every other known created pair — on
+        // count, or on the tie tuple (a losing tie against an upper
+        // BOUND is still fatal: the real count could equal the bound)
+        val othersBeaten = cands.forall { case (_, _, oc, _, _, ot) =>
+          ot == chainTuple || oc < c3 || (oc == c3 &&
+            tupleWins(chainTuple._1, chainTuple._2, ot._1, ot._2))
+        }
+        val pairBoundsBeaten = accepted.forall { case (kx, ky, _) =>
+          accepted.forall { case (lx, ly, _) =>
+            val bound = pairSub.getOrElse((ky, lx), 0L)
+            bound < c3 || (bound == c3 &&
+              tupleWins(chainTuple._1, chainTuple._2, kx + ky, lx + ly))
+          }
+        }
+        // exactness: the trigram count equals the created-pair count
+        // unless the extending symbol can be eaten by ANOTHER instance
+        // of j itself — only possible when z == jy (side L, "p q p q")
+        // or z == jx (side R) — a 4-gram question we can't answer, so
+        // those chains are skipped. Other consumption routes are closed
+        // by the batch's own cross-overlap rule, leaving the explicit
+        // guards below.
+        val unambiguous = if (side == "L") z != jy else z != jx
+        // survival: the extending symbol must not be eaten by another
+        // accepted merge, collide with a merged string, or be the
+        // merged string itself; and no other accepted concat may alias
+        // the merged string
+        val survives = (side match {
+          case "L" => accepted.forall { case (ax, ay, _) =>
+            ay != z && (ax + ay) != z } && z != merged
+          case _ => accepted.forall { case (ax, ay, _) =>
+            ax != z && (ax + ay) != z } && z != merged
+        }) && accepted.forall { case (ax, ay, _) =>
+          (ax == jx && ay == jy) || (ax + ay) != merged
+        }
+        val beatsFailed = c3 > failedCnt || (c3 == failedCnt &&
+          tupleWins(chainTuple._1, chainTuple._2, failedTuple._1, failedTuple._2))
+        if (sys.env.contains("GRAFT_BPE_DEBUG")) {
+          println(s"[bpe-debug] chain try: j=($jx,$jy) ext=($side,$z,$c3) " +
+            s"failedCnt=$failedCnt others=$othersBeaten cap=${capOk(c3)} " +
+            s"pairB=$pairBoundsBeaten unamb=$unambiguous surv=$survives " +
+            s"clash=${clash.contains(merged)}")
+        }
+        if (beatsFailed && othersBeaten && capOk(c3) &&
+            pairBoundsBeaten && unambiguous && survives &&
+            !clash.contains(merged)) {
+          accepted += ((chainTuple._1, chainTuple._2, c3))
+          // FORCED continuation. Invariant: the chain token T spans
+          // original symbols toks(0..k) with instance count exactly c3.
+          // A further LEFT extension by w is exact and forced when
+          // pairCnt(toks(0), toks(1)) == c3 — those c3 adjacencies ARE
+          // precisely T's prefixes — and tripleCnt(w, toks(0), toks(1))
+          // == c3 — each is preceded by w, so EVERY T instance is
+          // "w T". (RIGHT symmetrically on the last two symbols.) The
+          // anchor's in-chain extension (pointing back into T) always
+          // ties at c3 and is excluded from the alternatives.
+          var toks = if (side == "L") Vector(z, jx, jy) else Vector(jx, jy, z)
+          var curToken = chainTuple._1 + chainTuple._2
+          var growing = true
+          while (growing && accepted.length < maxBatch &&
+              accepted.length < remaining) {
+            growing = false
+            val tries = Seq("L", "R")
+            for (dir <- tries if !growing) {
+              val anchor =
+                if (dir == "L") (toks(0), toks(1))
+                else (toks(toks.length - 2), toks(toks.length - 1))
+              val inChain: ((Long, String, String)) => Boolean =
+                if (dir == "L") e => e._2 == "R" && e._3 == toks(2)
+                else e => e._2 == "L" && e._3 == toks(toks.length - 3)
+              val anchored = pairSub.get(anchor).contains(c3)
+              val exts2 = tripTopK.getOrElse(anchor, Seq.empty)
+              val rest = exts2.filterNot(inChain)
+              val head = rest.headOption
+              val forced = anchored && head.exists { case (hc, hs, _) =>
+                hc == c3 && hs == dir
+              } && (exts2.length < 4 || exts2.last._1 < c3)
+              if (forced) {
+                val w = head.get._3
+                val newTuple =
+                  if (dir == "L") (w, curToken) else (curToken, w)
+                // remaining alternatives at this level must lose on
+                // count or on the tie tuple
+                val altsBeaten = rest.drop(1).forall { case (ac, as_, az) =>
+                  ac < c3 || (ac == c3 && {
+                    val at = if (as_ == "L") (az, curToken) else (curToken, az)
+                    tupleWins(newTuple._1, newTuple._2, at._1, at._2)
+                  })
+                }
+                val wSafe = accepted.forall { case (ax, ay, _) =>
+                  ax != w && ay != w && (ax + ay) != w
+                } && w != curToken && !toks.contains(w) &&
+                  !clash.contains(newTuple._1 + newTuple._2)
+                val beats = c3 > failedCnt || (c3 == failedCnt &&
+                  tupleWins(newTuple._1, newTuple._2,
+                    failedTuple._1, failedTuple._2))
+                // re-verify the cross-pair bounds against the NEW tuple:
+                // a tie that lost to an earlier chain tuple can win here
+                val chained = accepted.map(a => (a._1, a._2)).toSet
+                val othersOk = cands.forall { case (_, _, oc, _, _, ot) =>
+                  chained.contains(ot) || oc < c3 || (oc == c3 &&
+                    tupleWins(newTuple._1, newTuple._2, ot._1, ot._2))
+                }
+                val pairBoundsOk = accepted.forall { case (kx, ky, _) =>
+                  accepted.forall { case (lx, ly, _) =>
+                    val bound = pairSub.getOrElse((ky, lx), 0L)
+                    bound < c3 || (bound == c3 &&
+                      tupleWins(newTuple._1, newTuple._2, kx + ky, lx + ly))
+                  }
+                }
+                if (altsBeaten && wSafe && beats && othersOk && pairBoundsOk) {
+                  if (sys.env.contains("GRAFT_BPE_DEBUG")) {
+                    println(s"[bpe-debug] forced chain: $dir $w + $curToken @ $c3")
+                  }
+                  accepted += ((newTuple._1, newTuple._2, c3))
+                  toks = if (dir == "L") w +: toks else toks :+ w
+                  curToken = newTuple._1 + newTuple._2
+                  growing = true
+                }
+              }
+            }
+          }
+        }
+      } else if (sys.env.contains("GRAFT_BPE_DEBUG")) {
+        println(s"[bpe-debug] chain: no extensions for accepted=$accepted")
+      }
+    } else if (sys.env.contains("GRAFT_BPE_DEBUG")) {
+      println(s"[bpe-debug] no chain: failedCnt=$failedCnt " +
+        s"nAccepted=${accepted.length} maxBatch=$maxBatch remaining=$remaining")
+    }
+    if (sys.env.contains("GRAFT_BPE_DEBUG")) {
+      println(s"[bpe-debug] batch=${accepted.map(a => s"(${a._1},${a._2},${a._3})").mkString(" ")}")
+    }
+    accepted.toSeq
+  }
 
   def qTextBpeBatched(s: SparkSession, d: String): DataFrame =
     bpeTrainBatched(s, d)
