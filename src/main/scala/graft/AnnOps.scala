@@ -496,8 +496,8 @@ object AnnOps {
     * Scale: per round, one broadcast of the 64-row codebook against the
     * corpus (vectors never shuffle to assign) and two keyed shuffles of
     * (16 × 64) fixed-point aggregates — IvfTraining.scala's topology. */
-  private def pqCbRows(emb: DataFrame): DataFrame = {
-    var cb = emb.filter(col("vec_id") < PqK)
+  private def pqCbRows(emb: DataFrame, seedLo: Long = 0L): DataFrame = {
+    var cb = emb.filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
     for (_ <- 1 to PqLloydRounds) {
       // assignment is exactly graft_pq_encode: per-subspace argmin-L2 over
@@ -599,11 +599,11 @@ object AnnOps {
   /** One oracle Lloyd round `inCb` → `cb$r`: per-(vec, subspace) argmin
     * assignment, fixed-point subvector means, empty-cell coalesce from
     * the previous codebook — the mirror of one pqCbRows round. */
-  private def pqLloydRoundSql(inCb: String, r: Int): String =
+  private def pqLloydRoundSql(inCb: String, r: Int, src: String = "e"): String =
     s"""d$r AS (
-       |  SELECT e.vec_id, e.v, cb.c_id, ms.m,
-       |    ${pqSubdistSql("e.v", "cb.cv", "ms.m")} AS dist
-       |  FROM e, $inCb cb, ms),
+       |  SELECT $src.vec_id, $src.v, cb.c_id, ms.m,
+       |    ${pqSubdistSql(s"$src.v", "cb.cv", "ms.m")} AS dist
+       |  FROM $src, $inCb cb, ms),
        |a$r AS (
        |  SELECT vec_id, v, m, c_id FROM (
        |    SELECT vec_id, v, m, c_id,
@@ -630,20 +630,23 @@ object AnnOps {
   /** Shared oracle CTEs: TRAINED codebook (seed = first 16 vectors,
     * PqLloydRounds of fixed-point Lloyd — the mirror of pqCbRows) +
     * per-vector codes, assuming a CTE `e(vec_id, v, …)` is in scope. */
-  private val pqCodeSqlCtes: String =
+  private def pqCodeSqlCtesOver(src: String, seedLo: Int): String =
     s"""ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
-       |cb0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
-       |${(1 to PqLloydRounds).map(r => pqLloydRoundSql(s"cb${r - 1}", r)).mkString(",\n")},
+       |cb0 AS (SELECT vec_id AS c_id, v AS cv FROM $src
+       |        WHERE vec_id >= $seedLo AND vec_id < ${seedLo + PqK}),
+       |${(1 to PqLloydRounds).map(r => pqLloydRoundSql(s"cb${r - 1}", r, src)).mkString(",\n")},
        |cb AS (SELECT c_id, cv FROM cb$PqLloydRounds),
        |d AS (
-       |  SELECT e.vec_id, cb.c_id, ms.m,
-       |    ${pqSubdistSql("e.v", "cb.cv", "ms.m")} AS dist
-       |  FROM e, cb, ms),
+       |  SELECT $src.vec_id, cb.c_id, ms.m,
+       |    ${pqSubdistSql(s"$src.v", "cb.cv", "ms.m")} AS dist
+       |  FROM $src, cb, ms),
        |mn AS (SELECT vec_id, m, MIN(dist) AS md FROM d GROUP BY 1, 2),
        |code AS (
        |  SELECT d.vec_id, d.m, MIN(d.c_id) AS code
        |  FROM d JOIN mn ON d.vec_id = mn.vec_id AND d.m = mn.m AND d.dist = mn.md
        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqCodeSqlCtes: String = pqCodeSqlCtesOver("e", 0)
 
   /** Shared oracle ADC CTE over a probe CTE `p(probe_id, pv)`. */
   private val pqAdcSqlCte: String =
@@ -842,6 +845,135 @@ object AnnOps {
        |${rerankSqlTail}""".stripMargin
 
   val qSimAnnIvfPqSql: String = ivfPqSqlWith("TRUE")
+
+  // --------------------------------------------------- residual IVF-PQ
+
+  /** RESIDUAL IVF-PQ — the production refinement FAISS calls
+    * IndexIVFPQ's default (encode_residual): PQ quantizes the residual
+    * v − centroid(cell) instead of the raw vector. Residuals have a
+    * fraction of the raw vectors' spread (the coarse quantizer already
+    * explained the cell-level structure), so the same 4×16 codebook
+    * spends its precision on the part of the vector the cell does NOT
+    * explain. The probe side mirrors it per fanned-out cell: the probe's
+    * residual against THAT cell's centroid feeds a per-(probe, cell) ADC
+    * table, and distances approximate ‖p − v‖² = ‖(p − c) − (v − c)‖²
+    * directly. Costs vs plain IVF-PQ at 100 TB: one extra broadcast-join
+    * subtraction per vector at build, IvfNProbe ADC tables per probe
+    * instead of one — both constant-factor; candidate topology
+    * (cell equi-join, no pair dedup, bounded re-rank) is unchanged.
+    *
+    * Codebook seeds come from vec_ids [20, 20+PqK): vec_ids < 8 ARE the
+    * centroids, so their residuals are zero vectors and would collapse
+    * half the seed set (probes are 10–19). Everything is IEEE +/− on
+    * identical doubles, so the whole pipeline — residuals, Lloyd
+    * training on residuals, encode, per-cell ADC, refine — is replayed
+    * hash-exact by the DuckDB oracle.
+    *
+    * MEASURED (r12, sf0.1 recall@3 vs brute truth, graded in
+    * q_sim_ann_recall): residual 23/30 vs plain IVF-PQ's 25/30. On
+    * these ISOTROPIC synthetic embeddings residuals are no smaller than
+    * the raw vectors (there is no cluster structure for the coarse
+    * quantizer to explain — the same reason Lloyd-trained coarse
+    * centroids were measured and rejected in r10), so the residual
+    * rotation buys nothing here and the plain tier stays the
+    * recommended config for THIS corpus. On real clustered embeddings
+    * the residual form is the standard win — the operator exists,
+    * graded and oracle-exact, so the data can decide. */
+  def qSimAnnIvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+        col("na").as("nc"))
+    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
+      .select(col("vec_id"), col("cell_id"), col("arn"))
+      .localCheckpoint(eager = false)
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    val probeCells = ranked
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+    // corpus residuals against the OWNING cell's centroid
+    val resid = assigned
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(cents.select(col("cell_id"), col("cvec"))), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        expr("zip_with(embedding, cvec, (a, b) -> a - b)").as("embedding"))
+      .localCheckpoint(eager = false) // feeds Lloyd training AND encode
+    val cb = pqCbRows(resid.select(col("vec_id"), col("embedding")),
+      seedLo = 20L)
+    val enc = pqCodes(resid.select(col("vec_id"), col("embedding")), cb)
+    // probe residual PER FANNED-OUT CELL → per-(probe, cell) ADC table
+    val probeResid = probeCells
+      .join(emb.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe")), Seq("probe_id"))
+      .join(broadcast(cents.select(col("cell_id").as("pcell"), col("cvec"))),
+        Seq("pcell"))
+      .select(col("probe_id"), col("pcell"),
+        expr("zip_with(pe, cvec, (a, b) -> a - b)").as("pv"))
+    val adc = probeResid.crossJoin(broadcast(cb))
+      .select(col("probe_id").as("a_probe_id"), col("pcell").as("a_pcell"),
+        col("c_id"),
+        posexplode(expr(s"graft_pq_subdists(pv, cv, $PqM)"))
+          .as(Seq("pm", "pd")))
+    val cand = assigned.join(broadcast(probeCells),
+      col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+    val scored = cand.join(enc, Seq("vec_id"))
+      .join(broadcast(adc),
+        col("m") === col("pm") && col("code") === col("c_id") &&
+          col("probe_id") === col("a_probe_id") &&
+          col("cell_id") === col("a_pcell"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
+        .as("adist"))
+    rerankAdc(scored, e, 10, 20)
+  }
+
+  lazy val qSimAnnIvfPqResidualSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS cvec, na AS nc FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.na, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.v, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, arn FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM dists) t WHERE arn <= $IvfNProbe),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE arn = 1),
+       |pcells AS (SELECT vec_id AS probe_id, cell_id AS pcell
+       |           FROM ranked WHERE vec_id >= 10 AND vec_id < 20),
+       |er AS (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(e.v, c.cvec), x -> x[1] - x[2]) AS v
+       |  FROM assigned a
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN cents c ON c.cell_id = a.cell_id),
+       |${pqCodeSqlCtesOver("er", 20)},
+       |pr AS (
+       |  SELECT pc.probe_id, pc.pcell,
+       |    list_transform(list_zip(e.v, c.cvec), x -> x[1] - x[2]) AS pv
+       |  FROM pcells pc
+       |  JOIN e ON e.vec_id = pc.probe_id
+       |  JOIN cents c ON c.cell_id = pc.pcell),
+       |adc AS (
+       |  SELECT probe_id, pcell, c_id, ms.m,
+       |    ${pqSubdistSql("pr.pv", "cb.cv", "ms.m")} AS pd
+       |  FROM pr, cb, ms),
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(adc.pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
+       |  FROM assigned a
+       |  JOIN pcells pc ON a.cell_id = pc.pcell AND a.vec_id <> pc.probe_id
+       |  JOIN code ON code.vec_id = a.vec_id
+       |  JOIN adc ON adc.probe_id = pc.probe_id AND adc.pcell = pc.pcell
+       |           AND adc.m = code.m AND adc.c_id = code.code
+       |  GROUP BY 1, 2),
+       |${rerankSqlTail}""".stripMargin
 
   // ------------------------------------------------- persisted ANN index
 
@@ -1360,6 +1492,7 @@ object AnnOps {
   private[graft] val recallSpecs: Seq[(String, Long, Long, Boolean, Long)] = Seq(
     ("ivf", 10L, 20L, false, 0L),
     ("ivf_pq", 10L, 20L, true, 0L),
+    ("ivf_pq_res", 10L, 20L, true, 0L),
     ("lsh", 0L, 10L, false, 0L),
     ("pq", 0L, 8L, true, 0L),
     ("prefix", 20L, 30L, false, 0L),
@@ -1388,6 +1521,7 @@ object AnnOps {
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
+      ("ivf_pq_res", qSimAnnIvfPqResidual(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
       ("pq", qSimAnnPq(s, d), (0L, 8L)),
       ("prefix", qSimAnnPrefix(s, d), (20L, 30L)),
@@ -1412,7 +1546,7 @@ object AnnOps {
   }
 
   def qSimAnnRecall(s: SparkSession, d: String): DataFrame = {
-    // serial union of the six scorecards. Concurrent materialization of
+    // serial union of the per-method scorecards. Concurrent materialization of
     // the six pipelines was MEASURED (r11, 3-rep interleaved A/B) at
     // 2.07 s → 2.69 s — each pipeline's shuffle stages already fan out to
     // all 32 slots, so 6-way job concurrency only adds scheduler and
@@ -1445,12 +1579,14 @@ object AnnOps {
        |           FROM embeddings),
        |t_ivf AS (${bruteSql(10, 20, l2 = false)}),
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
+       |t_ivf_pq_res AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
        |t_pq AS (${bruteSql(0, 8, l2 = true)}),
        |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |t_bit AS (${bruteSql(0, 3, l2 = false, minCorpus = 3)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
+       |a_ivf_pq_res AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqResidualSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
        |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
        |a_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPrefixSql) q),
@@ -1461,6 +1597,9 @@ object AnnOps {
        |  UNION ALL
        |  SELECT 'ivf_pq', probe_id, COUNT(*)
        |  FROM a_ivf_pq JOIN t_ivf_pq USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'ivf_pq_res', probe_id, COUNT(*)
+       |  FROM a_ivf_pq_res JOIN t_ivf_pq_res USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
        |  SELECT 'lsh', probe_id, COUNT(*)
        |  FROM a_lsh JOIN t_lsh USING (probe_id, neighbor_id) GROUP BY 2
@@ -1477,6 +1616,8 @@ object AnnOps {
        |  SELECT 'ivf' AS method, vec_id AS probe_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
        |  SELECT 'ivf_pq', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
+       |  UNION ALL
+       |  SELECT 'ivf_pq_res', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
        |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
        |  UNION ALL
@@ -2064,6 +2205,7 @@ object AnnOps {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
+    "q_sim_ann_ivf_pq_residual" -> (qSimAnnIvfPqResidual _),
     "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
     "q_sim_ann_index_delete" -> (qSimAnnIndexDelete _),
@@ -2085,6 +2227,7 @@ object AnnOps {
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
+    "q_sim_ann_ivf_pq_residual" -> qSimAnnIvfPqResidualSql,
     // the persisted-index probe must return exactly what the inline
     // IVF-PQ computation returns — same oracle by construction
     "q_sim_ann_index" -> qSimAnnIvfPqSql,
