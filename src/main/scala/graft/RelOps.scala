@@ -1057,7 +1057,9 @@ object RelOps {
     * diverges. At 100 TB the commits stay metadata-scale: each rewrite
     * touches one bucket's files, each manifest is a file LIST, and old
     * snapshots remain readable until explicitly vacuumed. */
-  def qTimetravel(s: SparkSession, d: String): DataFrame = {
+  /** Build the 3-commit mini-log used by q_timetravel and
+    * q_timetravel_diff (idempotent: fresh staging dir per call). */
+  private def timetravelLog(s: SparkSession, d: String): String = {
     import graft.sources.MiniLog
     val table = stagingDir(s, "timetravel")
     deleteRecursively(table)
@@ -1080,12 +1082,63 @@ object RelOps {
       .withColumn("bucket", lit(5L))
     val v3 = v2 ++ MiniLog.writeBucketFiles(b5, table, "v3")
     MiniLog.commit(table, 3, v3)
+    table
+  }
+
+  def qTimetravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MiniLog
+    val table = timetravelLog(s, d)
     // time-travel: read AS OF v2 — sees the update, not the delete
     MiniLog.readAsOf(s, table, 2)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** CHANGE DATA FEED over the mini-log — the read-side dual of
+    * q_timetravel: diff two committed snapshots row-by-row (full-outer
+    * join on the key between as-of reads) and classify each key as
+    * insert / update / delete / unchanged with its value delta. This is
+    * what lake formats call CDF, derived here purely from immutable
+    * snapshots — no change journal needed, and at 100 TB the join cost
+    * is bounded by the two snapshots' sizes while the classification
+    * rides the join projection. The oracle derives the same change set
+    * relationally from the raw table and the two commits' predicates. */
+  def qTimetravelDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MiniLog
+    val table = timetravelLog(s, d)
+    val v1 = MiniLog.readAsOf(s, table, 1)
+      .select(col("o_orderkey"), col("o_totalprice").as("p1"))
+    val v3 = MiniLog.readAsOf(s, table, 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("p3"))
+    v1.join(v3, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("p1").isNull, "insert")
+          .when(col("p3").isNull, "delete")
+          .when(col("p1") =!= col("p3"), "update")
+          .otherwise("unchanged").as("change_type"),
+        (coalesce(col("p3"), lit(0)).cast(DecimalType(18, 2)) -
+          coalesce(col("p1"), lit(0)).cast(DecimalType(18, 2))).as("delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("delta")).cast(DoubleType).as("sum_delta"))
+      .orderBy(col("change_type"))
+  }
+
+  val qTimetravelDiffSql: String =
+    """WITH d AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 8 = 5 AND o_orderstatus = 'F' THEN 'delete'
+      |         WHEN o_orderkey % 8 = 2 THEN 'update'
+      |         ELSE 'unchanged' END AS change_type,
+      |    CASE WHEN o_orderkey % 8 = 5 AND o_orderstatus = 'F'
+      |           THEN -CAST(o_totalprice AS DECIMAL(18,2))
+      |         WHEN o_orderkey % 8 = 2 THEN CAST(100 AS DECIMAL(18,2))
+      |         ELSE CAST(0 AS DECIMAL(18,2)) END AS delta
+      |  FROM orders)
+      |SELECT change_type, COUNT(*) AS n,
+      |  CAST(SUM(delta) AS DOUBLE) AS sum_delta
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
 
   val qTimetravelSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
@@ -1105,6 +1158,7 @@ object RelOps {
     "q_merge_overwrite" -> (qMergeOverwrite _),
     "q_merge_scd2" -> (qMergeScd2 _),
     "q_timetravel" -> (qTimetravel _),
+    "q_timetravel_diff" -> (qTimetravelDiff _),
     "q_source_json_csv" -> (qSourceJsonCsv _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_sink_partitioned" -> (qSinkPartitioned _),
@@ -1138,6 +1192,7 @@ object RelOps {
     "q_merge_overwrite" -> qMergeOverwriteSql,
     "q_merge_scd2" -> qMergeScd2Sql,
     "q_timetravel" -> qTimetravelSql,
+    "q_timetravel_diff" -> qTimetravelDiffSql,
     "q_source_json_csv" -> qSourceJsonCsvSql,
     "q_join_bucketed" -> qJoinBucketedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,

@@ -100,4 +100,35 @@ object MiniLog {
   /** Snapshot read AS OF `version`: scan exactly that manifest's files. */
   def readAsOf(s: SparkSession, table: String, version: Int): DataFrame =
     s.read.parquet(manifest(table, version).values.toSeq.sorted: _*)
+
+  /** VACUUM — the explicit retention act every commit above relies on
+    * never happening implicitly: delete the data files referenced ONLY
+    * by manifests older than `keepFrom`, then the old manifests
+    * themselves. Time travel below `keepFrom` ends here, by declared
+    * intent; every version ≥ `keepFrom` keeps reading byte-identically
+    * because its files are untouched (structural sharing means an old
+    * file referenced by ANY kept manifest survives). Returns
+    * (#files deleted, #files kept). Metadata-scale work: file LISTS,
+    * never data. */
+  def vacuum(table: String, keepFrom: Int): (Int, Int) = {
+    val latest = latestVersion(table)
+    require(keepFrom <= latest, s"keepFrom=$keepFrom > latest=$latest")
+    val keep = (keepFrom to latest)
+      .flatMap(v => manifest(table, v).values).toSet
+    val walk = Files.walk(Paths.get(table))
+    val all = try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.startsWith(logDir(table)))
+      .map(_.toString).toSet
+    finally walk.close()
+    val dead = all -- keep
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    val lfs = Files.list(logDir(table))
+    try lfs.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        p.getFileName.toString.stripSuffix(".json").toInt < keepFrom)
+      .toList.foreach(Files.delete)
+    finally lfs.close()
+    (dead.size, keep.size)
+  }
 }

@@ -57,6 +57,19 @@ class MiniLogSpec extends AnyFunSuite {
     assert(nRows(3) === 100L - (0L until 100L).count(_ % 8 == 7))
     // historical reads unchanged AFTER later commits (files immutable)
     assert(sumV(1) === baseSum)
+
+    // VACUUM retention: keep versions >= 2 — v1's superseded bucket-1
+    // file (the only file no kept manifest references) is deleted, the
+    // shared files survive, kept snapshots read byte-identically, and
+    // v1's manifest is gone
+    val keptBefore = (sumV(2), sumV(3), nRows(2), nRows(3))
+    val (deleted, kept) = MiniLog.vacuum(table, keepFrom = 2)
+    assert(deleted === 1, "exactly v1's rewritten bucket-1 file dies")
+    assert(kept === MiniLog.manifest(table, 2).values.toSet
+      .union(MiniLog.manifest(table, 3).values.toSet).size)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v1(1L))))
+    assert((sumV(2), sumV(3), nRows(2), nRows(3)) === keptBefore)
+    assertThrows[Exception](MiniLog.readAsOf(spark, table, 1))
     RelOps.deleteRecursively(table)
   }
 }

@@ -317,4 +317,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"dimension/batch joins must be keyed:\n$p")
   }
+
+  test("quantile sketch aggregates map-side (partial before the shuffle)") {
+    val p = plan("q_agg_quantile_sketch")
+    assert(p.contains("partial_graft_quantile"),
+      s"expected a partial (map-side) graft_quantile aggregate:\n$p")
+    assert(p.contains("graft_quantile_merge"),
+      s"expected the merge aggregate in the rollup:\n$p")
+  }
+
+  test("time-travel snapshot read scans EXACTLY the manifest's file set") {
+    import graft.sources.MiniLog
+    // drive the graded build, then compare the as-of reader's input
+    // files against the committed manifest — a reader that lists the
+    // directory instead of resolving the log would also see v1's
+    // superseded file and v3's rewrite
+    SparkEntry.queries("q_timetravel")(spark, sf).collect()
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_timetravel_" +
+      spark.sparkContext.applicationId
+    val manifest2 = MiniLog.manifest(table, 2).values.toSet
+    val scanned = MiniLog.readAsOf(spark, table, 2).inputFiles.toSet
+      .map((u: String) => new java.net.URI(u).getPath)
+    assert(scanned === manifest2,
+      s"snapshot scan diverges from manifest:\nscanned=$scanned\nmanifest=$manifest2")
+  }
 }
