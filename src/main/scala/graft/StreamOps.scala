@@ -324,6 +324,75 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** The StatefulProcessor behind q_stream_transform_state: per-user
+    * running (count, token-sum) in a named ValueState. Declared at
+    * object scope so the closure the engine serializes is the processor
+    * alone, not the enclosing query method. */
+  private class TokenStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM}
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, sum) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { r => n += 1; sum += r._2 }
+      agg.update((n, sum))
+      Iterator((user, n, sum))
+    }
+  }
+
+  /** ARBITRARY STATEFUL PROCESSING V2 — Spark 4's `transformWithState`,
+    * the successor API to q_stream_custom_state's
+    * flatMapGroupsWithState: a [[TokenStatsProcessor]] with a NAMED
+    * ValueState (the handle supports value/list/map states, TTL, and
+    * timers — the building blocks `GroupState`'s single blob couldn't
+    * express), running on the RocksDB state store provider the new
+    * operator requires. Output and oracle are identical to the V1 query
+    * (per-user running count + token sum, converged state == the batch
+    * aggregate), so the graded pair pins both stateful APIs to the same
+    * truth. At 100 TB the named-state model is what bounds memory:
+    * RocksDB spills per-key state to local SSD and TTL evicts cold
+    * keys, neither of which the V1 blob API could do. */
+  def qStreamTransformState(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$d/[e]vents.parquet")
+        .select(col("user_id").cast(LongType), (col("event_id") % 1000L).as("tok"))
+        .as[(Long, Long)]
+      val updates = src.groupByKey(_._1)
+        .transformWithState(new TokenStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "tok_sum")
+      val sink = "graft_stream_tws_sink"
+      val q = updates.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("tok_sum")).as("tok_sum"))
+        .orderBy(col("user_id"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
   /** STREAMING FILE SINK — the missing half of the streaming story until
     * now (every live query above drains into a memory sink): the tumbling
     * aggregation written through `writeStream.format("parquet")` with a
@@ -598,6 +667,7 @@ object StreamOps {
     "q_stream_live_dedup" -> (qStreamLiveDedup _),
     "q_stream_live_session" -> (qStreamLiveSession _),
     "q_stream_custom_state" -> (qStreamCustomState _),
+    "q_stream_transform_state" -> (qStreamTransformState _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_sink" -> (qStreamSink _),
@@ -614,6 +684,8 @@ object StreamOps {
     "q_stream_live_dedup" -> qStreamDedupSql, // same semantics, streamed
     "q_stream_live_session" -> qStreamLiveSessionSql,
     "q_stream_custom_state" -> qStreamCustomStateSql,
+    // same truth as the V1 stateful API — the pair pins both to it
+    "q_stream_transform_state" -> qStreamCustomStateSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     // drained file sink == the batch tumbling aggregation
