@@ -876,6 +876,31 @@ object AggWinOps {
     * engine-arbitrary; its lowercase is not). Oracle: the lower()
     * formulation, which UTF8_LCASE matches exactly on this ASCII
     * domain. */
+  /** SQL PIPE SYNTAX (Spark 4) — the `|>` operator chain the 4.x SQL
+    * surface headlines: a Q1-shaped pricing summary written entirely as
+    * pipes (FROM → WHERE → AGGREGATE … GROUP BY → ORDER BY). Parsing is
+    * the feature under test — the plan is identical to the classic
+    * formulation, which is exactly what the oracle grades. */
+  def qSqlPipe(s: SparkSession, d: String): DataFrame =
+    GraftSql.sql(s, d,
+      """FROM lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        ||> AGGREGATE COUNT(*) AS n_rows,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS sum_disc_price
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val qSqlPipeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_disc_price
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   def qScalarCollation(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("mixed",
@@ -1002,6 +1027,7 @@ object AggWinOps {
     "q_window_funnel" -> (qWindowFunnel _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
+    "q_sql_pipe" -> (qSqlPipe _),
     "q_scalar_try" -> (qScalarTry _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_window_navigation" -> (qWindowNavigation _),
@@ -1046,6 +1072,7 @@ object AggWinOps {
     "q_window_funnel" -> qWindowFunnelSql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,
+    "q_sql_pipe" -> qSqlPipeSql,
     "q_scalar_try" -> qScalarTrySql,
     "q_agg_argmax" -> qAggArgmaxSql,
     "q_window_rolling" -> qWindowRollingSql,
