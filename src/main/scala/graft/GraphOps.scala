@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relationally-derived graphs — the
+  * family that curation pipelines lean on for domain-authority scoring
+  * (PageRank over a link/trade graph) on top of the connected-components
+  * machinery LlmOps already grades.
+  *
+  * Scale stance: the expensive step is deriving the edge list from the
+  * fact tables (one multi-table join + aggregate pass over 100 TB); the
+  * iteration then runs on the AGGREGATED graph, whose size is bounded by
+  * distinct (src, dst) pairs, never by fact rows. Iterations are the
+  * standard Pregel-style join + groupBy-agg; for graphs too big to let
+  * lineage nest, cut every k rounds exactly like
+  * LlmOps.connectedComponents does.
+  *
+  * Determinism stance: floating-point PageRank is NOT reproducible under
+  * distributed re-aggregation (float sums are order-dependent), so a
+  * graded — and at 100 TB, a debuggable — implementation keeps every
+  * iteration in scaled INTEGER arithmetic: ranks carry 1e12 fixed-point
+  * mass, edge weights are pre-normalized to millionth shares
+  * ((w * 1e6) div out_weight, making the per-edge product bound
+  * rank * share <= 1e12 * 1e6 = 1e18 < 2^63 INDEPENDENT of raw edge
+  * weights), and every division is integer floor — identical in Spark
+  * (`div`) and DuckDB (`//`) on the non-negative domain. The one IEEE
+  * division producing the display double happens once, at the end, on
+  * bit-identical integers in both engines.
+  */
+object GraphOps {
+  import Tables._
+
+  private val Scale = 1000000000000L // 1e12 fixed-point rank mass
+  private val Share = 1000000L       // 1e6 edge-share denominator
+  private val Rounds = 5             // fixed iteration count (graded)
+
+  /** PageRank over the nation trade graph: an edge src→dst with weight w
+    * means customers of nation `src` bought w lineitems from suppliers of
+    * nation `dst` — derived from the same 4-table chain as TPC-H Q5's
+    * core. Damping 0.85 (as 85/100 integer), dangling mass redistributed
+    * uniformly each round. Output: per-nation fixed-point rank (BIGINT,
+    * graded exactly) plus its double rendering. */
+  def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val nodes = nation(s, d).select(col("n_nationkey").as("node"), col("n_name"))
+    // driver-side count of the node universe — a 25-row dimension table,
+    // metadata-scale (the same justification as IvfTraining's 1-row read)
+    val n = nodes.count()
+    val base = 15L * Scale / (100L * n)
+
+    val edgesRaw = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wout = edgesRaw.groupBy("src").agg(sum("w").as("wout"))
+    // eager checkpoint: the fact-table join must run ONCE — the iteration
+    // below references `edges` 2x per round, and without the cut the
+    // 4-table subtree would re-execute inside every referencing job
+    // the aggregated graph is bounded by distinct (src, dst) pairs —
+    // n^2 = 625 rows here — so collapse it to one partition before the
+    // iteration: every per-round stage then schedules single-digit tasks
+    // instead of shuffle-partition-many
+    val edges = edgesRaw.join(wout, "src")
+      .select(col("src"), col("dst"), expr(s"(w * $Share) div wout").as("wshare"))
+      .coalesce(1)
+      .localCheckpoint()
+    val outSrc = edges.select("src").distinct()
+
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
+    for (_ <- 1 to Rounds) {
+      val contrib = ranks.join(edges, ranks("node") === edges("src"))
+        .groupBy("dst").agg(sum(expr(s"(r * wshare) div $Share")).as("contrib"))
+      val dang = ranks.join(outSrc, ranks("node") === outSrc("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      ranks = nodes.select("node")
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(dang) // 1-row dangling-mass scalar, stays in-plan
+        .selectExpr("node",
+          s"$base + (85 * (coalesce(contrib, 0) + dang div $n)) div 100 AS r")
+    }
+    ranks.join(nodes, "node")
+      .select(col("n_name").as("nation"), col("r").as("rank_fp"),
+        (col("r") / lit(1e12)).as("pagerank"))
+      .orderBy(col("rank_fp").desc, col("nation"))
+  }
+
+  val qGraphPagerankSql: String = {
+    val steps = (1 to Rounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""s$k AS (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM((p.r * e.wshare) // $Share) AS BIGINT) AS contrib
+         |  FROM $p p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+         |d$k AS (
+         |  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dang
+         |  FROM $p p LEFT JOIN wout w ON w.src = p.node WHERE w.src IS NULL),
+         |r$k AS (
+         |  SELECT n.node,
+         |    (15 * $Scale) // (100 * (SELECT n FROM nn))
+         |    + (85 * (COALESCE(s.contrib, 0)
+         |             + (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100 AS r
+         |  FROM nodes n LEFT JOIN s$k s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges_raw AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+       |         FROM edges_raw GROUP BY src),
+       |edges AS (SELECT e.src, e.dst, (e.w * $Share) // w.wout AS wshare
+       |          FROM edges_raw e JOIN wout w ON e.src = w.src),
+       |nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM nodes),
+       |$steps
+       |SELECT n.n_name AS nation, r.r AS rank_fp, r.r / 1e12 AS pagerank
+       |FROM r$Rounds r JOIN nodes n ON n.node = r.node
+       |ORDER BY rank_fp DESC, nation""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> qGraphPagerankSql
+  )
+}

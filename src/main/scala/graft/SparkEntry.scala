@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelOps.queries ++ AggWinOps.queries ++ SortOps.queries ++ LlmOps.queries ++
-      StreamOps.queries ++ TextOps.queries ++ AnnOps.queries ++ ScaleOps.queries
+      StreamOps.queries ++ TextOps.queries ++ AnnOps.queries ++ ScaleOps.queries ++
+      GraphOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelOps.oracle ++ AggWinOps.oracle ++ SortOps.oracle ++ LlmOps.oracle ++
-      StreamOps.oracle ++ TextOps.oracle ++ AnnOps.oracle ++ ScaleOps.oracle
+      StreamOps.oracle ++ TextOps.oracle ++ AnnOps.oracle ++ ScaleOps.oracle ++
+      GraphOps.oracle
 }
