@@ -1799,6 +1799,86 @@ object AnnOps {
       "sum_amp", "peak")
   }
 
+  /** VOICE-ACTIVITY DETECTION over the decoded WAV payloads — the DSP
+    * step a speech-data pipeline runs right after decode (segment the
+    * audio, keep/weight the voiced spans). Frames are 64 samples; a
+    * frame is ACTIVE when its energy (sum of unsigned 8-bit amplitudes)
+    * reaches 6048 (mean amplitude 94.5 — sits at the fixture's median
+    * frame energy, so both classes are populated); segments are maximal
+    * runs of active frames. All integer arithmetic on the parsed
+    * samples, computed in the same partition-batched decode pass as the
+    * other audio features — row-local until the per-lang rollup, the
+    * shape that holds at any corpus size. Only full frames count (the
+    * tail remainder is dropped), and docs with no full frame drop out —
+    * mirrored exactly by the oracle's HAVING-size-64 frame filter. The
+    * oracle replays the synthesis relationally (frame energy from the
+    * text chars, runs via gaps-and-islands) without touching bytes, so
+    * the graded match pins the codec + framing + run logic end to end. */
+  def qMultimodalVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = buildWavPayloads(s, asciiOnly(documents(s, d)))
+    val perDoc = payloads.mapPartitions(_.flatMap { case (id, lang, bytes) =>
+      WavCodec.parse(bytes).iterator.flatMap { w =>
+        val smp = w.samples
+        val nf = smp.length / 64
+        var nAct = 0L; var nSeg = 0L; var maxRun = 0L; var run = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0; var i = f * 64; val end = i + 64
+          while (i < end) { e += smp(i); i += 1 }
+          if (e >= 6048) {
+            nAct += 1; run += 1
+            if (run == 1) nSeg += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          f += 1
+        }
+        if (nf > 0) Some((id, lang, nf.toLong, nAct, nSeg, maxRun)) else None
+      }
+    }).toDF("doc_id", "lang", "n_frames", "n_active", "n_segments", "max_run")
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_active")).as("sum_active"),
+        sum(col("n_segments")).as("sum_segments"),
+        max(col("max_run")).as("max_run"))
+      .orderBy(col("lang"))
+  }
+
+  val qMultimodalVadSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang, text, length(text) AS n
+      |  FROM documents
+      |  WHERE octet_length(CAST(text AS BLOB)) = length(text)),
+      |b AS (SELECT doc_id, lang, text, unnest(range(1, n + 1)) AS i FROM c),
+      |f AS (SELECT doc_id, lang, (i - 1) // 64 AS frame,
+      |        SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS energy,
+      |        COUNT(*) AS sz
+      |      FROM b GROUP BY 1, 2, 3),
+      |fa AS (SELECT doc_id, lang, frame,
+      |         CASE WHEN energy >= 6048 THEN 1 ELSE 0 END AS active
+      |       FROM f WHERE sz = 64),
+      |r AS (SELECT doc_id, lang, frame, active,
+      |        LAG(active) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+      |      FROM fa),
+      |seg AS (SELECT doc_id, lang, COUNT(*) AS n_frames,
+      |         SUM(active) AS n_active,
+      |         SUM(CASE WHEN active = 1 AND COALESCE(prev, 0) = 0
+      |             THEN 1 ELSE 0 END) AS n_segments
+      |        FROM r GROUP BY 1, 2),
+      |runs AS (SELECT doc_id,
+      |           frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+      |         FROM fa WHERE active = 1),
+      |runlen AS (SELECT doc_id, COUNT(*) AS len FROM runs GROUP BY doc_id, grp),
+      |mx AS (SELECT doc_id, MAX(len) AS max_run FROM runlen GROUP BY doc_id)
+      |SELECT seg.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(seg.n_frames) AS BIGINT) AS sum_frames,
+      |  CAST(SUM(seg.n_active) AS BIGINT) AS sum_active,
+      |  CAST(SUM(seg.n_segments) AS BIGINT) AS sum_segments,
+      |  CAST(MAX(COALESCE(mx.max_run, 0)) AS BIGINT) AS max_run
+      |FROM seg LEFT JOIN mx ON seg.doc_id = mx.doc_id
+      |GROUP BY seg.lang ORDER BY seg.lang""".stripMargin
+
   def qMultimodalBinary(s: SparkSession, d: String): DataFrame = {
     val decoded = decodeWav(s, buildWavPayloads(s, asciiOnly(documents(s, d))))
     decoded.groupBy(col("lang"))
@@ -2215,6 +2295,7 @@ object AnnOps {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_binary" -> (qMultimodalBinary _),
+    "q_multimodal_vad" -> (qMultimodalVad _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_image" -> (qMultimodalImage _),
     "q_multimodal_shots" -> (qMultimodalShots _),
@@ -2240,6 +2321,7 @@ object AnnOps {
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_multimodal_binary" -> qMultimodalBinarySql,
+    "q_multimodal_vad" -> qMultimodalVadSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_image" -> qMultimodalImageSql,
     "q_multimodal_shots" -> qMultimodalShotsSql,

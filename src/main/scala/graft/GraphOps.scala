@@ -74,11 +74,14 @@ object GraphOps {
         .groupBy("dst").agg(sum(expr(s"(r * wshare) div $Share")).as("contrib"))
       val dang = ranks.join(outSrc, ranks("node") === outSrc("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      ranks = nodes.select("node")
+      // lineage cut per round (lazy, same pattern as connectedComponents):
+      // without it the 5 rounds nest into a single ~1000-node plan whose
+      // Catalyst optimization time dwarfs the 25-row execution
+      ranks = Checkpoints.cut(nodes.select("node")
         .join(contrib, col("node") === col("dst"), "left")
         .crossJoin(dang) // 1-row dangling-mass scalar, stays in-plan
         .selectExpr("node",
-          s"$base + (85 * (coalesce(contrib, 0) + dang div $n)) div 100 AS r")
+          s"$base + (85 * (coalesce(contrib, 0) + dang div $n)) div 100 AS r"))
     }
     ranks.join(nodes, "node")
       .select(col("n_name").as("nation"), col("r").as("rank_fp"),

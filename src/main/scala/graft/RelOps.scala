@@ -1148,9 +1148,87 @@ object RelOps {
       |       AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** INTERVAL OVERLAP JOIN via time-binning — the scale technique for
+    * big×big range joins that would otherwise plan as a nested-loop:
+    * both interval sets are exploded into fixed-width (1-hour) buckets,
+    * the join becomes an EQUI-join on the bucket plus a residual overlap
+    * predicate, and the multi-bucket double-count is eliminated by
+    * crediting each pair only in its CANONICAL bin — the bucket holding
+    * the later of the two starts, which the overlap guarantees both
+    * sides exploded. Intervals are per-user activity sessions (the
+    * 30-minute-gap sessionization q_stream_session grades); a pair is
+    * two different users with overlapping sessions, counted per overlap
+    * hour. The oracle runs the same semantics as a plain quadratic
+    * inequality join — same rows, different plan, which is the point.
+    * 100 TB notes: the shuffle key is the hour bucket, so a globally hot
+    * hour is the skew risk — salt the bucket with a (user mod k) suffix
+    * on both sides if the fixture's uniform traffic ever stops holding;
+    * bucket width trades explode fan-out against per-bucket pair work. */
+  def qJoinInterval(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600000000L
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(unix_micros(min(col("ts"))).as("s_start"),
+        unix_micros(max(col("ts"))).as("s_end"))
+    // checkpointed: the binned session set feeds BOTH sides of the
+    // self-join; without the cut the window+explode subtree runs twice
+    // (same measured rationale as LlmOps.qDedupComponents' bands)
+    val binned = iv
+      .withColumn("bucket",
+        explode(sequence(expr(s"s_start div $hourUs"), expr(s"s_end div $hourUs"))))
+      .select(col("bucket"), col("user_id"), col("s_start"), col("s_end"))
+      .localCheckpoint(eager = false)
+    val x = binned.select(col("bucket").as("xb"), col("user_id").as("xu"),
+      col("s_start").as("xs"), col("s_end").as("xe"))
+    val y = binned.select(col("bucket").as("yb"), col("user_id").as("yu"),
+      col("s_start").as("ys"), col("s_end").as("ye"))
+    x.join(y, col("xb") === col("yb") && col("xu") < col("yu") &&
+        col("xs") <= col("ye") && col("ys") <= col("xe") &&
+        col("xb") === expr(s"greatest(xs, ys) div $hourUs"))
+      .groupBy(col("xb").as("hour_idx"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hour_idx"))
+  }
+
+  val qJoinIntervalSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (SELECT user_id, event_id, ts,
+      |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM e),
+      |n AS (SELECT user_id, event_id, ts,
+      |        CASE WHEN prev_ts IS NULL
+      |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM l),
+      |sid AS (SELECT user_id, ts,
+      |          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |        FROM n),
+      |iv AS (SELECT user_id, sess_id,
+      |         epoch_us(MIN(ts)) AS s_start, epoch_us(MAX(ts)) AS s_end
+      |       FROM sid GROUP BY user_id, sess_id),
+      |pairs AS (
+      |  SELECT GREATEST(a.s_start, b.s_start) // 3600000000 AS hour_idx
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id
+      |   AND a.s_start <= b.s_end AND b.s_start <= a.s_end)
+      |SELECT hour_idx, COUNT(*) AS n_pairs
+      |FROM pairs GROUP BY hour_idx ORDER BY hour_idx""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval" -> (qJoinInterval _),
     "q_join_null_safe" -> (qJoinNullSafe _),
     "q_source_csv_robust" -> (qSourceCsvRobust _),
     "q_source_orc" -> (qSourceOrc _),
@@ -1185,6 +1263,7 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval" -> qJoinIntervalSql,
     "q_join_null_safe" -> qJoinNullSafeSql,
     "q_source_csv_robust" -> qSourceCsvRobustSql,
     "q_source_orc" -> qSourceOrcSql,
