@@ -933,6 +933,51 @@ object AggWinOps {
     * each step needs a LATER timestamp (fixture has no same-user ts
     * ties at any sf — checked; a production funnel would tiebreak on
     * event_id). Per-day counts of user-days reaching steps ≥1/≥2/≥3. */
+  /** SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE / CEP family):
+    * count, per user, completed `view → … → purchase` patterns where
+    * nothing between them breaks the flow — a purchase COMPLETES a
+    * pattern iff a view occurred since the last boundary event
+    * (error, signup, or any prior purchase). Instead of a regex engine
+    * (whose match semantics differ between Java regex and RE2, an
+    * engine-portability trap), the pattern compiles to SEGMENT WINDOWS:
+    * a running count of boundary events splits each user's ordered
+    * stream into segments, a purchase matches iff its segment contains
+    * a view. One shuffle on user_id for the window, one semi-join on
+    * (user, segment) — linear in events, the CEP shape that scales. */
+  def qWindowPattern(s: SparkSession, d: String): DataFrame = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e1 = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("t"))
+      .withColumn("b",
+        when(col("t").isin("e", "s", "p"), 1L).otherwise(0L))
+      .withColumn("seg", coalesce(sum(col("b"))
+        .over(byU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val vseg = e1.filter(col("t") === "v")
+      .select(col("user_id"), col("seg")).distinct()
+    e1.filter(col("t") === "p")
+      .join(vseg, Seq("user_id", "seg"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
+  val qWindowPatternSql: String =
+    """WITH e1 AS (
+      |  SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS t
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, event_id, t,
+      |    COALESCE(SUM(CASE WHEN t IN ('e', 's', 'p') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      |  FROM e1),
+      |vseg AS (SELECT DISTINCT user_id, seg FROM seg WHERE t = 'v')
+      |SELECT p.user_id, COUNT(*) AS n_matches
+      |FROM seg p JOIN vseg v ON p.user_id = v.user_id AND p.seg = v.seg
+      |WHERE p.t = 'p'
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   def qWindowFunnel(s: SparkSession, d: String): DataFrame = {
     val steps = events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -1025,6 +1070,7 @@ object AggWinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_funnel" -> (qWindowFunnel _),
+    "q_window_pattern" -> (qWindowPattern _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
     "q_sql_pipe" -> (qSqlPipe _),
@@ -1070,6 +1116,7 @@ object AggWinOps {
     "q_subquery_not_in" -> qSubqueryNotInSql,
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_funnel" -> qWindowFunnelSql,
+    "q_window_pattern" -> qWindowPatternSql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,
     "q_sql_pipe" -> qSqlPipeSql,

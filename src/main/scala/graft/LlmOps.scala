@@ -1367,9 +1367,82 @@ object LlmOps {
       |    AS BIGINT) AS n_false_pos
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CORPUS REWRITE dedup (the C4/`deduplicate-text-datasets` move):
+    * q_dedup_substring only MEASURES duplicated spans — this operator
+    * REMOVES them and re-emits the text. Docs split into non-overlapping
+    * 8-word tiles; each distinct tile survives only at its corpus-FIRST
+    * occurrence (global (doc_id, tile_no) order — deterministic, no
+    * arrival-order dependence); every doc is reassembled from its
+    * surviving tiles in position order. Two balanced shuffles — by tile
+    * content for the first-occurrence pick, back by doc_id for
+    * reassembly — exactly the shape this runs at corpus scale (the tile
+    * hash IS the partitioner; no broadcast, no global state). Graded
+    * per-lang: doc/tile/kept counts plus an md5-prefix checksum of every
+    * rewritten text, so ONE tile kept or ordered wrongly anywhere in the
+    * corpus flips the hash. Docs shorter than one tile drop out on both
+    * sides; docs whose every tile is removed stay, with empty text. */
+  def qDedupRewrite(s: SparkSession, d: String): DataFrame = {
+    val tiles = documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(tk) div 8), " +
+          "i -> struct(CAST(i AS BIGINT) AS tile_no, " +
+          "concat_ws(' ', slice(tk, (i - 1) * 8 + 1, 8)) AS tile))")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        col("t.tile_no").as("tile_no"), col("t.tile").as("tile"))
+    val firstSeen = Window.partitionBy(col("tile"))
+      .orderBy(col("doc_id"), col("tile_no"))
+    val kept = tiles
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+    val rewritten = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(tile_no, tile))), x -> x.tile), ' ')").as("txt"))
+    tiles.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tiles"))
+      .join(rewritten, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tiles")).as("sum_tiles"),
+        sum(coalesce(col("n_kept"), lit(0L))).as("sum_kept"),
+        sum(expr("CAST(conv(substring(md5(coalesce(txt, '')), 1, 12), 16, 10) AS BIGINT)"))
+          .as("text_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupRewriteSql: String =
+    """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+      |              FROM documents),
+      |tiles AS (
+      |  SELECT doc_id, lang, i AS tile_no,
+      |         array_to_string(list_slice(tk, (i - 1) * 8 + 1, i * 8), ' ') AS tile
+      |  FROM toks, LATERAL unnest(range(1, len(tk) // 8 + 1)) AS t(i)
+      |  WHERE len(tk) >= 8),
+      |keep AS (
+      |  SELECT doc_id, lang, tile_no, tile,
+      |         ROW_NUMBER() OVER (PARTITION BY tile
+      |           ORDER BY doc_id, tile_no) AS rn
+      |  FROM tiles),
+      |rewritten AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(tile, ' ' ORDER BY tile_no) AS txt
+      |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+      |base AS (SELECT doc_id, lang, COUNT(*) AS n_tiles
+      |         FROM tiles GROUP BY doc_id, lang)
+      |SELECT b.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(b.n_tiles) AS BIGINT) AS sum_tiles,
+      |  CAST(SUM(COALESCE(r.n_kept, 0)) AS BIGINT) AS sum_kept,
+      |  CAST(SUM(('0x' || substr(md5(COALESCE(r.txt, '')), 1, 12))::BIGINT)
+      |       AS BIGINT) AS text_checksum
+      |FROM base b LEFT JOIN rewritten r ON b.doc_id = r.doc_id
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_rewrite" -> (qDedupRewrite _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_substring" -> (qDedupSubstring _),
@@ -1393,6 +1466,7 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_bloom" -> qDedupBloomSql,
+    "q_dedup_rewrite" -> qDedupRewriteSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_near" -> qDedupNearSql,

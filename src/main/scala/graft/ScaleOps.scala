@@ -1089,9 +1089,104 @@ object ScaleOps {
       |  MIN(length(text)), MAX(length(text)) FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** TEMPERATURE-REBALANCED domain mixing (the multilingual-LM sampling
+    * move, p_i ∝ c_i^(1/T)): unlike q_sample_mixture's FIXED per-lang
+    * weights, the weights here DERIVE from the per-source token counts —
+    * T = 2, so w_i = isqrt(tokens_i), which up-weights rare domains
+    * relative to proportional sampling. Everything stays integer-exact:
+    * isqrt = floor of the correctly-rounded IEEE sqrt (bit-identical in
+    * both engines on exact integer inputs), a 20%-of-corpus token budget
+    * is split across sources by LARGEST-REMAINDER apportionment
+    * (base = budget·w div W, remainders ranked, ties by source name —
+    * the allocation sums to the budget exactly), and each source fills
+    * its quota by LCG-hash order with an inclusive running-token-sum
+    * cutoff. Scale: per-source stats are one agg; the 20-row allocation
+    * is broadcast; selection is one window per source partition (for a
+    * corpus too big to rank, swap the exact window for mixture's
+    * threshold form — documented trade, exactness vs one pass). */
+  def qSampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val P = 2147483647L
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tok_total"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(tok_total AS DOUBLE))) AS BIGINT)"))
+    val totals = perSrc.agg(sum(col("w")).as("wsum"),
+      expr("sum(tok_total) div 5").as("budget"))
+    val withBase = perSrc.crossJoin(broadcast(totals))
+      .withColumn("base", expr("(budget * w) div wsum"))
+      .withColumn("rem", expr("(budget * w) % wsum"))
+    val baseSum = withBase.agg(sum(col("base")).as("base_sum"))
+    // 20-row global window: the allocation table, not the corpus
+    val byRemainder = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = withBase.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(byRemainder))
+      .withColumn("target_tok",
+        expr("base + CASE WHEN rk <= budget - base_sum THEN 1 ELSE 0 END"))
+      .select(col("source"), col("tok_total"), col("w"), col("target_tok"))
+    val bySrcHash = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val kept = docs
+      .withColumn("h", expr(s"((doc_id % $P) * 2654435761 + 29) % $P"))
+      .withColumn("cum", sum(col("n_tok"))
+        .over(bySrcHash.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc.select(col("source"), col("target_tok"))), Seq("source"))
+      .filter(col("cum") <= col("target_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
+        sum(col("doc_id")).as("doc_id_sum"))
+    alloc.join(kept, Seq("source"), "left")
+      .select(col("source"), col("tok_total"), col("w"), col("target_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val qSampleTemperatureSql: String =
+    """WITH docs AS (SELECT doc_id, source,
+      |                len(string_split(text, ' ')) AS n_tok FROM documents),
+      |ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_total
+      |       FROM docs GROUP BY source),
+      |pw AS (SELECT source, tok_total,
+      |         CAST(FLOOR(SQRT(CAST(tok_total AS DOUBLE))) AS BIGINT) AS w
+      |       FROM ps),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+      |          CAST(SUM(tok_total) AS BIGINT) // 5 AS budget FROM pw),
+      |wb AS (SELECT p.source, p.tok_total, p.w, t.wsum, t.budget,
+      |         (t.budget * p.w) // t.wsum AS base,
+      |         (t.budget * p.w) % t.wsum AS rem
+      |       FROM pw p CROSS JOIN tot t),
+      |bs AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM wb),
+      |alloc AS (SELECT wb.source, wb.tok_total, wb.w,
+      |            wb.base + CASE WHEN ROW_NUMBER() OVER
+      |                (ORDER BY wb.rem DESC, wb.source)
+      |              <= wb.budget - bs.base_sum THEN 1 ELSE 0 END AS target_tok
+      |          FROM wb CROSS JOIN bs),
+      |h AS (SELECT doc_id, source, n_tok,
+      |        ((doc_id % 2147483647) * 2654435761 + 29) % 2147483647 AS h
+      |      FROM docs),
+      |c AS (SELECT doc_id, source, n_tok,
+      |        SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM h),
+      |k AS (SELECT c.source, COUNT(*) AS n_kept,
+      |        CAST(SUM(c.n_tok) AS BIGINT) AS tokens_kept,
+      |        CAST(SUM(c.doc_id) AS BIGINT) AS doc_id_sum
+      |      FROM c JOIN alloc a ON c.source = a.source
+      |      WHERE c.cum <= a.target_tok GROUP BY c.source)
+      |SELECT a.source, a.tok_total, a.w, a.target_tok,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.tokens_kept, 0) AS tokens_kept,
+      |  COALESCE(k.doc_id_sum, 0) AS doc_id_sum
+      |FROM alloc a LEFT JOIN k ON a.source = k.source
+      |ORDER BY a.source""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_temperature" -> (qSampleTemperature _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_profile_stats" -> (qProfileStats _),
     "q_agg_count_min" -> (qAggCountMin _),
@@ -1114,6 +1209,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_temperature" -> qSampleTemperatureSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_profile_stats" -> qProfileStatsSql,
     "q_agg_count_min" -> qAggCountMinSql,
