@@ -1148,6 +1148,70 @@ object RelOps {
       |       AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** BINARY-FILE SOURCE ingest — Spark's built-in `binaryFile` format is
+    * how a multimodal pipeline reads a directory of media objects
+    * (path + length + content per file, schema fixed by the source).
+    * Forty genuine WAV files are staged (one per doc, the same payload
+    * synthesis the multimodal queries grade), read back through the
+    * source with a pathGlobFilter, ids recovered from file names, bytes
+    * decoded by the chunk-walking WavCodec, and per-rate stats rolled
+    * up. The `length` metadata column is graded against the oracle's
+    * CLOSED-FORM RIFF size (44 + pcm + word-align pad + the 20-byte LIST
+    * chunk on even ids) — a source that mis-reported file sizes, or a
+    * builder that emitted a different container layout, breaks the hash.
+    * Scale: binaryFile parallelizes by file like any FileScan; decode
+    * stays partition-batched at the codec boundary. */
+  def qSourceBinaryfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stagingDir(s, "src_binfile")
+    new java.io.File(dir).mkdirs()
+    val payloads = AnnOps.buildWavPayloads(s,
+      Tables.documents(s, d)
+        .filter(expr("octet_length(text) = length(text) AND doc_id < 40")))
+    payloads.foreachPartition { it: Iterator[(Long, String, Array[Byte])] =>
+      it.foreach { case (id, _, bytes) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$id.wav"), bytes)
+      }
+    }
+    val parsed = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.wav$", 1)
+          .cast(LongType).as("doc_id"),
+        col("length"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, len, bytes) =>
+        graft.functions.WavCodec.parse(bytes).iterator.map(w =>
+          (id, len, w.sampleRate.toLong, w.nSamples, w.peak.toLong))
+      }).toDF("doc_id", "file_bytes", "rate", "n_samples", "peak")
+    parsed.groupBy(col("rate"))
+      .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("sum_bytes"),
+        sum(col("n_samples")).as("sum_samples"), max(col("peak")).as("max_peak"))
+      .orderBy(col("rate"))
+  }
+
+  val qSourceBinaryfileSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    8000 + (doc_id % 3) * 4000 AS rate
+      |  FROM documents
+      |  WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      |    AND doc_id < 40),
+      |b AS (SELECT doc_id, rate, n,
+      |        44 + n + (n % 2)
+      |          + CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 0 END AS bytes
+      |      FROM c),
+      |amp AS (
+      |  SELECT doc_id, MAX(ascii(substr(text, CAST(i AS INTEGER), 1))) AS peak
+      |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM c)
+      |  GROUP BY doc_id)
+      |SELECT b.rate, COUNT(*) AS n_files,
+      |  CAST(SUM(b.bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(b.n) AS BIGINT) AS sum_samples,
+      |  CAST(MAX(amp.peak) AS BIGINT) AS max_peak
+      |FROM b JOIN amp ON b.doc_id = amp.doc_id
+      |GROUP BY b.rate ORDER BY b.rate""".stripMargin
+
   /** INTERVAL OVERLAP JOIN via time-binning — the scale technique for
     * big×big range joins that would otherwise plan as a nested-loop:
     * both interval sets are exploded into fixed-width (1-hour) buckets,
@@ -1229,6 +1293,7 @@ object RelOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_interval" -> (qJoinInterval _),
+    "q_source_binaryfile" -> (qSourceBinaryfile _),
     "q_join_null_safe" -> (qJoinNullSafe _),
     "q_source_csv_robust" -> (qSourceCsvRobust _),
     "q_source_orc" -> (qSourceOrc _),
@@ -1264,6 +1329,7 @@ object RelOps {
 
   val oracle: Map[String, String] = Map(
     "q_join_interval" -> qJoinIntervalSql,
+    "q_source_binaryfile" -> qSourceBinaryfileSql,
     "q_join_null_safe" -> qJoinNullSafeSql,
     "q_source_csv_robust" -> qSourceCsvRobustSql,
     "q_source_orc" -> qSourceOrcSql,

@@ -1089,6 +1089,121 @@ object ScaleOps {
       |  MIN(length(text)), MAX(length(text)) FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** DISTRIBUTION DRIFT between time windows (the data-quality monitor a
+    * production pipeline runs on every feature): first half of the month
+    * vs second half, events.value bucketed into 10 fixed-width bins per
+    * event_type, drift scored as TOTAL-VARIATION distance. PSI and
+    * chi-square need logs / order-dependent float sums; TV distance
+    * reduces to EXACT integer arithmetic over a common denominator —
+    * tv_num = Σ|o_i·N2 − e_i·N1| (all BIGINT, order-free), and
+    * tv = tv_num / (2·N1·N2) is the single IEEE division at the end, so
+    * the doubles are bit-identical cross-engine. One shuffle (the
+    * (type, window, bin) agg), then a 100-row reshape. At counts beyond
+    * ~1e9 per cell the cross products need DECIMAL(38) or per-million
+    * pre-normalization — noted, not needed at any graded sf. */
+  def qProfileDrift(s: SparkSession, d: String): DataFrame = {
+    val binned = events(s, d).select(col("event_type"),
+      when(dayofmonth(col("ts")) <= 15, 1L).otherwise(2L).as("win"),
+      least(lit(9L), expr("CAST(floor(value / 25.0) AS BIGINT)")).as("bin"))
+    val cells = binned.groupBy(col("event_type"), col("win"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wide = cells.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("win") === 1L, col("c")).otherwise(0L)).as("o"),
+        sum(when(col("win") === 2L, col("c")).otherwise(0L)).as("e"))
+    val totals = wide.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n1"), sum(col("e")).as("n2"))
+    wide.join(totals, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("o") * col("n2") - col("e") * col("n1"))).as("tv_num"))
+      .withColumn("tv",
+        col("tv_num").cast(DoubleType) /
+          (lit(2.0) * col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+      .orderBy(col("event_type"))
+  }
+
+  val qProfileDriftSql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |    CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+      |         THEN 1 ELSE 2 END AS win,
+      |    LEAST(9, CAST(FLOOR(value / 25.0) AS BIGINT)) AS bin
+      |  FROM events),
+      |cells AS (SELECT event_type, win, bin, COUNT(*) AS c
+      |          FROM binned GROUP BY 1, 2, 3),
+      |wide AS (
+      |  SELECT event_type, bin,
+      |    CAST(SUM(CASE WHEN win = 1 THEN c ELSE 0 END) AS BIGINT) AS o,
+      |    CAST(SUM(CASE WHEN win = 2 THEN c ELSE 0 END) AS BIGINT) AS e
+      |  FROM cells GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n1,
+      |          CAST(SUM(e) AS BIGINT) AS n2
+      |        FROM wide GROUP BY 1)
+      |SELECT w.event_type, t.n1, t.n2,
+      |  CAST(SUM(ABS(w.o * t.n2 - w.e * t.n1)) AS BIGINT) AS tv_num,
+      |  CAST(SUM(ABS(w.o * t.n2 - w.e * t.n1)) AS BIGINT)
+      |    / (2.0 * t.n1 * t.n2) AS tv
+      |FROM wide w JOIN tot t ON w.event_type = t.event_type
+      |GROUP BY w.event_type, t.n1, t.n2
+      |ORDER BY w.event_type""".stripMargin
+
+  /** EXACT distinct at scale via CONTAINER BITMAPS (the roaring
+    * architecture, 8th native TypedImperativeAggregate) — the exact
+    * complement to the HLL/KMV sketch family: ids are sharded by their
+    * high bits in the GROUP BY (`id div 65536`), `graft_bitmap_distinct`
+    * owns one 8 KiB container per shard (bit = low 16 id bits, partials
+    * OR-merge — order-free, map-side combinable), and the per-shard
+    * popcounts SUM to the exact distinct because sharding makes
+    * containers disjoint. The fixture's narrow user_id domain is widened
+    * by an injective ×101 map so MULTIPLE containers genuinely carry the
+    * count (3 at any sf, more as ids grow — the geometry under test).
+    * Graded per event_type AND globally against COUNT(DISTINCT), which
+    * the oracle computes directly — the equality proves the
+    * shard → bitmap → popcount → sum path is exact, not approximate. */
+  def qAggDistinctBitmap(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val mapped = events(s, d)
+      .select(col("event_type"), expr("user_id * 101").as("mid"))
+    val perType = mapped
+      .groupBy(col("event_type"), expr("mid div 65536").as("cont"))
+      .agg(expr("graft_bitmap_distinct(mid)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_distinct"), count(lit(1)).as("n_containers"))
+    val directType = events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_direct"))
+    val typed = perType.join(directType, Seq("event_type"))
+      .select(col("event_type").as("scope"), col("n_containers"),
+        col("n_distinct"), col("n_direct"))
+    val globalBm = mapped
+      .groupBy(expr("mid div 65536").as("cont"))
+      .agg(expr("graft_bitmap_distinct(mid)").as("c"))
+      .agg(sum(col("c")).as("n_distinct"), count(lit(1)).as("n_containers"))
+    val globalDirect = events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_direct"))
+    val global = globalBm.crossJoin(globalDirect)
+      .select(lit("__all__").as("scope"), col("n_containers"),
+        col("n_distinct"), col("n_direct"))
+    typed.unionByName(global).orderBy(col("scope"))
+  }
+
+  val qAggDistinctBitmapSql: String =
+    """WITH m AS (SELECT event_type, user_id * 101 AS mid, user_id
+      |           FROM events),
+      |pt AS (SELECT event_type,
+      |         COUNT(DISTINCT mid // 65536) AS n_containers,
+      |         COUNT(DISTINCT user_id) AS n_distinct,
+      |         COUNT(DISTINCT user_id) AS n_direct
+      |       FROM m GROUP BY event_type),
+      |g AS (SELECT '__all__' AS scope,
+      |        COUNT(DISTINCT mid // 65536) AS n_containers,
+      |        COUNT(DISTINCT user_id) AS n_distinct,
+      |        COUNT(DISTINCT user_id) AS n_direct
+      |      FROM m)
+      |SELECT event_type AS scope, n_containers, n_distinct, n_direct FROM pt
+      |UNION ALL
+      |SELECT scope, n_containers, n_distinct, n_direct FROM g
+      |ORDER BY scope""".stripMargin
+
   /** TEMPERATURE-REBALANCED domain mixing (the multilingual-LM sampling
     * move, p_i ∝ c_i^(1/T)): unlike q_sample_mixture's FIXED per-lang
     * weights, the weights here DERIVE from the per-source token counts —
@@ -1187,6 +1302,8 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_temperature" -> (qSampleTemperature _),
+    "q_profile_drift" -> (qProfileDrift _),
+    "q_agg_distinct_bitmap" -> (qAggDistinctBitmap _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_profile_stats" -> (qProfileStats _),
     "q_agg_count_min" -> (qAggCountMin _),
@@ -1210,6 +1327,8 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_sample_temperature" -> qSampleTemperatureSql,
+    "q_profile_drift" -> qProfileDriftSql,
+    "q_agg_distinct_bitmap" -> qAggDistinctBitmapSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_profile_stats" -> qProfileStatsSql,
     "q_agg_count_min" -> qAggCountMinSql,

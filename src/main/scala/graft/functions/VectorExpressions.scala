@@ -543,6 +543,9 @@ object VectorFunctions {
     (FunctionIdentifier("graft_hll_merge"),
       new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
       (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinctAgg].getName, "graft_bitmap_distinct"),
+      (es: Seq[Expression]) => BitmapDistinctAgg(es.head).toAggregateExpression()),
     (FunctionIdentifier("graft_count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
       (es: Seq[Expression]) => CountMinAgg(es.head).toAggregateExpression()),
