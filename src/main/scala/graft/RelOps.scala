@@ -485,6 +485,64 @@ object RelOps {
     * set, supplier and customer broadcast against the fact chain, and
     * the only big shuffle is orders⋈lineitem; the c_nationkey =
     * s_nationkey residual rides the join, never a cross product. */
+  /** TPC-H Q18 shape (large-volume customers): a HAVING aggregate over
+    * the fact table drives a SEMI-JOIN reduction — only orders whose
+    * summed quantity exceeds the threshold survive into the 3-table
+    * display join. The interesting scale property: the big aggregation
+    * runs FIRST and its (usually tiny) survivor set keys every later
+    * join, so the orders/customer work is proportional to the survivors,
+    * not the fact table. Decimal quantity sums (exact), deterministic
+    * top-100 via the (totalprice DESC, orderdate, orderkey) total order. */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice, b.sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so zero-order customers keep a row, COUNT over the nullable
+    * side, then a second aggregation over the counts themselves — the
+    * histogram-of-group-sizes pattern. */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qTpchQ13Sql: String =
+    """WITH co AS (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   def qTpchQ5(s: SparkSession, d: String): DataFrame = {
     val asiaNations = nation(s, d)
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
@@ -1311,6 +1369,8 @@ object RelOps {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_source_corrupt_resilience" -> (qSourceCorruptResilience _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_agg_hash" -> (qAggHash _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_filter_in_like" -> (qFilterInLike _),
@@ -1347,6 +1407,8 @@ object RelOps {
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_source_corrupt_resilience" -> qSourceCorruptResilienceSql,
     "q_tpch_q5" -> qTpchQ5Sql,
+    "q_tpch_q13" -> qTpchQ13Sql,
+    "q_tpch_q18" -> qTpchQ18Sql,
     "q_agg_hash" -> qAggHashSql,
     "q_scan_filter_project" -> qScanFilterProjectSql,
     "q_filter_in_like" -> qFilterInLikeSql,
