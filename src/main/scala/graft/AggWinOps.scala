@@ -933,6 +933,60 @@ object AggWinOps {
     * each step needs a LATER timestamp (fixture has no same-user ts
     * ties at any sf — checked; a production funnel would tiebreak on
     * event_id). Per-day counts of user-days reaching steps ≥1/≥2/≥3. */
+  /** EXACT LEAST-SQUARES TREND per group — the regr_slope/intercept
+    * family done with cross-engine-exact arithmetic: the builtin
+    * regr_* aggregates accumulate float covariances whose partial sums
+    * are ORDER-DEPENDENT (a strict-mode hazard and, at 100 TB, a
+    * re-aggregation reproducibility bug); here every moment (Σx, Σy,
+    * Σxy, Σx²) is an exact DECIMAL/BIGINT sum over the daily series —
+    * associative, map-side combinable, partition-order-free — and the
+    * closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) performs exactly
+    * ONE double division (plus two IEEE ops for the intercept) on
+    * bit-identical exact inputs. x = day of month over the fixture's
+    * single month; the daily pre-aggregation bounds the regression
+    * input at 31 rows per group no matter the corpus size. */
+  def qAggRegression(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast(LongType).as("x"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        col("sx"), col("sy").cast(DoubleType).as("sum_y"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("slope"))
+      .withColumn("intercept",
+        (col("sum_y") - col("slope") * col("sx").cast(DoubleType)) /
+          col("n_days").cast(DoubleType))
+      .drop("sx")
+      .orderBy(col("event_type"))
+  }
+
+  val qAggRegressionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, CAST(sy AS DOUBLE) AS sum_y,
+      |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n_days AS DOUBLE) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE / CEP family):
     * count, per user, completed `view → … → purchase` patterns where
     * nothing between them breaks the flow — a purchase COMPLETES a
@@ -1071,6 +1125,7 @@ object AggWinOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_pattern" -> (qWindowPattern _),
+    "q_agg_regression" -> (qAggRegression _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
     "q_sql_pipe" -> (qSqlPipe _),
@@ -1117,6 +1172,7 @@ object AggWinOps {
     "q_window_gapfill" -> qWindowGapfillSql,
     "q_window_funnel" -> qWindowFunnelSql,
     "q_window_pattern" -> qWindowPatternSql,
+    "q_agg_regression" -> qAggRegressionSql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,
     "q_sql_pipe" -> qSqlPipeSql,

@@ -326,6 +326,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the merge aggregate in the rollup:\n$p")
   }
 
+  test("interval join is a bucket EQUI-join — no nested-loop, no cartesian") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must not plan as a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the time bucket:\n$p")
+  }
+
+  test("pattern match plans one user window + a semi-join, no regex calls") {
+    val p = plan("q_window_pattern")
+    assert(p.contains("LeftSemi"), s"expected the (user, seg) semi-join:\n$p")
+    assert(!p.toLowerCase.contains("rlike") && !p.toLowerCase.contains("regexp_count"),
+      "pattern matching must not lean on a regex engine")
+  }
+
+  test("bitmap distinct partial-aggregates before the container shuffle") {
+    val p = plan("q_agg_distinct_bitmap")
+    assert(p.contains("graft_bitmap_distinct"), s"expected the native aggregate:\n$p")
+    assert(p.contains("partial_graft_bitmap_distinct") ||
+      p.contains("Partial") || p.contains("ObjectHashAggregate"),
+      s"expected a map-side partial for the bitmap agg:\n$p")
+  }
+
+  test("pagerank's per-round plans stay shallow (lineage cut each round)") {
+    // without the per-round Checkpoints.cut the 5 rounds nest into a
+    // ~1000-node plan; with it the final plan sees only LogicalRDDs
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      s"expected checkpointed round inputs in the final plan:\n$p")
+    assert(p.length < 20000,
+      s"pagerank plan blew up to ${p.length} chars — lineage cut lost?")
+  }
+
   test("time-travel snapshot read scans EXACTLY the manifest's file set") {
     import graft.sources.MiniLog
     // drive the graded build, then compare the as-of reader's input
