@@ -126,11 +126,80 @@ object GraphOps {
        |ORDER BY rank_fp DESC, nation""".stripMargin
   }
 
+  /** TRIANGLE COUNT + global clustering coefficient over the MinHash-band
+    * near-dup candidate graph — the density diagnostic for dedup clusters
+    * (a high closure ratio says candidates form tight duplicate cliques;
+    * a low one says the bands chain unrelated docs — banding too loose).
+    * The triangle join runs on ID-ORIENTED edges (a < b everywhere), the
+    * standard orientation trick: each triangle a<b<c is found exactly
+    * once as (a,b)+(b,c) closed by (a,c), and per-vertex join work is
+    * bounded by out-degree squared in the orientation rather than raw
+    * degree squared (the hub-skew killer in naive triangle counting).
+    * Wedges come from degrees alone — Σ d(d−1)/2, one agg, exact.
+    * Clustering = 3·triangles/wedges is the single final division. */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val bands = LlmOps.bandsOf(LlmOps.minhashOf(LlmOps.shingles(s, d)))
+      .select(LlmOps.bandKeys.map(col) :+ col("doc_id"): _*)
+      .localCheckpoint(eager = false)
+    // eager: the edge list feeds degrees AND all three triangle-join
+    // branches — five references; the band self-join must run once
+    val edges = bands.as("x").join(bands.as("y"), LlmOps.bandJoinCond)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  val qGraphTrianglesSql: String =
+    s"""WITH ${LlmOps.shinglesSqlCte},
+       |${LlmOps.mhSqlCte},
+       |${LlmOps.bandsSqlCte(tagged = false)},
+       |edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM bands x JOIN bands y
+       |            ON ${LlmOps.bandKeys.map(k => s"x.$k = y.$k").mkString(" AND ")}
+       |           AND x.doc_id < y.doc_id),
+       |deg AS (SELECT v, COUNT(*) AS dg
+       |        FROM (SELECT a AS v FROM edges
+       |              UNION ALL SELECT b AS v FROM edges)
+       |        GROUP BY v),
+       |w AS (SELECT COUNT(*) AS n_vertices,
+       |        CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+       |      FROM deg),
+       |t AS (SELECT COUNT(*) AS n_triangles
+       |      FROM edges e1
+       |      JOIN edges e2 ON e1.b = e2.a
+       |      JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+       |SELECT w.n_vertices, ne.n_edges, w.n_wedges, t.n_triangles,
+       |  CASE WHEN w.n_wedges > 0
+       |       THEN CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)
+       |       ELSE 0.0 END AS clustering
+       |FROM w, t, ne""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _)
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_triangles" -> (qGraphTriangles _)
   )
 
   val oracle: Map[String, String] = Map(
-    "q_graph_pagerank" -> qGraphPagerankSql
+    "q_graph_pagerank" -> qGraphPagerankSql,
+    "q_graph_triangles" -> qGraphTrianglesSql
   )
 }

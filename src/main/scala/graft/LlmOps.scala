@@ -94,7 +94,7 @@ object LlmOps {
     * size (the r4 lead-window form shuffled every token on doc_id before
     * a single shingle existed). Docs under 3 tokens yield no shingles,
     * exactly as the oracle's LEAD(t3) IS NOT NULL filter. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -103,7 +103,7 @@ object LlmOps {
           textHash("concat_ws(' ', tk[i-1], tk[i], tk[i+1])") + ")")).as("v"))
 
   /** The matching DuckDB shingle CTE (doc_id, v). */
-  private val shinglesSqlCte: String =
+  private[graft] val shinglesSqlCte: String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
        |         generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -121,13 +121,13 @@ object LlmOps {
   /** Per-doc K-permutation MinHash sketch over (doc_id, v) shingles —
     * constants from graft.functions.MinHash, the shared source of truth
     * for all three sketch implementations and every oracle. */
-  private def minhashOf(sh: DataFrame): DataFrame = {
+  private[graft] def minhashOf(sh: DataFrame): DataFrame = {
     val mins = (0 until MH.K).map(j => min(expr(MH.sparkExpr(j))).as(s"m$j"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** The matching DuckDB sketch CTE `mh(doc_id, m0..m{K-1})`. */
-  private val mhSqlCte: String =
+  private[graft] val mhSqlCte: String =
     s"""mh AS (SELECT doc_id,
        |         ${(0 until MH.K).map(j => s"MIN(${MH.duckExpr(j)}) AS m$j").mkString(",\n         ")}
        |       FROM sh GROUP BY doc_id)""".stripMargin
@@ -135,7 +135,7 @@ object LlmOps {
   /** LSH band rows (band, k0..k{R-1}, doc_id) from the sketch — ONE
     * posexplode pass over the aggregate instead of a self-union, which
     * would execute the whole upstream aggregation once per branch. */
-  private def bandsOf(mh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until MH.Bands).map(b =>
       struct((0 until MH.R).map(r => col(s"m${MH.R * b + r}").as(s"k$r")): _*))
     mh.select(col("doc_id"), posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
@@ -145,13 +145,13 @@ object LlmOps {
 
   /** Band-key column list (k0..k{R-1}) and the matching self-join
     * predicate over aliases x/y. */
-  private val bandKeys: Seq[String] = (0 until MH.R).map(r => s"k$r")
-  private def bandJoinCond: Column =
+  private[graft] val bandKeys: Seq[String] = (0 until MH.R).map(r => s"k$r")
+  private[graft] def bandJoinCond: Column =
     bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col("x.doc_id") < col("y.doc_id")
 
   /** DuckDB bands CTE: one UNION ALL branch per band (tagged). */
-  private def bandsSqlCte(tagged: Boolean): String =
+  private[graft] def bandsSqlCte(tagged: Boolean): String =
     (0 until MH.Bands).map { b =>
       val cols = (0 until MH.R).map(r => s"m${MH.R * b + r} AS k$r").mkString(", ")
       if (tagged) s"SELECT $b AS band, $cols, doc_id FROM mh"

@@ -658,9 +658,88 @@ object StreamOps {
       |WHERE c.event_type = 'click'
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** STREAMING CDC INTO THE TABLE FORMAT — the lakehouse ingestion
+    * pattern that ties the streaming surface to the mini-log:
+    * `foreachBatch` merges each micro-batch's per-user (count, exact
+    * decimal sum) deltas into the bucketed mini-log table as a
+    * copy-on-write UPSERT (read ONLY the affected buckets, combine,
+    * rewrite those files, commit version N+1 sharing every untouched
+    * file), and the graded read is the FINAL SNAPSHOT — which must equal
+    * the plain batch aggregate because counts and decimal sums are
+    * associative across arbitrary micro-batch slicings. Two staged
+    * source files + maxFilesPerTrigger=1 force a real merge commit on
+    * top of the initial load (two versions — the minimum that exercises
+    * the read-combine-rewrite path; more batches repeat it).
+    * The affected-bucket list is a ≤8-row driver collect
+    * (metadata-scale, same justification as the index-maintenance
+    * queries); sums are pinned to DECIMAL(18,4) after every combine so
+    * all snapshot files share one schema across versions. At 100 TB this
+    * is exactly how a streaming pipeline lands in Delta/Iceberg:
+    * per-batch MERGE keyed by bucket, cost ∝ affected partitions, exact
+    * re-aggregation regardless of arrival slicing. */
+  def qStreamMinilog(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+    import graft.sources.MiniLog
+    val src = RelOps.stagingDir(s, "stream_minilog_src")
+    val table = RelOps.stagingDir(s, "stream_minilog_tbl")
+    RelOps.deleteRecursively(src)
+    RelOps.deleteRecursively(table)
+    events(s, d).select(col("user_id"), col("value"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("s"))
+      .select(col("user_id"), col("n_events"),
+        col("s").cast(DecimalType(18, 4)).as("sum_value"),
+        pmod(col("user_id"), lit(8L)).as("bucket"))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = aggOf(batch).localCheckpoint()
+        val ver =
+          try MiniLog.latestVersion(table) catch { case _: Throwable => 0 }
+        if (ver == 0) {
+          MiniLog.commit(table, 1, MiniLog.writeBucketFiles(delta, table, s"b$batchId"))
+        } else {
+          val parent = MiniLog.manifest(table, ver)
+          val affected = delta.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)).toSet // ≤8 buckets, metadata-scale
+          val current = affected.toSeq.sorted.flatMap(b => parent.get(b).map(b -> _))
+            .map { case (b, f) => s.read.parquet(f).withColumn("bucket", lit(b)) }
+            .reduceOption(_ unionByName _)
+          val combined = current match {
+            case None => delta
+            case Some(cur) => cur.unionByName(delta)
+              .groupBy(col("user_id"), col("bucket"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_value")).cast(DecimalType(18, 4)).as("sum_value"))
+              .select(col("user_id"), col("n_events"), col("sum_value"), col("bucket"))
+          }
+          val files = parent ++ MiniLog.writeBucketFiles(combined, table, s"b$batchId")
+          MiniLog.commit(table, ver + 1, files)
+        }
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    MiniLog.readAsOf(s, table, MiniLog.latestVersion(table))
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamMinilogSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_minilog" -> (qStreamMinilog _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_stream_live" -> (qStreamLive _),
     "q_stream_live_sliding" -> (qStreamLiveSliding _),
@@ -690,6 +769,7 @@ object StreamOps {
     "q_stream_enrich" -> qStreamEnrichSql,
     // drained file sink == the batch tumbling aggregation
     "q_stream_sink" -> qStreamTumblingSql,
+    "q_stream_minilog" -> qStreamMinilogSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,

@@ -11,6 +11,25 @@ import graft.sources.MiniLog
 class MiniLogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("streaming ingestion commits one mini-log version per micro-batch") {
+    val sf = TestSpark.sf
+    val result = StreamOps.qStreamMinilog(spark, sf).collect()
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_stream_minilog_tbl_" +
+      spark.sparkContext.applicationId
+    // two staged source files under maxFilesPerTrigger=1 → two commits
+    // (initial load + one read-combine-rewrite merge)
+    assert(MiniLog.latestVersion(table) === 2)
+    // the final snapshot IS the batch aggregate (associativity of the
+    // count/decimal-sum merge across arbitrary micro-batch slicings)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .orderBy(col("user_id")).collect()
+    assert(result.map(_.toSeq).sameElements(batch.map(_.toSeq)))
+  }
+
   test("commits share unchanged files; as-of reads are snapshot-isolated") {
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_spec"
     RelOps.deleteRecursively(table)
