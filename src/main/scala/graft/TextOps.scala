@@ -1296,9 +1296,62 @@ object TextOps {
       |WHERE levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 12
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** URL CANONICALIZATION — the first normalization a web-crawl dedup
+    * runs (scheme/host case, default ports, tracking params, fragments
+    * all make the same resource look distinct): deterministic URLs are
+    * synthesized per doc with deliberate variance (upper-cased schemes
+    * and hosts, an explicit :443, utm_* tracking params, fragments),
+    * then canonicalized THROUGH Spark's real URL parser — `parse_url`
+    * HOST (port- and case-free after lower), PATH, and targeted
+    * QUERY extraction — rather than string surgery. The oracle computes
+    * each canonical form CLOSED-FORM from the same synthesis arithmetic
+    * without parsing anything, and the md5 checksum over every
+    * canonical string makes one mis-parsed port or surviving fragment
+    * anywhere a hash mismatch. Row-local projection + one rollup;
+    * scan-bound at any corpus size. */
+  def qTextUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 25).cast("string")))
+        .otherwise(concat(lit("?id="), (col("doc_id") % 25).cast("string"))),
+      lit("#sec"), (col("doc_id") % 3).cast("string"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), url.as("u"))
+      .select(col("doc_id"), col("source"),
+        concat(lit("https://"), lower(expr("parse_url(u, 'HOST')")),
+          expr("parse_url(u, 'PATH')"),
+          lit("?id="), expr("parse_url(u, 'QUERY', 'id')")).as("canon"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canon"),
+        sum(expr("CAST(conv(substring(md5(canon), 1, 12), 16, 10) AS BIGINT)"))
+          .as("canon_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val qTextUrlCanonSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    'https://' || lower(CASE WHEN doc_id % 3 = 0
+      |                             THEN upper(source) ELSE source END)
+      |      || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |      || '?id=' || CAST(doc_id % 25 AS VARCHAR) AS canon
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_urls,
+      |  COUNT(DISTINCT canon) AS n_canon,
+      |  CAST(SUM(('0x' || substr(md5(canon), 1, 12))::BIGINT) AS BIGINT)
+      |    AS canon_checksum
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_url_canon" -> (qTextUrlCanon _),
     "q_text_editdist" -> (qTextEditdist _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_langid" -> (qTextLangid _),
@@ -1321,6 +1374,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_text_editdist" -> qTextEditdistSql,
+    "q_text_url_canon" -> qTextUrlCanonSql,
     "q_text_redact" -> qTextRedactSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
