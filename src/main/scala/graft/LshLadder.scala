@@ -45,7 +45,7 @@ object LshLadder {
       .cache()
     val nTruth = truth.count()
 
-    val variants = for (t <- Seq(1, 2, 3); r <- Seq(2, 3)) yield (t, r)
+    val variants = for (t <- Seq(1, 2, 3, 4, 5); r <- Seq(2, 3)) yield (t, r)
     println(f"${"tables"}%6s ${"radius"}%6s ${"recall"}%9s ${"secs"}%s")
     variants.foreach { case (t, r) =>
       val ans = AnnOps.lshSearch(spark, sfDir, t, r)
