@@ -46,7 +46,6 @@ object GraphOps {
     // driver-side count of the node universe — a 25-row dimension table,
     // metadata-scale (the same justification as IvfTraining's 1-row read)
     val n = nodes.count()
-    val base = 15L * Scale / (100L * n)
 
     val edgesRaw = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -66,27 +65,37 @@ object GraphOps {
       .select(col("src"), col("dst"), expr(s"(w * $Share) div wout").as("wshare"))
       .coalesce(1)
       .localCheckpoint()
-    val outSrc = edges.select("src").distinct()
+    pagerankIterate(nodes.select("node"), edges, n)
+      .join(nodes, "node")
+      .select(col("n_name").as("nation"), col("r").as("rank_fp"),
+        (col("r") / lit(1e12)).as("pagerank"))
+      .orderBy(col("rank_fp").desc, col("nation"))
+  }
 
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
-    for (_ <- 1 to Rounds) {
+  /** The fixed-point iteration itself, over any (node) universe and any
+    * share-normalized edge list (src, dst, wshare out of `Share`) —
+    * exposed so specs can drive it on synthetic graphs (dangling nodes,
+    * disconnected components) the fixture's trade graph doesn't contain. */
+  private[graft] def pagerankIterate(nodeIds: DataFrame, edges: DataFrame,
+      n: Long, rounds: Int = Rounds): DataFrame = {
+    val base = 15L * Scale / (100L * n)
+    val outSrc = edges.select("src").distinct()
+    var ranks = nodeIds.select(col("node"), lit(Scale / n).as("r"))
+    for (_ <- 1 to rounds) {
       val contrib = ranks.join(edges, ranks("node") === edges("src"))
         .groupBy("dst").agg(sum(expr(s"(r * wshare) div $Share")).as("contrib"))
       val dang = ranks.join(outSrc, ranks("node") === outSrc("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       // lineage cut per round (lazy, same pattern as connectedComponents):
-      // without it the 5 rounds nest into a single ~1000-node plan whose
-      // Catalyst optimization time dwarfs the 25-row execution
-      ranks = Checkpoints.cut(nodes.select("node")
+      // without it the rounds nest into a single ~1000-node plan whose
+      // Catalyst optimization time dwarfs the tiny-data execution
+      ranks = Checkpoints.cut(nodeIds.select("node")
         .join(contrib, col("node") === col("dst"), "left")
         .crossJoin(dang) // 1-row dangling-mass scalar, stays in-plan
         .selectExpr("node",
           s"$base + (85 * (coalesce(contrib, 0) + dang div $n)) div 100 AS r"))
     }
-    ranks.join(nodes, "node")
-      .select(col("n_name").as("nation"), col("r").as("rank_fp"),
-        (col("r") / lit(1e12)).as("pagerank"))
-      .orderBy(col("rank_fp").desc, col("nation"))
+    ranks
   }
 
   val qGraphPagerankSql: String = {

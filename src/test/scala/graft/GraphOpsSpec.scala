@@ -41,4 +41,36 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(r.getDouble(2) === r.getLong(1).toDouble / 1e12)
     }
   }
+
+  test("dangling nodes redistribute their mass instead of leaking it") {
+    import spark.implicits._
+    // 0 → 1 → 2, node 2 dangling: without redistribution node 2's mass
+    // drains and the total collapses toward the teleport floor
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq((0L, 1L, 1000000L), (1L, 2L, 1000000L))
+      .toDF("src", "dst", "wshare")
+    val out = GraphOps.pagerankIterate(nodes, edges, 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = out.values.sum
+    assert(total <= 1000000000000L && total >= 999999990000L,
+      s"mass not conserved with a dangling node: $total")
+    // the chain ranks strictly: 2 (fed by 1 + dangling) > 1 > 0
+    assert(out(2L) > out(1L) && out(1L) > out(0L))
+  }
+
+  test("a disconnected isolate keeps teleport + dangling share only") {
+    import spark.implicits._
+    // 0 ↔ 1 strongly connected, 2 isolated (dangling, no in-edges)
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq((0L, 1L, 1000000L), (1L, 0L, 1000000L))
+      .toDF("src", "dst", "wshare")
+    val out = GraphOps.pagerankIterate(nodes, edges, 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric pair ties exactly (integer arithmetic — no float wobble)
+    assert(out(0L) === out(1L))
+    assert(out(2L) < out(0L))
+    // the isolate's floor: base teleport plus its own recycled dangling
+    // share, never zero
+    assert(out(2L) > 0L)
+  }
 }
