@@ -933,6 +933,59 @@ object AggWinOps {
     * each step needs a LATER timestamp (fixture has no same-user ts
     * ties at any sf — checked; a production funnel would tiebreak on
     * event_id). Per-day counts of user-days reaching steps ≥1/≥2/≥3. */
+  /** TIME-SERIES SPIKE DETECTION (the anomaly monitor a data-quality
+    * pipeline runs on every metric): a day is a spike when its total
+    * exceeds 1.15× the trailing-7-day average — evaluated WITHOUT
+    * division as y·n·20 > 23·Σy over the frame, so the whole rule is exact
+    * decimal/integer arithmetic (a z-score variant needs σ, whose
+    * squared form pushes decimal products past precision-38 — where
+    * Spark and DuckDB round differently; the ratio rule keeps every
+    * comparison exact). Days with fewer than 3 trailing observations
+    * are not evaluable. The 23/20 threshold sits inside the fixture's
+    * observed ratio band (0.58–1.58), so BOTH classes are populated and
+    * the flag logic is genuinely exercised (a threshold no day crosses
+    * would grade nothing — the q_scalar_try lesson). One window per
+    * event_type over the
+    * daily-aggregated series (≤31 rows/group at any corpus size). */
+  def qWindowAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("y"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_tr", count(lit(1)).over(trail))
+      .withColumn("sx", sum(col("y")).over(trail))
+      .filter(col("n_tr") >= 3)
+      .withColumn("spike",
+        when(col("y") * col("n_tr") * 20 > col("sx") * 23, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("spike")).as("n_spikes"),
+        sum(when(col("spike") === 1L, col("y")).otherwise(lit(0)))
+          .cast(DoubleType).as("spike_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val qWindowAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS y
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, day, y,
+      |    COUNT(*) OVER w AS n_tr, SUM(y) OVER w AS sx
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, COUNT(*) AS n_eval,
+      |  CAST(SUM(CASE WHEN y * n_tr * 20 > sx * 23 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_spikes,
+      |  CAST(SUM(CASE WHEN y * n_tr * 20 > sx * 23 THEN y ELSE 0 END) AS DOUBLE)
+      |    AS spike_sum
+      |FROM t WHERE n_tr >= 3
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** EXACT LEAST-SQUARES TREND per group — the regr_slope/intercept
     * family done with cross-engine-exact arithmetic: the builtin
     * regr_* aggregates accumulate float covariances whose partial sums
@@ -1126,6 +1179,7 @@ object AggWinOps {
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_pattern" -> (qWindowPattern _),
     "q_agg_regression" -> (qAggRegression _),
+    "q_window_anomaly" -> (qWindowAnomaly _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
     "q_sql_pipe" -> (qSqlPipe _),
@@ -1173,6 +1227,7 @@ object AggWinOps {
     "q_window_funnel" -> qWindowFunnelSql,
     "q_window_pattern" -> qWindowPatternSql,
     "q_agg_regression" -> qAggRegressionSql,
+    "q_window_anomaly" -> qWindowAnomalySql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,
     "q_sql_pipe" -> qSqlPipeSql,
