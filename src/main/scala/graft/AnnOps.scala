@@ -589,8 +589,9 @@ object AnnOps {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
-    val cb = pqCbRows(emb)
-    val enc = pqCodes(emb, cb)
+    val cb = sharedPqCb(s, d)
+    val enc = sharedPqCodes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
     val adc = pqAdc(
       emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
@@ -780,24 +781,18 @@ object AnnOps {
     // SEED cells + nprobe=IvfNProbe: Lloyd-trained centroids were
     // measured and rejected here (r10 — they collapse angular separation
     // on isotropic embeddings, recall@3 19→15; ScaleOps.qSimAnnIvf's
-    // note has the full ladder)
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
-        col("na").as("nc"))
-    // the ranked cell assignment feeds candidates (arn=1) AND the probes'
-    // nprobe-cell fan-out; with the row-local assignment there is no
-    // shared exchange to reuse, so the lazy checkpoint keeps the
-    // (3-column, narrow) subtree computed once across both consumers
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
-      .select(col("vec_id"), col("cell_id"), col("arn"))
-      .localCheckpoint(eager = false)
+    // note has the full ladder). Assignment, codebook and codes are the
+    // shared staged midpoints — candidates (arn=1) and the probes'
+    // nprobe-cell fan-out are filters over one staged frame.
+    val ranked = sharedRanked(s, d)
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("cell_id"))
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
-    val cb = pqCbRows(emb)
-    val enc = pqCodes(emb, cb)
+    val cb = sharedPqCb(s, d)
+    val enc = sharedPqCodes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
     val adc = pqAdc(
       emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
@@ -897,24 +892,18 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
-      .select(col("vec_id"), col("cell_id"), col("arn"))
-      .localCheckpoint(eager = false)
+    // assignment + residual codebook + residual codes are the shared
+    // staged midpoints (residVectors/sharedResidCb/sharedResidCodes) —
+    // corpus residuals are only touched by those build jobs now
+    val ranked = sharedRanked(s, d)
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("cell_id"))
     val probeCells = ranked
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
-    // corpus residuals against the OWNING cell's centroid
-    val resid = assigned
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(cents.select(col("cell_id"), col("cvec"))), Seq("cell_id"))
-      .select(col("vec_id"), col("cell_id"),
-        expr("zip_with(embedding, cvec, (a, b) -> a - b)").as("embedding"))
-      .localCheckpoint(eager = false) // feeds Lloyd training AND encode
-    val cb = pqCbRows(resid.select(col("vec_id"), col("embedding")),
-      seedLo = 20L)
-    val enc = pqCodes(resid.select(col("vec_id"), col("embedding")), cb)
+    val cb = sharedResidCb(s, d)
+    val enc = sharedResidCodes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
     // probe residual PER FANNED-OUT CELL → per-(probe, cell) ADC table
     val probeResid = probeCells
       .join(emb.select(col("vec_id").as("probe_id"),
@@ -1005,57 +994,102 @@ object AnnOps {
     * was the alternative layout (RelOps.qJoinBucketed); partitioning wins
     * here because cell_id is low-cardinality and the probe predicate is
     * cell membership, not key equality. */
-  /** (emb, ranked, cb): the embeddings projection, the checkpointed
-    * 2-cell ranked assignment, and the trained PQ codebook all index
-    * queries share. `ranked` feeds the index build(s) AND the probe
-    * fan-out; the writes are actions, so without the checkpoint the
-    * crossJoin+rank subtree would execute once per consumer; `cb` ends in
-    * its own lazy checkpoint inside pqCbRows for the same reason. */
-  private def annIndexInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    VectorFunctions.register(s)
+  // ------------------------------------------- shared trained midpoints
+  //
+  // The whole PQ/IVF family — six method queries, the four index
+  // maintenance verbs, and the 7-method recall scorecard that replays
+  // them — derives from four deterministic artifacts: the seed-cell
+  // ranked assignment, the trained raw-vector PQ codebook, the corpus
+  // code arrays, and their residual twins. Each is a pure function of
+  // (sfDir), so each is staged to session-scoped parquet ONCE via
+  // SharedStage (the r12 verdict's #1 lever: the scorecard alone was
+  // re-training codebooks and re-encoding the corpus seven times, 9.5 s
+  // of the driver bench). Parquet round-trips the doubles bit-exactly,
+  // so every consumer's answer — and its oracle hash — is unchanged.
+  // This IS the production split: quantizer training and corpus encoding
+  // are offline build jobs; search queries scan their output.
+
+  /** Seed-cell ranked assignment (vec_id, cell_id, arn ≤ IvfNProbe):
+    * nearest-IvfNProbe cells of the 8 seed centroids per vector. arn=1
+    * rows are the IVF candidate assignment; the probe rows' fan-out is
+    * a filter. */
+  private[graft] def sharedRanked(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_ranked") {
+      VectorFunctions.register(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("na", expr("graft_norm_sq(embedding)"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
+          col("na").as("nc"))
+      CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
+        .select(col("vec_id"), col("cell_id"), col("arn"))
+    }
+
+  /** Trained raw-vector PQ codebook (c_id, cv) — one Lloyd training per
+    * (application, sfDir) for pq / ivf_pq / the index family / recall. */
+  private def sharedPqCb(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_pqcb") {
+      VectorFunctions.register(s)
+      pqCbRows(embeddings(s, d).select(col("vec_id"), col("embedding")))
+    }
+
+  /** Corpus PQ code arrays (vec_id, codes) against the shared codebook —
+    * one encode pass per (application, sfDir). */
+  private def sharedPqCodes(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_pqcodes") {
+      VectorFunctions.register(s)
+      pqCodeArrWith(embeddings(s, d).select(col("vec_id"), col("embedding")),
+        sharedPqCb(s, d))
+    }
+
+  /** Corpus residuals (vec_id, embedding = v − centroid(owning cell)) —
+    * the residual-PQ build input, derived from the shared assignment. */
+  private def residVectors(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
-    // seed cells + nprobe fan-out identical to the inline IVF-PQ query's
-    // — the persisted-index probe must return exactly its answer
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
-        col("na").as("nc"))
-    val ranked = CellAssign.rank(e, cents, "embedding", "na", top = IvfNProbe)
-      .select(col("vec_id"), col("cell_id"), col("arn"))
-      .localCheckpoint(eager = false)
-    (emb, ranked, pqCbRows(emb))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    sharedRanked(s, d).filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("vec_id"),
+        expr("zip_with(embedding, cvec, (a, b) -> a - b)").as("embedding"))
   }
+
+  /** Trained RESIDUAL codebook (seeds from vec_ids [20, 20+PqK) — see
+    * qSimAnnIvfPqResidual's scaladoc for why). */
+  private def sharedResidCb(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_rescb") {
+      VectorFunctions.register(s)
+      pqCbRows(residVectors(s, d), seedLo = 20L)
+    }
+
+  /** Residual code arrays (vec_id, codes) against the residual codebook. */
+  private def sharedResidCodes(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_rescodes") {
+      VectorFunctions.register(s)
+      pqCodeArrWith(residVectors(s, d), sharedResidCb(s, d))
+    }
 
   /** The four q_sim_ann_index* queries grade four different maintenance
     * verbs (build / append / delete+compact / rebalance) over the SAME
     * deterministic base index — frozen quantizers trained on the full
-    * corpus. Codebook training and corpus encoding are pure functions of
-    * (sfDir), so the trained codebook and the full base rows are staged
-    * to session-scoped parquet ONCE per (session, sfDir) — memoized like
-    * SortOps' record count, but as FILES, because the Verify/Bench
-    * harness unpersists every RDD between queries and would kill a
-    * checkpoint-block memo. One Lloyd training + one encode pass per
-    * session; each query then pays only for its own verb and its own
-    * table write — the build-once / maintain-many topology a production
-    * vector store has. */
-  private val annSharedCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (String, String)]()
+    * corpus. The base rows (assignment + codes) stage once per
+    * (application, sfDir) like every other trained midpoint; each query
+    * then pays only for its own verb and its own table write — the
+    * build-once / maintain-many topology a production vector store has. */
   private def annIndexShared(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    val (baseDir, cbDir) = annSharedCache.computeIfAbsent(
-      (System.identityHashCode(s), d), _ => {
-        val tag = (d.hashCode & 0x7fffffff).toString
-        val bd = RelOps.stagingDir(s, s"ann_base_$tag")
-        val cd = RelOps.stagingDir(s, s"ann_cb_$tag")
-        val (emb, ranked, cb) = annIndexInputs(s, d)
-        indexRows(emb, ranked, cb, lit(true))
-          .write.mode("overwrite").parquet(bd)
-        cb.write.mode("overwrite").parquet(cd)
-        (bd, cd)
-      })
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    (emb, s.read.parquet(cbDir), s.read.parquet(baseDir))
+    val cb = sharedPqCb(s, d)
+    val base = SharedStage(s, d, "ann_base") {
+      sharedRanked(s, d).filter(col("arn") === 1)
+        .join(sharedPqCodes(s, d), Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("cell_id"))
+        .repartition(col("cell_id"))
+    }
+    (emb, cb, base)
   }
 
   /** Probe fan-out for the probe vectors [10, 20): CellAssign.rank is
@@ -1071,17 +1105,6 @@ object AnnOps {
       cents, "embedding", "na", top = IvfNProbe)
       .select(col("vec_id"), col("cell_id"), col("arn"))
   }
-
-  /** Index rows (vec_id, codes[4], cell_id) for the vectors matching
-    * `pred` — assignment from the shared ranked frame, codes encoded
-    * row-locally against the broadcast codebook, ONLY for the selected
-    * vectors (the property incremental ingest needs). */
-  private def indexRows(emb: DataFrame, ranked: DataFrame, cb: DataFrame,
-      pred: Column): DataFrame =
-    ranked.filter(col("arn") === 1 && pred)
-      .join(pqCodeArrWith(emb.filter(pred), cb), Seq("vec_id"))
-      .select(col("vec_id"), col("codes"), col("cell_id"))
-      .repartition(col("cell_id"))
 
   /** Probe the saved index `table`: broadcast nprobe-cell fan-out + per-probe
     * ADC tables against the stored codes, then the exact re-rank of the
@@ -1132,7 +1155,7 @@ object AnnOps {
     * + codes computed for the new vectors alone — nothing existing is
     * re-read or re-encoded) and APPENDING into the same cell-partitioned
     * layout. The seed cells and the PQ codebook (trained on the FULL
-    * corpus in annIndexInputs, both phases — a real store likewise
+    * corpus in the shared midpoints, both phases — a real store likewise
     * freezes its quantizers between retrains so codes stay comparable
     * across ingests) don't depend on the split, so probing the appended
     * index must return exactly the full-build (= inline IVF-PQ) answer —
@@ -1393,16 +1416,19 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"),
         col("na").as("nc"))
-    // one assignment pass feeds both sides
-    val ranked = CellAssign.rank(e, cents, "embedding", "na",
-        top = KnnJoinFanout)
-      .select(col("vec_id"), col("embedding"), col("na"), col("cell_id"),
-        col("arn"))
-      .localCheckpoint(eager = false)
-    val corpus = ranked.filter(col("arn") === 1)
+    // Two independent ROW-LOCAL assignment passes, each shaped to its
+    // side: the corpus takes only its nearest cell (top=1 — 1× corpus
+    // rows), and ONLY the ~14% query class fans out to KnnJoinFanout
+    // cells. The r12 form ranked the whole corpus at top=fanout and
+    // checkpointed 6× corpus rows WITH their 64-dim embeddings attached
+    // just to share one pass — materializing that was the entire 5.2×
+    // driver-bench regression; two cheap broadcast-assign scans beat one
+    // fanout-times-inflated materialization at any scale.
+    val corpus = CellAssign.rank(e, cents, "embedding", "na", top = 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"),
         col("na").as("nna"), col("cell_id"))
-    val queries = ranked.filter(col("vec_id") % 7 === 3)
+    val queries = CellAssign.rank(e.filter(col("vec_id") % 7 === 3),
+        cents, "embedding", "na", top = KnnJoinFanout)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("na").as("qna"), col("cell_id"))
     // a corpus vector sits in exactly ONE cell and a query's fanout cells
