@@ -573,10 +573,6 @@ object AnnOps {
       .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cb, $PqM)").as("codes"))
   }
 
-  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame =
-    pqCodeArrWith(emb, cb)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
-
   /** Per-probe ADC table (probe_id, c_id, pm, pd): probe-to-centroid
     * subspace distances — M × 16 doubles per probe, a broadcast. */
   private def pqAdc(probes: DataFrame, cb: DataFrame): DataFrame =

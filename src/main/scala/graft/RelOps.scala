@@ -1122,22 +1122,12 @@ object RelOps {
     * lever #2: each query was re-staging all three commits inside its
     * own timing). The memo is validated against the v3 manifest on every
     * hit and rebuilt if an external cleaner removed it. */
-  private val timetravelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-  private def timetravelLog(s: SparkSession, d: String): String = {
-    val key = (s.sparkContext.applicationId, d)
-    var table = timetravelCache.computeIfAbsent(key,
-      _ => timetravelLogBuild(s, d))
-    if (!new java.io.File(s"$table/_graft_log/00000003.json").exists()) {
-      timetravelCache.remove(key, table)
-      table = timetravelCache.computeIfAbsent(key,
-        _ => timetravelLogBuild(s, d))
-    }
-    table
-  }
-  private def timetravelLogBuild(s: SparkSession, d: String): String = {
+  private[graft] def timetravelLog(s: SparkSession, d: String): String =
+    SharedStage.memoDir(s, d, "timetravel")(
+      t => new java.io.File(s"$t/_graft_log/00000003.json").exists())(
+      t => timetravelLogBuild(s, t, d))
+  private def timetravelLogBuild(s: SparkSession, table: String, d: String): Unit = {
     import graft.sources.MiniLog
-    val table = stagingDir(s, s"timetravel_${d.hashCode & 0x7fffffff}")
     deleteRecursively(table)
     val base = orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -1158,7 +1148,6 @@ object RelOps {
       .withColumn("bucket", lit(5L))
     val v3 = v2 ++ MiniLog.writeBucketFiles(b5, table, "v3")
     MiniLog.commit(table, 3, v3)
-    table
   }
 
   def qTimetravel(s: SparkSession, d: String): DataFrame = {

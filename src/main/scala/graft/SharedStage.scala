@@ -24,6 +24,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reused. The staged dir is re-validated on every hit (_SUCCESS marker)
   * and rebuilt if an external cleaner removed it.
   *
+  * Concurrency (r13 ADVICE): builds must NOT run inside a
+  * ConcurrentHashMap mapping function — stages nest (the ANN base build
+  * itself stages the ranked truth and PQ codes), and CHM forbids a
+  * mapping function updating the same map (JDK 9+ throws "Recursive
+  * update" when the nested key lands in the outer key's bin). Instead
+  * each key gets a plain lock object from a second map whose mapping
+  * function allocates only (never re-enters a map); the build runs
+  * under that lock OUTSIDE any CHM mapping, and publishes with put().
+  * Nested stages take distinct inner locks — the stage graph is a DAG,
+  * so lock order is acyclic and deadlock-free — and concurrent rebuild
+  * of one key serializes on its lock (closing the delete+write race on
+  * the deterministic dir).
+  *
   * At 100 TB this is exactly the build-once/serve-many split a
   * production system makes explicit: quantizer training and corpus
   * encoding are offline jobs whose outputs land in a table; serving
@@ -32,21 +45,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SharedStage {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
+
+  /** Collision-free directory tag for an arbitrary path: lowercase hex
+    * of the UTF-8 bytes (r13 ADVICE: `hashCode` tags let two distinct
+    * sfDirs silently share — and clobber — one staging dir). */
+  private[graft] def pathTag(p: String): String =
+    p.getBytes("UTF-8").map(b => f"$b%02x").mkString
+
+  /** Memoize a staged directory keyed by (applicationId, sfDir, name).
+    * `valid` re-checks a published dir (e.g. a _SUCCESS or manifest
+    * marker); `buildTo` materializes into the deterministic dir it is
+    * given. Returns the directory path. */
+  private[graft] def memoDir(s: SparkSession, sfDir: String, name: String)
+      (valid: String => Boolean)(buildTo: String => Unit): String = {
+    val key = (s.sparkContext.applicationId, sfDir, name)
+    def ok(d: String) = d != null && valid(d)
+    val published = cache.get(key)
+    if (ok(published)) published
+    else {
+      val lock = locks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        val again = cache.get(key)
+        if (ok(again)) again
+        else {
+          val dir = RelOps.stagingDir(s, s"shared_${name}_${pathTag(sfDir)}")
+          buildTo(dir)
+          cache.put(key, dir)
+          dir
+        }
+      }
+    }
+  }
 
   def apply(s: SparkSession, sfDir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val key = (s.sparkContext.applicationId, sfDir, name)
-    def stage(): String = {
-      val dir = RelOps.stagingDir(s,
-        s"shared_${name}_${sfDir.hashCode & 0x7fffffff}")
-      build.write.mode("overwrite").parquet(dir)
-      dir
-    }
-    var dir = cache.computeIfAbsent(key, _ => stage())
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      cache.remove(key, dir)
-      dir = cache.computeIfAbsent(key, _ => stage())
-    }
+    val dir = memoDir(s, sfDir, name)(
+      d => new java.io.File(d, "_SUCCESS").exists())(
+      d => build.write.mode("overwrite").parquet(d))
     s.read.parquet(dir)
   }
 }

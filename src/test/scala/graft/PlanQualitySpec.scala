@@ -366,8 +366,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // directory instead of resolving the log would also see v1's
     // superseded file and v3's rewrite
     SparkEntry.queries("q_timetravel")(spark, sf).collect()
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft_timetravel_" +
-      spark.sparkContext.applicationId
+    val table = RelOps.timetravelLog(spark, sf)
     val manifest2 = MiniLog.manifest(table, 2).values.toSet
     val scanned = MiniLog.readAsOf(spark, table, 2).inputFiles.toSet
       .map((u: String) => new java.net.URI(u).getPath)
