@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   * size) and live next to the data on the object store; the JSON-file
   * log is the same mechanism as Delta's `_delta_log/N.json`. Writing a
   * manifest is a driver-side metadata write, like a partition commit.
-  * Single-writer discipline here; a real multi-writer deployment adds
-  * an atomic rename/put-if-absent on the manifest name — the object
-  * store primitive Delta relies on too.
+  * Multi-writer safety is the put-if-absent claim on the manifest NAME
+  * ([[tryCommit]] — the object-store primitive Delta relies on too):
+  * data files are written under writer-unique tags first, so the only
+  * contended resource is the version slot, and the loser's retry
+  * ([[commitNext]]) rebases on the new latest manifest and claims the
+  * next slot. Nothing a loser wrote is visible until a manifest names
+  * it, so a failed claim leaves no torn state — only orphan files a
+  * vacuum sweeps.
   */
 object MiniLog {
 
@@ -64,16 +69,55 @@ object MiniLog {
     finally dirs.close()
   }
 
-  /** Commit manifest `version` naming the snapshot's (bucket, file) set. */
-  def commit(table: String, version: Int, files: Map[Long, String]): Unit = {
+  /** Commit manifest `version` naming the snapshot's (bucket, file) set.
+    * Fails loudly if a concurrent writer already claimed the version —
+    * callers that expect contention use [[commitNext]] instead. */
+  def commit(table: String, version: Int, files: Map[Long, String]): Unit =
+    require(tryCommit(table, version, files),
+      s"manifest version $version of $table was claimed by another writer " +
+        "(commitNext is the contended-path API)")
+
+  /** PUT-IF-ABSENT commit: atomically claim manifest slot `version`.
+    * The manifest body is written to a hidden temp file first, then
+    * PUBLISHED by hard-linking it to the versioned name — link(2) fails
+    * atomically if the name exists, and the content is already complete
+    * and durable when the name appears, so no reader can observe a torn
+    * manifest and no two writers can both own one version. Returns true
+    * iff THIS writer won the slot. */
+  def tryCommit(table: String, version: Int, files: Map[Long, String])
+      : Boolean = {
     Files.createDirectories(logDir(table))
     val entries = files.toSeq.sortBy(_._1).map { case (b, p) =>
       s"""{"bucket":$b,"path":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     }
     val json =
       s"""{"version":$version,"files":[${entries.mkString(",")}]}"""
-    Files.write(logDir(table).resolve(f"$version%08d.json"),
-      json.getBytes("UTF-8"))
+    val target = logDir(table).resolve(f"$version%08d.json")
+    if (Files.exists(target)) return false // cheap pre-check; link is the gate
+    val tmp = logDir(table).resolve(
+      f".$version%08d.${Thread.currentThread().getId}%d.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Contended-path commit: claim the NEXT free version slot, rebasing
+    * on each loss. `files` receives the version it is about to claim
+    * and the PARENT manifest's map (empty for version 1) so a writer
+    * can re-derive its structural-sharing intent against whatever the
+    * winning writer just committed — the optimistic-concurrency loop
+    * lake formats run. Returns the committed version. */
+  @annotation.tailrec
+  def commitNext(table: String,
+      files: (Int, Map[Long, String]) => Map[Long, String]): Int = {
+    val parent =
+      try latestVersion(table) catch { case _: Throwable => 0 }
+    val parentFiles =
+      if (parent == 0) Map.empty[Long, String] else manifest(table, parent)
+    val v = parent + 1
+    if (tryCommit(table, v, files(v, parentFiles))) v
+    else commitNext(table, files)
   }
 
   /** Resolve manifest `version` back to its bucket → file map. */

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -89,6 +91,72 @@ class MiniLogSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v1(1L))))
     assert((sumV(2), sumV(3), nRows(2), nRows(3)) === keptBefore)
     assertThrows[Exception](MiniLog.readAsOf(spark, table, 1))
+    RelOps.deleteRecursively(table)
+  }
+
+  test("two writers racing one version slot: exactly one wins, intact manifest") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_race"
+    RelOps.deleteRecursively(table)
+    val nWriters = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    try {
+      // all writers pile onto VERSION 1 with distinguishable payloads
+      val attempts = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            MiniLog.tryCommit(table, 1, Map(w.toLong -> s"writer$w.parquet"))
+          }
+        })
+      }
+      gate.countDown()
+      val wins = attempts.map(_.get())
+      assert(wins.count(identity) === 1, s"exactly one winner: $wins")
+      // the published manifest is the WINNER's, whole and parseable
+      val m = MiniLog.manifest(table, 1)
+      val winner = wins.indexOf(true)
+      assert(m === Map(winner.toLong -> s"writer$winner.parquet"))
+      // no temp-file debris leaks past the race
+      val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "_graft_log"))
+      try assert(leftovers.iterator().asScala
+        .map(_.getFileName.toString).toList === List("00000001.json"))
+      finally leftovers.close()
+    } finally pool.shutdown()
+    RelOps.deleteRecursively(table)
+  }
+
+  test("losers retry via commitNext: N writers land N distinct versions") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_retry"
+    RelOps.deleteRecursively(table)
+    val nWriters = 6
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    try {
+      val committed = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            // each writer adds its own bucket, REBASED on the parent
+            // manifest it observes at claim time (structural sharing:
+            // earlier winners' entries ride through)
+            MiniLog.commitNext(table, (v, parent) =>
+              parent + (w.toLong -> s"writer$w.parquet"))
+          }
+        })
+      }
+      gate.countDown()
+      val versions = committed.map(_.get())
+      // every writer eventually lands, each on its own slot
+      assert(versions.sorted === (1 to nWriters).toList,
+        s"expected versions 1..$nWriters, got $versions")
+      // the final manifest accumulated EVERY writer's bucket: each
+      // retry rebased on the winner's map instead of clobbering it
+      val last = MiniLog.manifest(table, nWriters)
+      assert(last === (0 until nWriters)
+        .map(w => w.toLong -> s"writer$w.parquet").toMap)
+    } finally pool.shutdown()
     RelOps.deleteRecursively(table)
   }
 }
