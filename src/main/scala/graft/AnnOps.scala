@@ -2184,6 +2184,57 @@ object AnnOps {
   def qSimAnnPrefix(s: SparkSession, d: String): DataFrame =
     prefixSearch(s, d, PrefixDim, PrefixShortlist)
 
+  /** PREFIX-INSIDE-IVF (parameterized): the r12 verdict's "next cheapest
+    * honest experiment" — the matryoshka prefix shortlist applied WITHIN
+    * the probe's nprobe IVF cells instead of over the whole corpus.
+    * Candidates come from the shared seed-cell assignment (exactly
+    * qSimAnnIvf's candidate set, so the cell-recall ceiling is ivf's
+    * 25/30 by construction); each candidate is scored on the first
+    * `dim` dims, the top-`r` prefix shortlist per probe is re-ranked
+    * with full-precision cosine, top-3 kept. What the composition buys
+    * is COST at equal recall, not recall: the within-cell scan reads
+    * and multiplies half the vector bytes, and only ≤r rows per probe
+    * ever touch full dimensions — at 100 TB that halves the dominant
+    * probe-side IO of plain IVF while returning the identical answer
+    * whenever r covers the within-cell true top-3 (IvfPrefixLadder
+    * measures where that holds). */
+  private[graft] def ivfPrefixSearch(s: SparkSession, d: String, dim: Int,
+      r: Int): DataFrame = {
+    plans.TopKRewriteApi.ensureRegistered(s)
+    VectorFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("na", expr("graft_norm_sq(embedding)"))
+      .withColumn("pfx", expr(s"slice(embedding, 1, $dim)"))
+      .withColumn("npfx", expr("graft_norm_sq(pfx)"))
+    val ranked = sharedRanked(s, d)
+    val cand = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+      .join(e, Seq("vec_id"))
+    val probes = ranked
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("cell_id").as("pcell"))
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("na").as("pna"), col("pfx").as("ppfx"), col("npfx").as("pnpfx")),
+        Seq("probe_id"))
+    val pre = cand.join(broadcast(probes),
+        col("cell_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("pscore",
+        round(expr("graft_dot(pfx, ppfx)") /
+          sqrt(col("npfx") * col("pnpfx")), 4))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pscore").desc, col("vec_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pre.withColumn("srn", row_number().over(wp))
+      .filter(col("srn") <= r)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_dot(embedding, pvec)") /
+          sqrt(col("na") * col("pna")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val qSimAnnPrefixSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
        |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
