@@ -1524,6 +1524,7 @@ object AnnOps {
 
   private[graft] val recallSpecs: Seq[(String, Long, Long, Boolean, Long)] = Seq(
     ("ivf", 10L, 20L, false, 0L),
+    ("ivf_prefix", 10L, 20L, false, 0L),
     ("ivf_pq", 10L, 20L, true, 0L),
     ("ivf_pq_res", 10L, 20L, true, 0L),
     ("lsh", 0L, 10L, false, 0L),
@@ -1553,6 +1554,9 @@ object AnnOps {
     val truthAll = recallTruthAll(s, e, specs).localCheckpoint(eager = false)
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
+      // same truth row as ivf (same probes, same cosine metric): the
+      // scorecard states the equal-recall claim the ladder measured
+      ("ivf_prefix", qSimAnnIvfPrefix(s, d), (10L, 20L)),
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
       ("ivf_pq_res", qSimAnnIvfPqResidual(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
@@ -1611,6 +1615,7 @@ object AnnOps {
        |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
        |           FROM embeddings),
        |t_ivf AS (${bruteSql(10, 20, l2 = false)}),
+       |t_ivf_prefix AS (${bruteSql(10, 20, l2 = false)}),
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
        |t_ivf_pq_res AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
@@ -1618,6 +1623,7 @@ object AnnOps {
        |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |t_bit AS (${bruteSql(0, 3, l2 = false, minCorpus = 3)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
+       |a_ivf_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPrefixSql) q),
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
        |a_ivf_pq_res AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqResidualSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
@@ -1627,6 +1633,9 @@ object AnnOps {
        |hits AS (
        |  SELECT 'ivf' AS method, probe_id, COUNT(*) AS h
        |  FROM a_ivf JOIN t_ivf USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'ivf_prefix', probe_id, COUNT(*)
+       |  FROM a_ivf_prefix JOIN t_ivf_prefix USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
        |  SELECT 'ivf_pq', probe_id, COUNT(*)
        |  FROM a_ivf_pq JOIN t_ivf_pq USING (probe_id, neighbor_id) GROUP BY 2
@@ -1647,6 +1656,8 @@ object AnnOps {
        |  FROM a_bit JOIN t_bit USING (probe_id, neighbor_id) GROUP BY 2),
        |spine AS (
        |  SELECT 'ivf' AS method, vec_id AS probe_id FROM e WHERE vec_id >= 10 AND vec_id < 20
+       |  UNION ALL
+       |  SELECT 'ivf_prefix', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
        |  SELECT 'ivf_pq', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
@@ -2196,8 +2207,18 @@ object AnnOps {
     * and multiplies half the vector bytes, and only ≤r rows per probe
     * ever touch full dimensions — at 100 TB that halves the dominant
     * probe-side IO of plain IVF while returning the identical answer
-    * whenever r covers the within-cell true top-3 (IvfPrefixLadder
-    * measures where that holds). */
+    * whenever r covers the within-cell true top-3.
+    *
+    * IvfPrefixLadder grid at sf0.1 (recall@3 vs the ivf probes' brute
+    * cosine truth / wall secs, 2 reps; ivf ceiling row 25/30 @ ~0.6 s):
+    *
+    *   dim=16: 9/30 @R=64, 16/30 @160, 23/30 @320
+    *   dim=32: 22/30 @R=64, 24/30 @160, **25/30 @320 ← graded, ~0.45 s**
+    *
+    * d32/R320 meets the cell ceiling exactly — the composition returns
+    * plain IVF's answer at ~2/3 its wall cost here, and the gap widens
+    * with corpus size because the saved full-width scoring grows with
+    * Σ|probed cells| while the re-rank stays ≤R rows per probe. */
   private[graft] def ivfPrefixSearch(s: SparkSession, d: String, dim: Int,
       r: Int): DataFrame = {
     plans.TopKRewriteApi.ensureRegistered(s)
@@ -2234,6 +2255,59 @@ object AnnOps {
       .filter(col("rn") <= 3)
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  private val IvfPrefixDim = 32
+  private val IvfPrefixShortlist = 320
+
+  def qSimAnnIvfPrefix(s: SparkSession, d: String): DataFrame =
+    ivfPrefixSearch(s, d, IvfPrefixDim, IvfPrefixShortlist)
+
+  val qSimAnnIvfPrefixSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS na
+       |           FROM embeddings),
+       |pe AS (SELECT vec_id, emb, na, emb[1:$IvfPrefixDim] AS pfx,
+       |         list_sum(list_transform(emb[1:$IvfPrefixDim], x -> x * x)) AS npfx
+       |       FROM e),
+       |cents AS (SELECT vec_id AS cell_id, emb AS cvec, na AS nc FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    e.na - 2.0 * list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2])) + c.nc AS dist
+       |  FROM e, cents c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, arn FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS arn
+       |    FROM dists) t WHERE arn <= $IvfNProbe),
+       |cand AS (SELECT r.vec_id, r.cell_id, p.emb, p.na, p.pfx, p.npfx
+       |         FROM ranked r JOIN pe p USING (vec_id) WHERE r.arn = 1),
+       |probes AS (SELECT r.vec_id AS probe_id, r.cell_id AS pcell,
+       |             p.emb AS pemb, p.na AS pna, p.pfx AS ppfx, p.npfx AS pnpfx
+       |           FROM ranked r JOIN pe p USING (vec_id)
+       |           WHERE r.vec_id >= 10 AND r.vec_id < 20),
+       |pre AS (
+       |  SELECT p.probe_id, c.vec_id, c.emb, c.na, p.pemb, p.pna,
+       |    round(list_sum(list_transform(list_zip(c.pfx, p.ppfx), x -> x[1] * x[2]))
+       |          / sqrt(c.npfx * p.pnpfx), 4) AS pscore
+       |  FROM cand c JOIN probes p
+       |    ON c.cell_id = p.pcell AND c.vec_id <> p.probe_id),
+       |short AS (
+       |  SELECT probe_id, vec_id, emb, na, pemb, pna FROM (
+       |    SELECT probe_id, vec_id, emb, na, pemb, pna,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                         ORDER BY pscore DESC, vec_id) AS srn
+       |    FROM pre) t WHERE srn <= $IvfPrefixShortlist),
+       |scored AS (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(list_zip(emb, pemb), x -> x[1] * x[2]))
+       |          / sqrt(na * pna), 4) AS score
+       |  FROM short),
+       |r AS (SELECT probe_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                           ORDER BY score DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |SELECT probe_id, neighbor_id, score, rn FROM r WHERE rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
 
   val qSimAnnPrefixSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -2366,6 +2440,7 @@ object AnnOps {
     "q_embed_int8" -> (qEmbedInt8 _),
     "q_embed_bit" -> (qEmbedBit _),
     "q_sim_ann_prefix" -> (qSimAnnPrefix _),
+    "q_sim_ann_ivf_prefix" -> (qSimAnnIvfPrefix _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
@@ -2389,6 +2464,7 @@ object AnnOps {
     "q_embed_int8" -> qEmbedInt8Sql,
     "q_embed_bit" -> qEmbedBitSql,
     "q_sim_ann_prefix" -> qSimAnnPrefixSql,
+    "q_sim_ann_ivf_prefix" -> qSimAnnIvfPrefixSql,
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
