@@ -785,14 +785,14 @@ object StreamOps {
     * `transformWithState` on RocksDB, graded against the SAME DuckDB
     * oracle as the batch form, so the hash match IS the proof that the
     * incremental state machine converges to the windowed batch truth.
-    * The events are staged into three event-time slices (one file per
+    * The events are staged into two event-time slices (one file per
     * micro-batch, mtime-ordered so the file source replays them
     * oldest-first — a bounded stand-in for a time-ordered Kafka
     * partition), and the final answer is each user's converged match
     * count from Update-mode emissions. At 100 TB the slice staging
     * disappears (the log is already time-ordered) and per-key state
-    * stays two longs regardless of history length; the global ntile
-    * here is only the bounded-replay slicer, not part of the operator. */
+    * stays two longs regardless of history length; the range-exchange
+    * slicer is only the bounded-replay staging, not the operator. */
   def qStreamPattern(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -805,26 +805,30 @@ object StreamOps {
       val src = RelOps.stagingDir(s, "stream_pattern_src")
       RelOps.deleteRecursively(src)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      val ev = events(s, d).select(col("user_id"),
-        unix_micros(col("ts")).as("tsu"),
-        substring(col("event_type"), 1, 1).as("t"),
-        ntile(3).over(Window.orderBy(col("ts"), col("event_id"))).as("slice"))
-      for (i <- 1 to 3) {
-        val tmp = s"$src/_tmp$i"
-        ev.filter(col("slice") === i).drop("slice")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        val pf = try part.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        finally part.close()
-        val dst = java.nio.file.Paths.get(src, f"slice$i.parquet")
+      // ONE staging job: a 3-way range exchange on ts (sampled cut
+      // points, no global sort) writes the slices such that part-file
+      // INDEX is ts order — part-00000 holds the earliest range by the
+      // range partitioner's contract — so renaming in index order with
+      // ascending mtimes pins the file source's oldest-first replay
+      val tmp = s"$src/_tmp"
+      events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("tsu"),
+          substring(col("event_type"), 1, 1).as("t"))
+        .repartitionByRange(2, col("tsu"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val pfs = try parts.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        .sortBy(_.getFileName.toString)
+      finally parts.close()
+      pfs.zipWithIndex.foreach { case (pf, i) =>
+        val dst = java.nio.file.Paths.get(src, f"slice$i%02d.parquet")
         java.nio.file.Files.move(pf, dst)
-        // distinct ascending mtimes pin the file source's replay order
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 1000L))
-        RelOps.deleteRecursively(tmp)
       }
-      val schema = s.read.parquet(s"$src/slice1.parquet").schema
+      RelOps.deleteRecursively(tmp)
+      val schema = s.read.parquet(s"$src/slice00.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
         .select(col("user_id"), col("tsu"), col("t"))
