@@ -147,15 +147,11 @@ object GraphOps {
     * Wedges come from degrees alone — Σ d(d−1)/2, one agg, exact.
     * Clustering = 3·triangles/wedges is the single final division. */
   def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
-    val bands = LlmOps.bandsOf(LlmOps.minhashOf(LlmOps.shingles(s, d)))
-      .select(LlmOps.bandKeys.map(col) :+ col("doc_id"): _*)
-      .localCheckpoint(eager = false)
-    // eager: the edge list feeds degrees AND all three triangle-join
-    // branches — five references; the band self-join must run once
-    val edges = bands.as("x").join(bands.as("y"), LlmOps.bandJoinCond)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-      .localCheckpoint()
+    // the staged band-pair graph (LlmOps.bandPairs): the five edge-list
+    // references below each re-scan the staged parquet instead of
+    // re-running the band self-join (which the CC family also shares)
+    val edges = LlmOps.bandPairs(s, d)
+      .select(col("va").as("a"), col("vb").as("b"))
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
