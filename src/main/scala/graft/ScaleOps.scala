@@ -564,14 +564,24 @@ object ScaleOps {
     * the file count scales with data, keeping per-file spans constant —
     * the layout is append-compactable per z range, like the ANN index's
     * cell partitions. */
+  /** The clustered table's location — a PATH, not a catalog table: the
+    * layout property lives in the parquet files' min/max stats, which
+    * path reads prune exactly like table reads, and skipping the
+    * managed-table round-trips (catalog create/drop + metastore-less
+    * bookkeeping) keeps the write the only real cost (measured ~0.25 s
+    * at sf0.1). LayoutSpec reads the same path. */
+  private[graft] def zorderPath(s: SparkSession): String =
+    RelOps.stagingDir(s, "orders_z")
+
   def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
-    RelOps.dropManaged(s, "graft_orders_z")
+    val dir = zorderPath(s)
+    RelOps.deleteRecursively(dir)
     ordersXY(s, d)
       .withColumn("z", expr(zInterleaveSpark))
       .repartitionByRange(8, col("z"))
       .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").saveAsTable("default.graft_orders_z")
-    s.table("default.graft_orders_z")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
       .filter(col("o_custkey").between(25, 75) &&
         col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1997-01-01"))

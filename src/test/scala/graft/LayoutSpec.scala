@@ -11,8 +11,8 @@ class LayoutSpec extends AnyFunSuite {
   private val s = TestSpark.spark
 
   test("z-clustered files cover narrow x AND y rectangles; a 1-D sort does not") {
-    ScaleOps.qLayoutZorder(s, TestSpark.sf).collect() // builds the table
-    val t = s.table("default.graft_orders_z")
+    ScaleOps.qLayoutZorder(s, TestSpark.sf).collect() // builds the layout
+    val t = s.read.parquet(ScaleOps.zorderPath(s))
       .select(col("x"), col("y"), input_file_name().as("f"))
 
     val spans = t.groupBy(col("f"))
