@@ -135,6 +135,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"centroids/codebook/ADC tables should broadcast:\n$p")
   }
 
+  test("prefix-inside-IVF joins staged cells to broadcast probes; no cartesian") {
+    val p = plan("q_sim_ann_ivf_prefix")
+    assert(!p.contains("CartesianProduct"),
+      s"cell-confined prefix scoring must never go all-pairs:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 40-row probe fan-out should broadcast into the cell join:\n$p")
+    // both rank limits (prefix shortlist + final top-3) stay two-phased
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"shortlist/top-k windows should plan the bounded-heap shape:\n$p")
+  }
+
   test("count-min probes read the one-row sketch via broadcast") {
     val p = plan("q_agg_count_min")
     assert(p.contains("BroadcastExchange"),
