@@ -1204,7 +1204,7 @@ object AnnOps {
     val affected = s.table(t).filter(deleted)
       .select(col("cell_id")).distinct().collect().map(_.getLong(0))
     if (affected.nonEmpty) {
-      val touched = s.table(t).filter(col("cell_id").isin(affected: _*))
+      val touched = s.table(t).filter(col("cell_id").isin(affected.toIndexedSeq: _*))
       val survivors = touched.filter(!deleted)
       val surviving = survivors.select(col("cell_id")).distinct()
         .collect().map(_.getLong(0)).toSet

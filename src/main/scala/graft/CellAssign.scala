@@ -34,7 +34,7 @@ object CellAssign {
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cell_id"), col("cvec"),
         col("nc")))).as("graft_cells"))
-    val keep = e.columns.map(col)
+    val keep = e.columns.toIndexedSeq.map(col)
     e.crossJoin(broadcast(centArr))
       .withColumn("graft_rc", slice(array_sort(expr(
         s"""transform(graft_cells, c ->

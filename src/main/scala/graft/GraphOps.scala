@@ -60,7 +60,10 @@ object GraphOps {
     // the aggregated graph is bounded by distinct (src, dst) pairs —
     // n^2 = 625 rows here — so collapse it to one partition before the
     // iteration: every per-round stage then schedules single-digit tasks
-    // instead of shuffle-partition-many
+    // instead of shuffle-partition-many. SCALE CAVEAT: this coalesce is
+    // tied to the tiny AGGREGATED nation graph; a general-graph variant
+    // must keep the edge list partitioned (by dst for the rank rollup)
+    // and drop this line — the iteration shape itself needs no change
     val edges = edgesRaw.join(wout, "src")
       .select(col("src"), col("dst"), expr(s"(w * $Share) div wout").as("wshare"))
       .coalesce(1)
