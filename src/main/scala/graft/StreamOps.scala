@@ -152,7 +152,11 @@ object StreamOps {
     * use ever appears, scope the change via s.cloneSession() instead. */
   private def withStreamParts[T](s: SparkSession, parts: Int = 4)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // spark.graft.streamParts: the A/B knob for the state-store count
+    // ladder (see the ladder note below) — the graded default stays 4
+    val p = s.conf.getOption("spark.graft.streamParts")
+      .map(_.toInt).getOrElse(parts)
+    s.conf.set("spark.sql.shuffle.partitions", p.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
