@@ -756,6 +756,18 @@ object StreamOps {
     * one time-slice per batch); across batches the time-sliced source
     * delivers oldest-first, the same per-key in-order delivery a Kafka
     * partition gives a production CEP job. */
+  /** The CEP transition, extracted pure so PatternMachineSpec can
+    * property-check it against a brute-force segment recomputation
+    * (the batch SQL's semantics) over arbitrary event-type sequences:
+    * state = (current-segment view flag, match count). */
+  private[graft] def patternStep(state: (Long, Long), t: String): (Long, Long) = {
+    val (hasView, n) = state
+    if (t == "v") (1L, n)
+    else if (t == "e" || t == "s" || t == "p")
+      (0L, if (t == "p" && hasView == 1L) n + 1 else n)
+    else state
+  }
+
   private class PatternProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long, String), (Long, Long)] {
@@ -769,18 +781,13 @@ object StreamOps {
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long)] = {
-      var (hasView, n) = if (st.exists()) st.get() else (0L, 0L)
+      val st0 = if (st.exists()) st.get() else (0L, 0L)
       // no same-user ts ties exist in the fixture (FIXTURES.md), so
       // event-time order is total per key
-      rows.toSeq.sortBy(_._2).foreach { case (_, _, t) =>
-        if (t == "v") hasView = 1L
-        else if (t == "e" || t == "s" || t == "p") {
-          if (t == "p" && hasView == 1L) n += 1
-          hasView = 0L
-        }
-      }
-      st.update((hasView, n))
-      Iterator((user, n))
+      val st1 = rows.toSeq.sortBy(_._2)
+        .foldLeft(st0) { case (acc, (_, _, t)) => patternStep(acc, t) }
+      st.update(st1)
+      Iterator((user, st1._2))
     }
   }
 
