@@ -554,15 +554,6 @@ object LlmOps {
     * groups. Oracle side: transitive closure by recursive CTE. Both reach
     * the same fixpoint: every node labeled with the smallest doc_id in its
     * component. */
-  /** Band-graph component labels, staged once per (application, sfDir,
-    * algorithm): q_dedup_components and q_sample_split_leakfree run the
-    * SAME multi-round CC loop over the SAME band-pair graph — the
-    * labeling is the persisted artifact (at 100 TB a dedup pipeline
-    * writes the component table once and every consumer — dedup stats,
-    * leak-free splits, cluster sampling — scans it). Both algorithms
-    * converge to min-id labels, but the stage key still carries the
-    * algo so an A/B with `spark.graft.ccAlgo=stars` can never read a
-    * minlabel-built table. */
   /** The band-graph PAIR list (va, vb), staged once per (application,
     * sfDir): three graded queries walk this same graph — the CC labeling
     * below, and GraphOps' triangle census — and the band self-join is
@@ -580,6 +571,15 @@ object LlmOps {
         .distinct()
     }
 
+  /** Band-graph component labels, staged once per (application, sfDir,
+    * algorithm): q_dedup_components and q_sample_split_leakfree run the
+    * SAME multi-round CC loop over the SAME band-pair graph — the
+    * labeling is the persisted artifact (at 100 TB a dedup pipeline
+    * writes the component table once and every consumer — dedup stats,
+    * leak-free splits, cluster sampling — scans it). Both algorithms
+    * converge to min-id labels, but the stage key still carries the
+    * algo so an A/B with `spark.graft.ccAlgo=stars` can never read a
+    * minlabel-built table. */
   private def bandComponentLabels(s: SparkSession, d: String): DataFrame = {
     // the stage key carries every conf that changes HOW the loop runs
     // (algo / reliable-checkpoint A/Bs must re-run the loop, never read

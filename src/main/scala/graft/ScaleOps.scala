@@ -574,6 +574,10 @@ object ScaleOps {
     RelOps.stagingDir(s, "orders_z")
 
   def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
+    // one-time migration: environments that ran the pre-r14 form keep a
+    // managed default.graft_orders_z in their warehouse; drop it so no
+    // stale frozen copy lingers behind the name
+    RelOps.dropManaged(s, "graft_orders_z")
     val dir = zorderPath(s)
     RelOps.deleteRecursively(dir)
     ordersXY(s, d)

@@ -48,11 +48,19 @@ object SharedStage {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
 
-  /** Collision-free directory tag for an arbitrary path: lowercase hex
-    * of the UTF-8 bytes (r13 ADVICE: `hashCode` tags let two distinct
-    * sfDirs silently share — and clobber — one staging dir). */
-  private[graft] def pathTag(p: String): String =
-    p.getBytes("UTF-8").map(b => f"$b%02x").mkString
+  /** Collision-free directory tag for an arbitrary path (r13 ADVICE:
+    * `hashCode` tags let two distinct sfDirs silently share — and
+    * clobber — one staging dir): lowercase hex of the UTF-8 bytes for
+    * short paths (human-readable, trivially injective), SHA-256 hex
+    * once raw hex would push the directory NAME past filesystem
+    * component limits (~255 bytes) — fixed 64 chars, collision-free for
+    * every practical purpose. */
+  private[graft] def pathTag(p: String): String = {
+    val bytes = p.getBytes("UTF-8")
+    if (bytes.length <= 60) bytes.map(b => f"$b%02x").mkString
+    else java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+  }
 
   /** Memoize a staged directory keyed by (applicationId, sfDir, name).
     * `valid` re-checks a published dir (e.g. a _SUCCESS or manifest

@@ -816,7 +816,7 @@ object StreamOps {
       val src = RelOps.stagingDir(s, "stream_pattern_src")
       RelOps.deleteRecursively(src)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      // ONE staging job: a 3-way range exchange on ts (sampled cut
+      // ONE staging job: a 2-way range exchange on ts (sampled cut
       // points, no global sort) writes the slices such that part-file
       // INDEX is ts order — part-00000 holds the earliest range by the
       // range partitioner's contract — so renaming in index order with

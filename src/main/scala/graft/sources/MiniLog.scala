@@ -94,8 +94,12 @@ object MiniLog {
       s"""{"version":$version,"files":[${entries.mkString(",")}]}"""
     val target = logDir(table).resolve(f"$version%08d.json")
     if (Files.exists(target)) return false // cheap pre-check; link is the gate
+    // pid + thread id: two writer PROCESSES both on their main thread
+    // must not share a tmp name, or one's truncating rewrite races the
+    // other's link and the atomicity story collapses
     val tmp = logDir(table).resolve(
-      f".$version%08d.${Thread.currentThread().getId}%d.tmp")
+      f".$version%08d.${ProcessHandle.current().pid()}%d" +
+        f".${Thread.currentThread().getId}%d.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try { Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -111,8 +115,14 @@ object MiniLog {
   @annotation.tailrec
   def commitNext(table: String,
       files: (Int, Map[Long, String]) => Map[Long, String]): Int = {
+    // ONLY the two empty-log shapes mean "no parent yet"; a persistent
+    // listing/parse error must propagate, not become an infinite
+    // retry-at-version-1 livelock
     val parent =
-      try latestVersion(table) catch { case _: Throwable => 0 }
+      try latestVersion(table) catch {
+        case _: java.nio.file.NoSuchFileException => 0 // no _graft_log yet
+        case _: UnsupportedOperationException => 0 // empty.max: no manifests
+      }
     val parentFiles =
       if (parent == 0) Map.empty[Long, String] else manifest(table, parent)
     val v = parent + 1

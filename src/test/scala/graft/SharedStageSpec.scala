@@ -59,9 +59,15 @@ class SharedStageSpec extends AnyFunSuite {
     val dirs = Seq("/a/b", "/a.b", "/a_b", "/a/b/", "Aa", "BB")
     val tags = dirs.map(SharedStage.pathTag)
     assert(tags.distinct.size === dirs.size, s"tag collision: $tags")
-    // hex round-trips: the tag fully determines the path
+    // hex round-trips: the tag fully determines a short path
     assert(new String(tags.head.grouped(2).toArray
       .map(h => Integer.parseInt(h, 16).toByte), "UTF-8") === dirs.head)
+    // long paths digest to a FIXED 64 chars (raw hex would blow the
+    // ~255-byte filesystem name limit) and stay distinct
+    val long1 = "/data/" + ("x" * 200) + "/sf0.1"
+    val long2 = "/data/" + ("x" * 200) + "/sf0.2"
+    val (t1, t2) = (SharedStage.pathTag(long1), SharedStage.pathTag(long2))
+    assert(t1.length === 64 && t2.length === 64 && t1 != t2)
   }
 
   test("an externally cleaned dir is rebuilt on next touch") {
