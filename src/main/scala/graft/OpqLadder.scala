@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the OPQ-style-rotation experiment — the last
+  * unproven ANN lever the r12 verdict names ("OPQ-style rotation or
+  * wider-bit LSH families, both unproven on these isotropic
+  * synthetics"). OPQ learns an orthogonal rotation that re-distributes
+  * variance across the PQ subspaces before quantization; this ladder
+  * measures deterministic members of that family (coordinate
+  * permutation+sign, 45° Givens mixing layers, and their composition)
+  * by running the FULL PQ pipeline (AnnOps.pqSearchOn: fresh Lloyd
+  * training + encode + ADC + exact re-rank) on rotated vectors.
+  * Rotations are orthogonal, so L2 truth is preserved — each variant is
+  * still graded against the brute L2 top-3 of ITS OWN vectors, and the
+  * recall delta vs the identity row is attributable to the rotation
+  * alone. On isotropic synthetics the expected result is a tie (the
+  * data has no variance structure to re-balance); real embeddings
+  * front-load variance, which is where OPQ earns its keep.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.OpqLadder"
+  */
+object OpqLadder {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.VectorFunctions.register(spark)
+
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+
+    // deterministic orthogonal transforms over the 64-dim array column
+    // (1-based element_at). permSign: i <- sign(i) * x[perm(i)],
+    // perm(i) = (37 i) mod 64 (37 coprime to 64 => a permutation);
+    // givens: 45-degree rotation of each (2k, 2k+1) pair.
+    val permSign =
+      """transform(sequence(0, 63), i ->
+        |  CASE WHEN (i * 2654435761) % 4 < 2 THEN 1.0 ELSE -1.0 END *
+        |  element_at(embedding, CAST((i * 37) % 64 AS INT) + 1))""".stripMargin
+    val givens =
+      """transform(sequence(0, 63), i ->
+        |  CASE WHEN i % 2 = 0
+        |    THEN (element_at(embedding, i + 1) - element_at(embedding, i + 2))
+        |         / sqrt(2.0)
+        |    ELSE (element_at(embedding, i) + element_at(embedding, i + 1))
+        |         / sqrt(2.0) END)""".stripMargin
+    def rot(df: DataFrame, e: String): DataFrame =
+      df.select(col("vec_id"), expr(e).as("embedding"))
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      ("identity", raw),
+      ("permSign", rot(raw, permSign)),
+      ("givens", rot(raw, givens)),
+      // givens o permSign o givens: sign-flipped permutation between two
+      // mixing layers — every output coordinate blends 4 inputs across
+      // subspace boundaries, the cheap stand-in for a dense rotation
+      ("mix3", rot(rot(rot(raw, givens), permSign), givens)))
+
+    println(f"${"variant"}%10s ${"recall"}%9s  secs")
+    variants.foreach { case (name, emb0 ) =>
+      // localCheckpoint: the rotation is part of the indexed DATA here,
+      // not the measured pipeline — freeze it so every variant times the
+      // same (train + encode + search) work
+      val emb = emb0.localCheckpoint()
+      val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+          col("na").as("pna"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("key"), col("vec_id"))
+      val truth = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("key", round(col("na") -
+          lit(2.0) * expr("graft_dot(embedding, pvec)") + col("pna"), 4))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      val nTruth = truth.count()
+      val hits = AnnOps.pqSearchOn(spark, emb)
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(truth, Seq("probe_id", "neighbor_id")).count()
+      // raw ADC top-3 (no exact re-rank): the tier where codebook
+      // quality — and therefore the rotation — actually shows
+      val adcHits = AnnOps.pqSearchOn(spark, emb, rerank = false)
+        .join(truth, Seq("probe_id", "neighbor_id")).count()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        AnnOps.pqSearchOn(spark, emb).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%10s $hits%4d/$nTruth%-4d adc=$adcHits%4d/$nTruth%-4d  ${times.map(x => f"$x%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
