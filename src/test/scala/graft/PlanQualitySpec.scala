@@ -12,6 +12,26 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("FLEET-WIDE: no batch query plans a CartesianProduct") {
+    // the one guarantee every scale argument rests on: candidate
+    // generation is equi-join/broadcast everywhere. Streaming queries
+    // are excluded (building their frame EXECUTES the stream; their
+    // shapes are pinned by their own specs), as are the two queries
+    // whose cartesian is the documented point: q_join_cross grades the
+    // cross join itself, q_sim_topk is the declared brute-force
+    // baseline. Broadcast nested-loop joins (small side broadcast) are
+    // NOT cartesians and stay allowed.
+    val skip = Set("q_join_cross", "q_sim_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+      .filterNot(skip)
+      .filter { name =>
+        plan(name).contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("Q6-shape filters push into the parquet scan") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
