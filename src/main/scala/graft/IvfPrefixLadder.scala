@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev harness for the prefix-inside-IVF experiment (r12 verdict item:
@@ -31,17 +30,11 @@ object IvfPrefixLadder {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("na", expr("graft_norm_sq(embedding)"))
-    val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
-        col("na").as("pna"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("key").desc, col("vec_id"))
-    val truth = e.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("key", round(expr("graft_dot(embedding, pvec)") /
-        sqrt(col("na") * col("pna")), 4))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    // the scorecard's own single-pass truth builder, one spec: ivf's
+    // probes [10, 20) under cosine
+    val truth = AnnOps.recallTruthAll(spark, e,
+        Seq(("ivf", 10L, 20L, false, 0L)))
+      .select(col("probe_id"), col("neighbor_id"))
       .cache()
     val nTruth = truth.count()
 

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev harness for the OPQ-style-rotation experiment — the last
@@ -66,23 +65,18 @@ object OpqLadder {
       ("mix3", rot(rot(rot(raw, givens), permSign), givens)))
 
     println(f"${"variant"}%10s ${"recall"}%9s  secs")
-    variants.foreach { case (name, emb0 ) =>
+    variants.foreach { case (name, emb0) =>
       // localCheckpoint: the rotation is part of the indexed DATA here,
       // not the measured pipeline — freeze it so every variant times the
       // same (train + encode + search) work
       val emb = emb0.localCheckpoint()
       val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
-      val probes = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
-          col("na").as("pna"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("key"), col("vec_id"))
-      val truth = e.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("key", round(col("na") -
-          lit(2.0) * expr("graft_dot(embedding, pvec)") + col("pna"), 4))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      // the scorecard's own truth builder over THIS variant's vectors:
+      // pq's probes [0, 8) under exact L2; cached — two scorings below
+      val truth = AnnOps.recallTruthAll(spark, e,
+          Seq(("pq", 0L, 8L, true, 0L)))
+        .select(col("probe_id"), col("neighbor_id"))
+        .cache()
       val nTruth = truth.count()
       val hits = AnnOps.pqSearchOn(spark, emb)
         .select(col("probe_id"), col("neighbor_id"))
