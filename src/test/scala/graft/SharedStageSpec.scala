@@ -54,6 +54,40 @@ class SharedStageSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("8 threads first-touching a NESTED stage: no crash, every build once") {
+    // the combined worst case of the r13 bug class: concurrent first
+    // touch AND nested staging in the same instant. The CHM version
+    // could throw 'Recursive update' here; a naive lock design could
+    // deadlock (outer lock held while taking inner locks) — the DAG
+    // lock-order argument says neither happens and builds stay unique.
+    val builds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def counted(name: String)(mk: => org.apache.spark.sql.DataFrame) =
+      SharedStage(spark, "/nested/conc", name) {
+        builds.merge(name, 1, (a, b) => a + b); mk
+      }
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            counted("nc_outer") {
+              counted("nc_a")(spark.range(4).toDF("v"))
+                .union(counted("nc_b")(spark.range(6).toDF("v")))
+            }.count()
+          }
+        })
+      }
+      gate.countDown()
+      assert(tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        .forall(_ === 10L))
+      assert(builds.get("nc_outer") === 1)
+      assert(builds.get("nc_a") === 1)
+      assert(builds.get("nc_b") === 1)
+    } finally pool.shutdown()
+  }
+
   test("staging tags are injective over sfDir (no hashCode collisions)") {
     // distinct paths that an ASCII-sanitizer or hashCode could conflate
     val dirs = Seq("/a/b", "/a.b", "/a_b", "/a/b/", "Aa", "BB")
