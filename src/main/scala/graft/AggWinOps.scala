@@ -1069,50 +1069,65 @@ object AggWinOps {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
-  /** SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE / CEP family):
-    * count, per user, completed `view → … → purchase` patterns where
-    * nothing between them breaks the flow — a purchase COMPLETES a
-    * pattern iff a view occurred since the last boundary event
-    * (error, signup, or any prior purchase). Instead of a regex engine
-    * (whose match semantics differ between Java regex and RE2, an
-    * engine-portability trap), the pattern compiles to SEGMENT WINDOWS:
-    * a running count of boundary events splits each user's ordered
-    * stream into segments, a purchase matches iff its segment contains
-    * a view. One shuffle on user_id for the window, one semi-join on
-    * (user, segment) — linear in events, the CEP shape that scales. */
+  /** SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE / CEP family),
+    * PARAMETERIZED since round 15: [[PatternMachine.compile]] turns
+    * each graded pattern (an ordered sequence of event-type initials +
+    * the boundary set that closes a segment) into a constant-space
+    * machine, and the batch form runs its [[PatternMachine.sqlFold]]
+    * compilation — a row-local `aggregate()` lambda over each user's
+    * event-time-ordered initials, whole-stage-codegen'd, no UDF, no
+    * regex engine (Java-vs-RE2 match semantics are an
+    * engine-portability trap; the oracle's regex formulation is
+    * derived from the SAME compile and property-pinned to the machine
+    * by PatternMachineSpec). All graded patterns fold over ONE
+    * collect_list — one shuffle on user_id total, then unpivot. At
+    * 100 TB the collect_list holds one user's event INITIALS (bytes
+    * per event); a pathological user history would move this to the
+    * streaming form, whose state is O(#patterns) per user
+    * (q_stream_pattern — same machine, same oracle). */
   def qWindowPattern(s: SparkSession, d: String): DataFrame = {
-    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val e1 = events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        substring(col("event_type"), 1, 1).as("t"))
-      .withColumn("b",
-        when(col("t").isin("e", "s", "p"), 1L).otherwise(0L))
-      .withColumn("seg", coalesce(sum(col("b"))
-        .over(byU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val vseg = e1.filter(col("t") === "v")
-      .select(col("user_id"), col("seg")).distinct()
-    e1.filter(col("t") === "p")
-      .join(vseg, Seq("user_id", "seg"), "left_semi")
+    val evs = events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("t")).as("ev"))
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_matches"))
-      .orderBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .withColumn("ts_chars", expr("transform(evs, e -> e.t)"))
+    val counted = PatternMachine.Graded.foldLeft(evs) {
+      case (df, (name, pat)) =>
+        df.withColumn(s"n_$name",
+          expr(PatternMachine.sqlFold(pat, "ts_chars")))
+    }
+    val stacked = PatternMachine.Graded
+      .map { case (name, _) => s"'$name', n_$name" }.mkString(", ")
+    counted.select(col("user_id"),
+        expr(s"stack(${PatternMachine.Graded.size}, $stacked)")
+          .as(Seq("pattern", "n_matches")))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("user_id"), col("pattern"))
   }
 
-  val qWindowPatternSql: String =
-    """WITH e1 AS (
-      |  SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS t
-      |  FROM events),
-      |seg AS (
-      |  SELECT user_id, event_id, t,
-      |    COALESCE(SUM(CASE WHEN t IN ('e', 's', 'p') THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
-      |  FROM e1),
-      |vseg AS (SELECT DISTINCT user_id, seg FROM seg WHERE t = 'v')
-      |SELECT p.user_id, COUNT(*) AS n_matches
-      |FROM seg p JOIN vseg v ON p.user_id = v.user_id AND p.seg = v.seg
-      |WHERE p.t = 'p'
-      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  /** Shared by the batch AND streaming forms (one truth, two engines).
+    * The regexes come from [[PatternMachine.oracleRegex]]: lazy
+    * quantifiers make each non-overlapping match the machine's
+    * earliest completion; the banned class keeps a match inside one
+    * segment. */
+  val qWindowPatternSql: String = {
+    val arms = PatternMachine.Graded.map { case (name, pat) =>
+      val re = PatternMachine.oracleRegex(pat)
+      s"""SELECT user_id, '$name' AS pattern,
+         |  CAST(len(regexp_extract_all(cs, '$re')) AS BIGINT) AS n_matches
+         |FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS cs
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  $arms)
+       |SELECT user_id, pattern, n_matches FROM m
+       |WHERE n_matches > 0 ORDER BY user_id, pattern""".stripMargin
+  }
 
   def qWindowFunnel(s: SparkSession, d: String): DataFrame = {
     val steps = events(s, d)

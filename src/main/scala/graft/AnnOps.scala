@@ -507,6 +507,45 @@ object AnnOps {
     * Scale: per round, one broadcast of the 64-row codebook against the
     * corpus (vectors never shuffle to assign) and two keyed shuffles of
     * (16 × 64) fixed-point aggregates — IvfTraining.scala's topology. */
+  /** The ANISOTROPIC embedding view (r15): dim i scaled by 8/(8+i), a
+    * fixed rational variance-decay ladder. Real embedding models
+    * front-load variance into the leading dimensions; the synthetic
+    * fixture is isotropic, which made every rotation/residual recall
+    * verdict vacuous (r14 — no variance structure to re-balance). The
+    * transform is deterministic IEEE double arithmetic, so the DuckDB
+    * side replays it exactly: see [[anisoSqlDuck]]. */
+  private[graft] def anisoSql(c: String): String =
+    s"transform($c, (x, i) -> x * 8.0D / (8.0D + CAST(i AS DOUBLE)))"
+
+  /** The DuckDB formulation of [[anisoSql]] (no lambda index there:
+    * zip with a 1-based range and shift by one). */
+  private[graft] def anisoSqlDuck(c: String): String =
+    s"list_transform(list_zip($c, range(1, 1 + len($c))), " +
+      "p -> p[1] * 8.0 / (7.0 + p[2]))"
+
+  /** The OPQ-family rotation that WINS the raw-ADC tier on the
+    * anisotropic view (r15 OpqLadder: 6/24 vs identity's 2/24; on the
+    * isotropic fixture the same rotation is neutral-to-worse — the
+    * re-balance only pays when there is variance structure to
+    * re-balance): out[i] = sign(i) · in[perm(i)], perm(i) = 37·i mod 64
+    * (stride-37 interleave spreads the high-variance leading dims
+    * across all 4 PQ subspaces), sign from a Knuth-multiply bit mix.
+    * A signed permutation is exactly orthogonal AND exact in IEEE
+    * doubles (no arithmetic beyond sign flip), so the oracle replays
+    * it bit-identically: [[rotSqlDuck]]. */
+  private[graft] def rotSql(c: String): String =
+    s"""transform(sequence(0, 63), i ->
+       |  CASE WHEN ((i * 2654435761) DIV 65536) % 4 < 2 THEN 1.0D ELSE -1.0D END *
+       |  element_at($c, CAST((i * 37) % 64 AS INT) + 1))""".stripMargin
+
+  /** DuckDB form of [[rotSql]] (same integer arithmetic: BIGINT
+    * multiply, floor-div, mod — both engines agree on non-negative
+    * operands; 1-based list indexing matches element_at). */
+  private[graft] def rotSqlDuck(c: String): String =
+    s"list_transform(range(0, 64), i -> " +
+      s"(CASE WHEN (i * 2654435761) // 65536 % 4 < 2 THEN 1.0 ELSE -1.0 END)" +
+      s" * $c[CAST(i * 37 AS INT) % 64 + 1])"
+
   private def pqCbRows(emb: DataFrame, seedLo: Long = 0L): DataFrame = {
     var cb = emb.filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
@@ -1563,7 +1602,6 @@ object AnnOps {
     ("ivf", 10L, 20L, false, 0L),
     ("ivf_prefix", 10L, 20L, false, 0L),
     ("ivf_pq", 10L, 20L, true, 0L),
-    ("ivf_pq_res", 10L, 20L, true, 0L),
     ("lsh", 0L, 10L, false, 0L),
     ("pq", 0L, 8L, true, 0L),
     ("prefix", 20L, 30L, false, 0L),
@@ -1589,21 +1627,36 @@ object AnnOps {
     // rounded values keep their relative order, ties still break on
     // vec_id). Lazily checkpointed — six consumers, one computation.
     val truthAll = recallTruthAll(s, e, specs).localCheckpoint(eager = false)
+    // the ANISOTROPIC-fixture arm (r15): PQ over the rotated
+    // variance-decay view, graded at the RAW-ADC tier (no exact
+    // re-rank — the tier where codebook quality shows; the re-ranked
+    // tier saturates 24/24 under every rotation on both fixtures).
+    // Its truth is exact L2 over the SAME transformed vectors (the
+    // rotation is orthogonal, but truth-on-own-vectors keeps the
+    // rounding boundary identical in both engines).
+    val e2 = embeddings(s, d)
+      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
+      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
+      .localCheckpoint(eager = false)
+    val anisoTruth = recallTruthAll(s,
+      e2.withColumn("na", expr("graft_norm_sq(embedding)")),
+      Seq(("pq_rot_aniso", 0L, 8L, true, 0L)))
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       // same truth row as ivf (same probes, same cosine metric): the
       // scorecard states the equal-recall claim the ladder measured
       ("ivf_prefix", qSimAnnIvfPrefix(s, d), (10L, 20L)),
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
-      ("ivf_pq_res", qSimAnnIvfPqResidual(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
       ("pq", qSimAnnPq(s, d), (0L, 8L)),
+      ("pq_rot_aniso", pqSearchOn(s, e2, rerank = false), (0L, 8L)),
       ("prefix", qSimAnnPrefix(s, d), (20L, 30L)),
       // bit's re-rank metric is cosine; its top-3 (of the emitted top-5)
       // is what recall@3 grades, over its own corpus (vec_id >= 3)
       ("bit", qEmbedBit(s, d).filter(col("rn") <= 3), (0L, 3L)))
     methods.map { case (m, ans, (lo, hi)) =>
-      val truth = truthAll.filter(col("t_method") === m)
+      val truthSrc = if (m == "pq_rot_aniso") anisoTruth else truthAll
+      val truth = truthSrc.filter(col("t_method") === m)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = ans.select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id"))
@@ -1632,18 +1685,44 @@ object AnnOps {
   /** Brute-force truth CTE body for the oracle (same score expressions
     * as the method oracles). */
   private def bruteSql(lo: Long, hi: Long, l2: Boolean,
-      minCorpus: Long = 0L): String = {
+      minCorpus: Long = 0L, src: String = "e"): String = {
     val key =
       if (l2) s"round(c.na - 2.0 * list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2])) + p.pna, 4) ASC"
       else s"round(list_sum(list_transform(list_zip(c.emb, p.pemb), x -> x[1] * x[2])) / sqrt(c.na * p.pna), 4) DESC"
     s"""SELECT probe_id, neighbor_id FROM (
        |  SELECT p.probe_id, c.vec_id AS neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $key, c.vec_id) AS rn
-       |  FROM e c JOIN (SELECT vec_id AS probe_id, emb AS pemb, na AS pna
-       |                 FROM e WHERE vec_id >= $lo AND vec_id < $hi) p
+       |  FROM $src c JOIN (SELECT vec_id AS probe_id, emb AS pemb, na AS pna
+       |                 FROM $src WHERE vec_id >= $lo AND vec_id < $hi) p
        |    ON c.vec_id <> p.probe_id
        |  WHERE c.vec_id >= $minCorpus) t WHERE rn <= 3""".stripMargin
   }
+
+  /** The rotated-anisotropic PQ method at the RAW-ADC tier, as a
+    * self-contained oracle subquery: the same Lloyd-train/encode/ADC
+    * CTEs as the pq arm, over e = rot(aniso(embeddings)), final rank =
+    * the quantizer's OWN top-3 (no exact re-rank — the tier where the
+    * rotation's codebook effect is visible). */
+  private lazy val qSimAnnPqRotAnisoSql: String =
+    s"""WITH ea AS (SELECT vec_id,
+       |              ${anisoSqlDuck("CAST(embedding AS DOUBLE[])")} AS a
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, r AS v, list_sum(list_transform(r, x -> x * x)) AS na
+       |      FROM (SELECT vec_id, ${rotSqlDuck("a")} AS r FROM ea) t0),
+       |${pqCodeSqlCtesOver("e", 0)},
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+       |$pqAdcSqlCte,
+       |scored AS (
+       |  SELECT adc.probe_id, code.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(pd AS DECIMAL(38,12))) AS DOUBLE), 4) AS adist
+       |  FROM code JOIN adc ON adc.m = code.m AND adc.c_id = code.code
+       |  WHERE code.vec_id <> adc.probe_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY adist, neighbor_id) AS rn
+       |  FROM scored) t WHERE rn <= 3""".stripMargin
 
   /** The graded method answers are embedded verbatim as subqueries —
     * whatever each method oracle returns is what recall is measured on. */
@@ -1654,17 +1733,22 @@ object AnnOps {
        |t_ivf AS (${bruteSql(10, 20, l2 = false)}),
        |t_ivf_prefix AS (${bruteSql(10, 20, l2 = false)}),
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
-       |t_ivf_pq_res AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
        |t_pq AS (${bruteSql(0, 8, l2 = true)}),
+       |e2a AS (SELECT vec_id,
+       |          ${anisoSqlDuck("CAST(embedding AS DOUBLE[])")} AS a
+       |        FROM embeddings),
+       |e2 AS (SELECT vec_id, r AS emb, list_sum(list_transform(r, x -> x * x)) AS na
+       |       FROM (SELECT vec_id, ${rotSqlDuck("a")} AS r FROM e2a) t0),
+       |t_pq_rot_aniso AS (${bruteSql(0, 8, l2 = true, src = "e2")}),
        |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |t_bit AS (${bruteSql(0, 3, l2 = false, minCorpus = 3)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
        |a_ivf_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPrefixSql) q),
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
-       |a_ivf_pq_res AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqResidualSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
        |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
+       |a_pq_rot_aniso AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqRotAnisoSql) q),
        |a_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPrefixSql) q),
        |a_bit AS (SELECT probe_id, neighbor_id FROM ($qEmbedBitSql) q WHERE rn <= 3),
        |hits AS (
@@ -1677,14 +1761,14 @@ object AnnOps {
        |  SELECT 'ivf_pq', probe_id, COUNT(*)
        |  FROM a_ivf_pq JOIN t_ivf_pq USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
-       |  SELECT 'ivf_pq_res', probe_id, COUNT(*)
-       |  FROM a_ivf_pq_res JOIN t_ivf_pq_res USING (probe_id, neighbor_id) GROUP BY 2
-       |  UNION ALL
        |  SELECT 'lsh', probe_id, COUNT(*)
        |  FROM a_lsh JOIN t_lsh USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
        |  SELECT 'pq', probe_id, COUNT(*)
        |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'pq_rot_aniso', probe_id, COUNT(*)
+       |  FROM a_pq_rot_aniso JOIN t_pq_rot_aniso USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
        |  SELECT 'prefix', probe_id, COUNT(*)
        |  FROM a_prefix JOIN t_prefix USING (probe_id, neighbor_id) GROUP BY 2
@@ -1698,11 +1782,11 @@ object AnnOps {
        |  UNION ALL
        |  SELECT 'ivf_pq', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
        |  UNION ALL
-       |  SELECT 'ivf_pq_res', vec_id FROM e WHERE vec_id >= 10 AND vec_id < 20
-       |  UNION ALL
        |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
        |  UNION ALL
        |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
+       |  UNION ALL
+       |  SELECT 'pq_rot_aniso', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
        |  UNION ALL
        |  SELECT 'prefix', vec_id FROM e WHERE vec_id >= 20 AND vec_id < 30
        |  UNION ALL
@@ -2481,7 +2565,6 @@ object AnnOps {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivf_pq" -> (qSimAnnIvfPq _),
-    "q_sim_ann_ivf_pq_residual" -> (qSimAnnIvfPqResidual _),
     "q_sim_ann_index" -> (qSimAnnIndex _),
     "q_sim_ann_index_incr" -> (qSimAnnIndexIncr _),
     "q_sim_ann_index_delete" -> (qSimAnnIndexDelete _),
@@ -2505,7 +2588,6 @@ object AnnOps {
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_ann_ivf_pq" -> qSimAnnIvfPqSql,
-    "q_sim_ann_ivf_pq_residual" -> qSimAnnIvfPqResidualSql,
     // the persisted-index probe must return exactly what the inline
     // IVF-PQ computation returns — same oracle by construction
     "q_sim_ann_index" -> qSimAnnIvfPqSql,

@@ -34,17 +34,32 @@ object OpqLadder {
     spark.sparkContext.setLogLevel("WARN")
     functions.VectorFunctions.register(spark)
 
-    val raw = Tables.embeddings(spark, sfDir)
+    val iso = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+    // SPARK_GRAFT_FIXTURE=aniso: the variance-decay view (dim i scaled
+    // by 8/(8+i), a fixed rational ladder — deterministic IEEE doubles,
+    // replayable identically in any engine). Real embeddings front-load
+    // variance like this; on the isotropic synthetics every rotation
+    // verdict below is vacuous (r14, SCALE.md), so this fixture is the
+    // one that makes the OPQ trade-off measurable.
+    val raw = sys.env.get("SPARK_GRAFT_FIXTURE") match {
+      case Some("aniso") => iso.select(col("vec_id"),
+        expr(AnnOps.anisoSql("embedding")).as("embedding"))
+      case _ => iso
+    }
 
     // deterministic orthogonal transforms over the 64-dim array column
     // (1-based element_at). permSign: i <- sign(i) * x[perm(i)],
     // perm(i) = (37 i) mod 64 (37 coprime to 64 => a permutation);
+    // sign(i) mixes the Knuth multiply through a 16-bit shift BEFORE the
+    // modulus — without the shift (i * 2654435761) % 4 degenerates to
+    // i % 4 (the multiplier is ≡ 1 mod 4), a periodic ++-- pattern, not
+    // a hash-like mix (the r14 run used the periodic form; same
+    // measured-negative verdict, re-confirmed with the real mix);
     // givens: 45-degree rotation of each (2k, 2k+1) pair.
-    val permSign =
-      """transform(sequence(0, 63), i ->
-        |  CASE WHEN (i * 2654435761) % 4 < 2 THEN 1.0 ELSE -1.0 END *
-        |  element_at(embedding, CAST((i * 37) % 64 AS INT) + 1))""".stripMargin
+    // shared with the graded pq_rot_aniso scorecard arm (AnnOps.rotSql)
+    // so the ladder measures exactly the rotation the oracle replays
+    val permSign = AnnOps.rotSql("embedding")
     val givens =
       """transform(sequence(0, 63), i ->
         |  CASE WHEN i % 2 = 0

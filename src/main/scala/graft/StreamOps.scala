@@ -683,6 +683,61 @@ object StreamOps {
     * is exactly how a streaming pipeline lands in Delta/Iceberg:
     * per-batch MERGE keyed by bucket, cost ∝ affected partitions, exact
     * re-aggregation regardless of arrival slicing. */
+  /** One micro-batch's copy-on-write merge into the mini-log table,
+    * IDEMPOTENT BY batchId: Spark re-invokes foreachBatch with the SAME
+    * batchId after a failure-retry, and a blind re-commit would either
+    * double-apply the delta (parent now includes this batch) or abort
+    * the stream on the claimed slot. Each manifest records the batchId
+    * that produced it; a retry whose batchId already owns the latest
+    * manifest is a no-op success, and losing a slot race to a commit
+    * carrying the same batchId is likewise success — the standard
+    * idempotent-sink contract. Extracted from the stream so
+    * MiniLogSpec can replay a batch and assert nothing double-applies. */
+  private[graft] def minilogMergeBatch(s: SparkSession, table: String,
+      delta: DataFrame, batchId: Long): Unit = {
+    import graft.sources.MiniLog
+    // ONLY the two empty-log shapes mean "no table yet"; an IO error or
+    // corrupt manifest must FAIL the batch (Spark retries it), not
+    // silently restart the log at version 1 over committed data
+    val ver = try MiniLog.latestVersion(table) catch {
+      case _: java.nio.file.NoSuchFileException => 0 // no _graft_log yet
+      case _: UnsupportedOperationException => 0 // empty.max: no manifests
+    }
+    val already = ver > 0 &&
+      MiniLog.manifestMeta(table, ver).get("batchId").contains(batchId.toString)
+    if (already) return // failure-retry of a batch that already landed
+    val meta = Map("batchId" -> batchId.toString)
+    val committed =
+      if (ver == 0) {
+        MiniLog.tryCommit(table, 1,
+          MiniLog.writeBucketFiles(delta, table, s"b$batchId"), meta)
+      } else {
+        val parent = MiniLog.manifest(table, ver)
+        val affected = delta.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)).toSet // ≤8 buckets, metadata-scale
+        val current = affected.toSeq.sorted.flatMap(b => parent.get(b).map(b -> _))
+          .map { case (b, f) => s.read.parquet(f).withColumn("bucket", lit(b)) }
+          .reduceOption(_ unionByName _)
+        val combined = current match {
+          case None => delta
+          case Some(cur) => cur.unionByName(delta)
+            .groupBy(col("user_id"), col("bucket"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_value")).cast(DecimalType(18, 4)).as("sum_value"))
+            .select(col("user_id"), col("n_events"), col("sum_value"), col("bucket"))
+        }
+        val files = parent ++ MiniLog.writeBucketFiles(combined, table, s"b$batchId")
+        MiniLog.tryCommit(table, ver + 1, files, meta)
+      }
+    if (!committed) {
+      // lost the slot: success iff the winner was THIS batch's own retry
+      val winner = MiniLog.manifestMeta(table, ver + 1)
+      require(winner.get("batchId").contains(batchId.toString),
+        s"mini-log version ${ver + 1} of $table claimed by a different " +
+          s"writer (batchId ${winner.get("batchId")}, ours $batchId)")
+    }
+  }
+
   def qStreamMinilog(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
     import graft.sources.MiniLog
     val src = RelOps.stagingDir(s, "stream_minilog_src")
@@ -703,30 +758,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val delta = aggOf(batch).localCheckpoint()
-        val ver =
-          try MiniLog.latestVersion(table) catch { case _: Throwable => 0 }
-        if (ver == 0) {
-          MiniLog.commit(table, 1, MiniLog.writeBucketFiles(delta, table, s"b$batchId"))
-        } else {
-          val parent = MiniLog.manifest(table, ver)
-          val affected = delta.select(col("bucket")).distinct()
-            .collect().map(_.getLong(0)).toSet // ≤8 buckets, metadata-scale
-          val current = affected.toSeq.sorted.flatMap(b => parent.get(b).map(b -> _))
-            .map { case (b, f) => s.read.parquet(f).withColumn("bucket", lit(b)) }
-            .reduceOption(_ unionByName _)
-          val combined = current match {
-            case None => delta
-            case Some(cur) => cur.unionByName(delta)
-              .groupBy(col("user_id"), col("bucket"))
-              .agg(sum(col("n_events")).as("n_events"),
-                sum(col("sum_value")).cast(DecimalType(18, 4)).as("sum_value"))
-              .select(col("user_id"), col("n_events"), col("sum_value"), col("bucket"))
-          }
-          val files = parent ++ MiniLog.writeBucketFiles(combined, table, s"b$batchId")
-          MiniLog.commit(table, ver + 1, files)
-        }
-        (): Unit
+        minilogMergeBatch(s, table, aggOf(batch).localCheckpoint(), batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -744,50 +776,53 @@ object StreamOps {
 
   // ------------------------------------------------------------- registry
 
-  /** The per-user CEP state machine behind q_stream_pattern — the
-    * SEGMENT compilation of q_window_pattern's batch form, folded to
-    * constant state: a boundary event (type initial 'e'/'s'/'p') closes
-    * the current segment, a 'v' flags it, and a 'p' that closes a
-    * flagged segment is a match. Only (flag, count) live per key —
-    * never a buffered event history — so state is O(1) per user at any
-    * stream length, which is the property that lets this run unbounded
-    * where the batch query re-windows the whole corpus. Within one
-    * micro-batch the key's rows are re-ordered by event time (bounded:
-    * one time-slice per batch); across batches the time-sliced source
-    * delivers oldest-first, the same per-key in-order delivery a Kafka
-    * partition gives a production CEP job. */
-  /** The CEP transition, extracted pure so PatternMachineSpec can
-    * property-check it against a brute-force segment recomputation
-    * (the batch SQL's semantics) over arbitrary event-type sequences:
-    * state = (current-segment view flag, match count). */
-  private[graft] def patternStep(state: (Long, Long), t: String): (Long, Long) = {
-    val (hasView, n) = state
-    if (t == "v") (1L, n)
-    else if (t == "e" || t == "s" || t == "p")
-      (0L, if (t == "p" && hasView == 1L) n + 1 else n)
-    else state
-  }
+  /** The r14 hard-coded view→purchase transition, kept as the
+    * compiled instance it always was — PatternMachineSpec still pins
+    * it to the brute segment semantics, and since round 15 it is
+    * literally `PatternMachine.compile(Seq("v","p")).step`. */
+  private[graft] def patternStep(state: (Long, Long), t: String): (Long, Long) =
+    patternVP.step(state, t)
+  private lazy val patternVP = PatternMachine.compile(Seq("v", "p"))
 
-  private class PatternProcessor
+  /** The per-user CEP processor behind q_stream_pattern, PARAMETERIZED
+    * since round 15: one compiled [[PatternMachine]] per graded
+    * pattern, with per-pattern (progress, count) state in a named
+    * MapState keyed by pattern index — O(#patterns) state per user at
+    * any stream length, never a buffered event history, which is the
+    * property that lets this run unbounded where the batch query
+    * re-windows the whole corpus. Within one micro-batch the key's
+    * rows are re-ordered by (event time, event_id) — the batch
+    * window's exact total order, so a same-timestamp tie can never
+    * make streaming and batch diverge (bounded: one time-slice per
+    * batch); across batches the time-sliced source delivers
+    * oldest-first, the same per-key in-order delivery a Kafka
+    * partition gives a production CEP job. */
+  private class PatternProcessor(patterns: Seq[(String, Seq[String])])
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Long, String), (Long, Long)] {
+      Long, (Long, Long, Long, String), (Long, Int, Long)] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM}
     @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+      org.apache.spark.sql.streaming.MapState[Int, (Long, Long)] = _
+    @transient private lazy val compiled =
+      patterns.map { case (_, p) => PatternMachine.compile(p) }
     override def init(outputMode: OM, timeMode: TM): Unit =
-      st = getHandle.getValueState[(Long, Long)]("seg",
+      st = getHandle.getMapState[Int, (Long, Long)]("pat",
+        org.apache.spark.sql.Encoders.scalaInt,
         org.apache.spark.sql.Encoders.product[(Long, Long)],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
         timers: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[(Long, Long)] = {
-      val st0 = if (st.exists()) st.get() else (0L, 0L)
-      // no same-user ts ties exist in the fixture (FIXTURES.md), so
-      // event-time order is total per key
-      val st1 = rows.toSeq.sortBy(_._2)
-        .foldLeft(st0) { case (acc, (_, _, t)) => patternStep(acc, t) }
-      st.update(st1)
-      Iterator((user, st1._2))
+        : Iterator[(Long, Int, Long)] = {
+      val ordered = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+      // eager: state updates must happen inside this call, not while
+      // the engine later drains the returned iterator
+      compiled.indices.map { i =>
+        val st0 = if (st.containsKey(i)) st.getValue(i) else (0L, 0L)
+        val st1 = compiled(i).run(st0, ordered)
+        st.updateValue(i, st1)
+        (user, i, st1._2)
+      }.iterator
     }
   }
 
@@ -822,10 +857,14 @@ object StreamOps {
       // range partitioner's contract — so renaming in index order with
       // ascending mtimes pins the file source's oldest-first replay
       val tmp = s"$src/_tmp"
+      // event_id rides along: (tsu, event_id) is the batch window's
+      // total order, so same-timestamp ties sort identically in both
+      // engines AND a tie straddling the range cut still lands in
+      // (tsu, event_id) order across slices
       events(s, d).select(col("user_id"),
-          unix_micros(col("ts")).as("tsu"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"),
           substring(col("event_type"), 1, 1).as("t"))
-        .repartitionByRange(2, col("tsu"))
+        .repartitionByRange(2, col("tsu"), col("event_id"))
         .write.mode("overwrite").parquet(tmp)
       val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
       val pfs = try parts.iterator().asScala
@@ -842,12 +881,12 @@ object StreamOps {
       val schema = s.read.parquet(s"$src/slice00.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-        .select(col("user_id"), col("tsu"), col("t"))
-        .as[(Long, Long, String)]
+        .select(col("user_id"), col("tsu"), col("event_id"), col("t"))
+        .as[(Long, Long, Long, String)]
       val updates = stream.groupByKey(_._1)
-        .transformWithState(new PatternProcessor,
+        .transformWithState(new PatternProcessor(PatternMachine.Graded),
           TimeMode.None(), OutputMode.Update())
-        .toDF("user_id", "n")
+        .toDF("user_id", "pat_idx", "n")
       val sink = "graft_stream_pattern_sink"
       val q = updates.writeStream
         .format("memory").queryName(sink)
@@ -855,10 +894,15 @@ object StreamOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).groupBy(col("user_id"))
+      val names = array(PatternMachine.Graded.map { case (n, _) => lit(n) }: _*)
+      s.table(sink)
+        .groupBy(col("user_id"), col("pat_idx"))
         .agg(max(col("n")).as("n_matches"))
+        .select(col("user_id"),
+          element_at(names, col("pat_idx").cast(IntegerType) + 1).as("pattern"),
+          col("n_matches"))
         .filter(col("n_matches") > 0)
-        .orderBy(col("user_id"))
+        .orderBy(col("user_id"), col("pattern"))
     } finally prevProvider match {
       case Some(v) => s.conf.set(providerKey, v)
       case None => s.conf.unset(providerKey)

@@ -6,11 +6,13 @@ import org.apache.spark.sql.SparkSession
   * single query's cost from Bench's 84-query JVM. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    Scratch.init() // match Bench's scratch placement
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

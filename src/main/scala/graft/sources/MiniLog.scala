@@ -78,20 +78,30 @@ object MiniLog {
         "(commitNext is the contended-path API)")
 
   /** PUT-IF-ABSENT commit: atomically claim manifest slot `version`.
-    * The manifest body is written to a hidden temp file first, then
+    * The manifest body is written to a hidden temp file first (opened
+    * with SYNC so the bytes are on stable storage BEFORE the name
+    * exists — without the fsync a crash between write and link could
+    * expose a torn or empty manifest under the versioned name), then
     * PUBLISHED by hard-linking it to the versioned name — link(2) fails
-    * atomically if the name exists, and the content is already complete
-    * and durable when the name appears, so no reader can observe a torn
+    * atomically if the name exists, so no reader can observe a torn
     * manifest and no two writers can both own one version. Returns true
-    * iff THIS writer won the slot. */
-  def tryCommit(table: String, version: Int, files: Map[Long, String])
-      : Boolean = {
+    * iff THIS writer won the slot. `meta` lands as a string map in the
+    * manifest (e.g. the streaming sink's batchId, the key that makes a
+    * Spark foreachBatch retry idempotent). */
+  def tryCommit(table: String, version: Int, files: Map[Long, String],
+      meta: Map[String, String] = Map.empty): Boolean = {
     Files.createDirectories(logDir(table))
     val entries = files.toSeq.sortBy(_._1).map { case (b, p) =>
       s"""{"bucket":$b,"path":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     }
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val metaJson =
+      if (meta.isEmpty) ""
+      else meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(""","meta":{""", ",", "}")
     val json =
-      s"""{"version":$version,"files":[${entries.mkString(",")}]}"""
+      s"""{"version":$version,"files":[${entries.mkString(",")}]$metaJson}"""
     val target = logDir(table).resolve(f"$version%08d.json")
     if (Files.exists(target)) return false // cheap pre-check; link is the gate
     // pid + thread id: two writer PROCESSES both on their main thread
@@ -100,10 +110,28 @@ object MiniLog {
     val tmp = logDir(table).resolve(
       f".$version%08d.${ProcessHandle.current().pid()}%d" +
         f".${Thread.currentThread().getId}%d.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.write(tmp, json.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     try { Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
+  }
+
+  /** The string metadata a writer attached to manifest `version` via
+    * [[tryCommit]]'s `meta` (empty for manifests committed without). */
+  def manifestMeta(table: String, version: Int): Map[String, String] = {
+    val raw = new String(
+      Files.readAllBytes(logDir(table).resolve(f"$version%08d.json")), "UTF-8")
+    val metaBlock = """"meta":\{((?:[^{}"]|"(?:[^"\\]|\\.)*")*)\}""".r
+    metaBlock.findFirstMatchIn(raw).map { m =>
+      val kv = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+      kv.findAllMatchIn(m.group(1)).map { p =>
+        def un(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
+        un(p.group(1)) -> un(p.group(2))
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Contended-path commit: claim the NEXT free version slot, rebasing
@@ -130,16 +158,27 @@ object MiniLog {
     else commitNext(table, files)
   }
 
-  /** Resolve manifest `version` back to its bucket → file map. */
+  /** Resolve manifest `version` back to its bucket → file map. A
+    * corrupt or torn manifest FAILS here — the entry regex alone would
+    * silently read damaged content as an empty file set, and a caller
+    * (e.g. the streaming merge sink) would then "rebase" on nothing and
+    * drop every committed file from the next snapshot. */
   def manifest(table: String, version: Int): Map[Long, String] = {
     val raw = new String(
       Files.readAllBytes(logDir(table).resolve(f"$version%08d.json")), "UTF-8")
+    require(raw.contains(s""""version":$version"""),
+      s"corrupt manifest $version of $table: version field missing or mismatched")
     // minimal parse of the writer's own format (paths JSON-escaped)
     val entry = """\{"bucket":(\d+),"path":"((?:[^"\\]|\\.)*)"\}""".r
-    entry.findAllMatchIn(raw).map { m =>
+    val parsed = entry.findAllMatchIn(raw).map { m =>
       m.group(1).toLong ->
         m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
     }.toMap
+    val declared = "\"bucket\":".r.findAllMatchIn(raw).size
+    require(parsed.size == declared,
+      s"corrupt manifest $version of $table: $declared entries declared, " +
+        s"${parsed.size} parseable")
+    parsed
   }
 
   /** Latest committed version (manifest file names sort by version). */
@@ -163,19 +202,44 @@ object MiniLog {
     * because its files are untouched (structural sharing means an old
     * file referenced by ANY kept manifest survives). Returns
     * (#files deleted, #files kept). Metadata-scale work: file LISTS,
-    * never data. */
-  def vacuum(table: String, keepFrom: Int): (Int, Int) = {
+    * never data.
+    *
+    * RETENTION GUARD (`minAgeMillis`): a file is only eligible for
+    * deletion once it is older than the retention window. An IN-FLIGHT
+    * concurrent writer stages data files under its unique tag BEFORE
+    * any manifest names them — to a manifest-only liveness scan those
+    * look dead, and deleting them would let the writer's subsequent
+    * `tryCommit` publish a manifest referencing vanished files. Age is
+    * the only signal that distinguishes "orphaned by a long-dead
+    * writer" from "about to be committed" — the same reason Delta's
+    * VACUUM enforces a retention window. Default 15 min; pass 0 only
+    * when no concurrent writer can exist (e.g. single-threaded tests). */
+  def vacuum(table: String, keepFrom: Int,
+      minAgeMillis: Long = 15L * 60 * 1000): (Int, Int) = {
     val latest = latestVersion(table)
     require(keepFrom <= latest, s"keepFrom=$keepFrom > latest=$latest")
     val keep = (keepFrom to latest)
       .flatMap(v => manifest(table, v).values).toSet
-    val walk = Files.walk(Paths.get(table))
-    val all = try walk.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !p.startsWith(logDir(table)))
-      .map(_.toString).toSet
-    finally walk.close()
-    val dead = all -- keep
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    // walkFileTree with a tolerant visitor, NOT Files.walk: a CONCURRENT
+    // writer's tmp files vanish between directory listing and attribute
+    // read, and Files.walk's iterator throws on that instead of skipping
+    val all = scala.collection.mutable.Set.empty[String]
+    Files.walkFileTree(Paths.get(table), new java.nio.file.SimpleFileVisitor[Path] {
+      override def visitFile(p: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            !p.startsWith(logDir(table)) &&
+            attrs.lastModifiedTime().toMillis <= cutoff)
+          all += p.toString
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk → skip
+    })
+    val dead = all.toSet -- keep
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     val lfs = Files.list(logDir(table))
     try lfs.iterator().asScala

@@ -83,14 +83,142 @@ class MiniLogSpec extends AnyFunSuite {
     // file (the only file no kept manifest references) is deleted, the
     // shared files survive, kept snapshots read byte-identically, and
     // v1's manifest is gone
+    // minAgeMillis=0: this test is single-writer, so the retention
+    // guard (which protects files a CONCURRENT writer staged but has
+    // not yet committed) would otherwise keep the just-written v1 file
     val keptBefore = (sumV(2), sumV(3), nRows(2), nRows(3))
-    val (deleted, kept) = MiniLog.vacuum(table, keepFrom = 2)
+    val (deleted, kept) = MiniLog.vacuum(table, keepFrom = 2, minAgeMillis = 0L)
     assert(deleted === 1, "exactly v1's rewritten bucket-1 file dies")
     assert(kept === MiniLog.manifest(table, 2).values.toSet
       .union(MiniLog.manifest(table, 3).values.toSet).size)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v1(1L))))
     assert((sumV(2), sumV(3), nRows(2), nRows(3)) === keptBefore)
     assertThrows[Exception](MiniLog.readAsOf(spark, table, 1))
+    RelOps.deleteRecursively(table)
+  }
+
+  test("vacuum retention guard: an in-flight writer's staged files survive") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_vacretain"
+    RelOps.deleteRecursively(table)
+    val dir = java.nio.file.Paths.get(table, "w0", "bucket=0")
+    java.nio.file.Files.createDirectories(dir)
+    val f0 = dir.resolve("part-0.parquet")
+    java.nio.file.Files.write(f0, Array[Byte](1, 2, 3))
+    MiniLog.commit(table, 1, Map(0L -> f0.toString))
+
+    // a concurrent writer has STAGED its data file under its unique tag
+    // but not yet committed a manifest naming it — to a manifest-only
+    // liveness scan this file is dead
+    val wdir = java.nio.file.Paths.get(table, "w1", "bucket=1")
+    java.nio.file.Files.createDirectories(wdir)
+    val staged = wdir.resolve("part-0.parquet")
+    java.nio.file.Files.write(staged, Array[Byte](4, 5, 6))
+
+    // default retention: the young staged file survives the sweep
+    val (d1, _) = MiniLog.vacuum(table, keepFrom = 1)
+    assert(d1 === 0)
+    assert(java.nio.file.Files.exists(staged))
+    // ... so the writer's subsequent commit names files that EXIST
+    val v = MiniLog.commitNext(table, (_, parent) => parent + (1L -> staged.toString))
+    assert(MiniLog.manifest(table, v).values
+      .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+
+    // the guard is age-based, not a no-op: an ORPHAN aged past the
+    // window (a long-dead writer's debris) does get swept
+    val orphan = wdir.resolve("part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](7))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    val (d2, _) = MiniLog.vacuum(table, keepFrom = 1)
+    assert(d2 === 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(java.nio.file.Files.exists(staged)) // still younger than window
+    RelOps.deleteRecursively(table)
+  }
+
+  test("vacuum racing committing writers: every committed file survives") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_vacrace"
+    RelOps.deleteRecursively(table)
+    val seed = java.nio.file.Paths.get(table, "seed", "bucket=0")
+    java.nio.file.Files.createDirectories(seed)
+    val f0 = seed.resolve("part-0.parquet")
+    java.nio.file.Files.write(f0, Array[Byte](0))
+    MiniLog.commit(table, 1, Map(0L -> f0.toString))
+    val nWriters = 4
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 1)
+    try {
+      // a vacuum loop sweeps (with the default retention window)
+      // WHILE writers stage files and commit manifests naming them
+      val sweeper = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var sweeps = 0
+          while (!stop.get()) { MiniLog.vacuum(table, 1); sweeps += 1 }
+          sweeps
+        }
+      })
+      val writers = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.await()
+            (0 until 5).foreach { i =>
+              val d = java.nio.file.Paths.get(table, s"w$w-$i", s"bucket=${w + 1}")
+              java.nio.file.Files.createDirectories(d)
+              val f = d.resolve("part-0.parquet")
+              java.nio.file.Files.write(f, Array[Byte](w.toByte, i.toByte))
+              MiniLog.commitNext(table,
+                (_, parent) => parent + ((w + 1).toLong -> f.toString))
+            }
+          }
+        })
+      }
+      gate.countDown()
+      writers.foreach(_.get())
+      stop.set(true)
+      sweeper.get()
+    } finally pool.shutdown()
+    // the final snapshot's files ALL exist — no committed file was
+    // swept out from under a manifest that names it
+    val last = MiniLog.manifest(table, MiniLog.latestVersion(table))
+    assert(last.size === nWriters + 1)
+    assert(last.values.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    RelOps.deleteRecursively(table)
+  }
+
+  test("manifest meta round-trips; batch replay with the same batchId is a no-op") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_idem"
+    RelOps.deleteRecursively(table)
+    import org.apache.spark.sql.types.DecimalType
+    def delta(): org.apache.spark.sql.DataFrame = spark.range(8)
+      .select(col("id").as("user_id"), lit(1L).as("n_events"),
+        col("id").cast(DecimalType(18, 4)).as("sum_value"),
+        (col("id") % 4).as("bucket"))
+    StreamOps.minilogMergeBatch(spark, table, delta(), batchId = 0L)
+    assert(MiniLog.latestVersion(table) === 1)
+    assert(MiniLog.manifestMeta(table, 1) === Map("batchId" -> "0"))
+    // Spark failure-retry re-invokes foreachBatch with the SAME batchId:
+    // the merge must be a no-op success, not a double-apply or an abort
+    StreamOps.minilogMergeBatch(spark, table, delta(), batchId = 0L)
+    assert(MiniLog.latestVersion(table) === 1)
+    // a genuinely new batch advances the version and double-counts nothing
+    StreamOps.minilogMergeBatch(spark, table, delta(), batchId = 1L)
+    assert(MiniLog.latestVersion(table) === 2)
+    val total = MiniLog.readAsOf(spark, table, 2)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total === 16L) // 2 batches x 8 users, the replay added nothing
+    // a CORRUPT parent manifest must FAIL the next batch (Spark then
+    // retries it), never silently restart the log at version 1 or
+    // "rebase" on an empty file set over committed data
+    val log = java.nio.file.Paths.get(table, "_graft_log", "00000002.json")
+    java.nio.file.Files.write(log, "{not json".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    assertThrows[IllegalArgumentException](
+      StreamOps.minilogMergeBatch(spark, table, delta(), batchId = 2L))
+    assert(MiniLog.latestVersion(table) === 2) // nothing restarted the log
     RelOps.deleteRecursively(table)
   }
 

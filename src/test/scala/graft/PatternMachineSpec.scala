@@ -3,16 +3,24 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The CEP state machine (StreamOps.patternStep) vs a brute-force
-  * recomputation of the BATCH query's segment semantics, over arbitrary
-  * event-type sequences — independent of the fixture, so the streaming/
-  * batch agreement the oracle grades can't be an artifact of the data.
+/** The compiled CEP machine (PatternMachine) vs two independent
+  * formulations, over arbitrary event-type sequences — independent of
+  * the fixture, so the streaming/batch agreement the oracle grades
+  * can't be an artifact of the data:
   *
-  * Batch semantics (q_window_pattern / its SQL): seg(i) = # boundary
-  * events ('e'/'s'/'p' initial) strictly before i; a 'p' event matches
-  * iff some 'v' event shares its segment. The machine claims the fold
-  * (flag, count) over the ordered sequence counts exactly those
-  * matches. */
+  *  1. the ORIGINAL brute segment semantics (q_window_pattern's r14
+  *     SQL): for pattern v→p, a 'p' matches iff some 'v' shares its
+  *     segment — pins the generalized compile to the old machine;
+  *  2. the REGEX formulation the DuckDB oracle now runs
+  *     (PatternMachine.oracleRegex): non-overlapping leftmost-shortest
+  *     matches of the lazy-quantifier pattern over the concatenated
+  *     initials — java.util.regex here, RE2 in DuckDB, but for these
+  *     patterns (literal chars, negated classes, lazy stars) the two
+  *     engines' leftmost-shortest semantics coincide.
+  *
+  * Plus the split-anywhere composition property the micro-batch
+  * replay relies on, for EVERY graded pattern.
+  */
 class PatternMachineSpec extends AnyFunSuite {
 
   private def check(name: String, prop: Prop): Unit = {
@@ -29,29 +37,61 @@ class PatternMachineSpec extends AnyFunSuite {
     ts.zip(seg).count { case (t, g) => t == "p" && vSegs(g) }.toLong
   }
 
+  /** The oracle's count, verbatim: non-overlapping leftmost-shortest
+    * regex matches over the concatenated initials. */
+  private def regexMatches(ts: Seq[String], pattern: Seq[String]): Long = {
+    val re = PatternMachine.oracleRegex(pattern)
+    val m = java.util.regex.Pattern.compile(re).matcher(ts.mkString)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  private def machine(ts: Seq[String], pattern: Seq[String]): Long =
+    PatternMachine.compile(pattern).run((0L, 0L), ts)._2
+
   private val eventGen: Gen[String] =
     Gen.frequency(4 -> "v", 3 -> "c", 2 -> "p", 1 -> "e", 1 -> "s", 1 -> "x")
   private val seqGen: Gen[List[String]] =
     Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, eventGen))
+  /** Random patterns: 1-4 non-boundary steps, optionally 'p'-closed. */
+  private val patternGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(1, 4)
+    body <- Gen.listOfN(n, Gen.oneOf("v", "c", "x"))
+    closeP <- Gen.oneOf(true, false)
+  } yield if (closeP) body :+ "p" else body
 
-  test("fold(patternStep) counts exactly the batch segment matches") {
-    check("machine-equals-brute", Prop.forAll(seqGen) { ts =>
-      ts.foldLeft((0L, 0L))(StreamOps.patternStep)._2 == bruteMatches(ts)
+  test("compile(v,p) equals the r14 hard-coded machine and its brute semantics") {
+    check("vp-equals-brute", Prop.forAll(seqGen) { ts =>
+      ts.foldLeft((0L, 0L))(StreamOps.patternStep)._2 == bruteMatches(ts) &&
+        machine(ts, Seq("v", "p")) == bruteMatches(ts)
     })
   }
 
-  test("the fold composes across arbitrary batch boundaries") {
+  test("machine count equals the oracle's regex count, arbitrary patterns") {
+    check("machine-equals-regex", Prop.forAll(seqGen, patternGen) {
+      (ts, pat) => machine(ts, pat) == regexMatches(ts, pat)
+    })
+  }
+
+  test("the fold composes across arbitrary batch boundaries, every graded pattern") {
     // split-anywhere: running the machine over slices in order,
     // threading state, equals one pass — the exact property the
     // micro-batch replay relies on
     check("split-anywhere", Prop.forAll(seqGen, Gen.chooseNum(0, 200)) {
       (ts, cut) =>
         val (a, b) = ts.splitAt(cut min ts.length)
-        val once = ts.foldLeft((0L, 0L))(StreamOps.patternStep)
-        val threaded = b.foldLeft(
-          a.foldLeft((0L, 0L))(StreamOps.patternStep))(StreamOps.patternStep)
-        threaded == once
+        PatternMachine.Graded.forall { case (_, pat) =>
+          val c = PatternMachine.compile(pat)
+          c.run(c.run((0L, 0L), a), b) == c.run((0L, 0L), ts)
+        }
     })
+  }
+
+  test("compiler rejects mid-pattern boundary types") {
+    assertThrows[IllegalArgumentException](
+      PatternMachine.compile(Seq("p", "v")))
+    assertThrows[IllegalArgumentException](PatternMachine.compile(Nil))
   }
 
   test("known vignettes") {
@@ -64,5 +104,12 @@ class PatternMachineSpec extends AnyFunSuite {
     assert(n(Seq("v", "e", "p")) === 0L)
     assert(n(Seq("v", "p", "v", "p")) === 2L)
     assert(n(Seq("c", "v", "x", "c", "p")) === 1L)
+    // 3-step funnel: a mid-pattern boundary kills partial progress
+    assert(machine(Seq("v", "c", "p"), Seq("v", "c", "p")) === 1L)
+    assert(machine(Seq("v", "e", "c", "p"), Seq("v", "c", "p")) === 0L)
+    assert(machine(Seq("v", "c", "x", "v", "p"), Seq("v", "c", "p")) === 1L)
+    // non-boundary-closed pattern matches repeatedly inside a segment
+    assert(machine(Seq("c", "v", "c", "v"), Seq("c", "v")) === 2L)
+    assert(machine(Seq("c", "s", "v"), Seq("c", "v")) === 0L)
   }
 }

@@ -21,6 +21,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ivf_pq_residual (spec-only since r15) still answers its probes") {
+    // demoted from the graded fleet in r15 (measured-worse tier on the
+    // isotropic fixture: 23/30 vs plain ivf_pq's 25/30, r12+r14) but
+    // kept implemented for real clustered embeddings — this spec keeps
+    // the operator proven: every probe in [10,20) answers with <= 3
+    // distinct non-self neighbors from the corpus
+    val rows = AnnOps.qSimAnnIvfPqResidual(spark, sf)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet.subsetOf((10L until 20L).toSet))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (p, ns) =>
+      val ids = ns.map(_.getLong(1))
+      assert(ids.length <= 3 && ids.distinct.length == ids.length)
+      assert(!ids.contains(p), s"self-match for probe $p")
+    }
+  }
+
   test("q_sort_topk returns exactly 100 rows in descending price order") {
     val rows = RelOps.qSortTopk(spark, sf).collect()
     assert(rows.length === 100)
