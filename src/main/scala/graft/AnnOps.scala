@@ -546,10 +546,11 @@ object AnnOps {
       s"(CASE WHEN (i * 2654435761) // 65536 % 4 < 2 THEN 1.0 ELSE -1.0 END)" +
       s" * $c[CAST(i * 37 AS INT) % 64 + 1])"
 
-  private def pqCbRows(emb: DataFrame, seedLo: Long = 0L): DataFrame = {
+  private def pqCbRows(emb: DataFrame, seedLo: Long = 0L,
+      rounds: Int = PqLloydRounds): DataFrame = {
     var cb = emb.filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
       .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("cv"))
-    for (_ <- 1 to PqLloydRounds) {
+    for (_ <- 1 to rounds) {
       // assignment is exactly graft_pq_encode: per-subspace argmin-L2 over
       // the c_id-sorted broadcast codebook, strict-< ties to the lower
       // c_id, same double accumulation order as graft_pq_subdists — so the
@@ -652,10 +653,11 @@ object AnnOps {
     * subspaces (the thing OPQ optimizes). Not graded; the graded
     * qSimAnnPq reads the shared staged artifacts instead. */
   private[graft] def pqSearchOn(s: SparkSession, emb: DataFrame,
-      rerank: Boolean = true): DataFrame = {
+      rerank: Boolean = true,
+      lloydRounds: Int = PqLloydRounds): DataFrame = {
     VectorFunctions.register(s)
     val e = emb.withColumn("na", expr("graft_norm_sq(embedding)"))
-    val cb = pqCbRows(emb)
+    val cb = pqCbRows(emb, rounds = lloydRounds)
     val enc = pqCodeArrWith(emb, cb)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
     val adc = pqAdc(
@@ -1627,20 +1629,16 @@ object AnnOps {
     // rounded values keep their relative order, ties still break on
     // vec_id). Lazily checkpointed — six consumers, one computation.
     val truthAll = recallTruthAll(s, e, specs).localCheckpoint(eager = false)
-    // the ANISOTROPIC-fixture arm (r15): PQ over the rotated
-    // variance-decay view, graded at the RAW-ADC tier (no exact
-    // re-rank — the tier where codebook quality shows; the re-ranked
-    // tier saturates 24/24 under every rotation on both fixtures).
-    // Its truth is exact L2 over the SAME transformed vectors (the
-    // rotation is orthogonal, but truth-on-own-vectors keeps the
-    // rounding boundary identical in both engines).
-    val e2 = embeddings(s, d)
-      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
-      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
-      .localCheckpoint(eager = false)
-    val anisoTruth = recallTruthAll(s,
-      e2.withColumn("na", expr("graft_norm_sq(embedding)")),
-      Seq(("pq_rot_aniso", 0L, 8L, true, 0L)))
+    // The rotated-anisotropic PQ tier (r15) is deliberately NOT an arm
+    // here: graded for one 3-rep interleaved A/B, its fresh Lloyd
+    // train + own truth measured +1.88 s on the scorecard (1.95 →
+    // 3.82 s medians) — 6× the estimate, against the one red gate
+    // (the bench ceiling). The flip it demonstrates is pinned by the
+    // always-run AnisoRotSpec at sf0.001 instead, the full ladder
+    // table lives in SCALE.md, and the complete graded-form oracle
+    // (qSimAnnPqRotAnisoSql — hash-green at sf0.01 while armed) is
+    // retained below, ready to promote the round the ceiling has
+    // slack.
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       // same truth row as ivf (same probes, same cosine metric): the
@@ -1649,14 +1647,12 @@ object AnnOps {
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
       ("pq", qSimAnnPq(s, d), (0L, 8L)),
-      ("pq_rot_aniso", pqSearchOn(s, e2, rerank = false), (0L, 8L)),
       ("prefix", qSimAnnPrefix(s, d), (20L, 30L)),
       // bit's re-rank metric is cosine; its top-3 (of the emitted top-5)
       // is what recall@3 grades, over its own corpus (vec_id >= 3)
       ("bit", qEmbedBit(s, d).filter(col("rn") <= 3), (0L, 3L)))
     methods.map { case (m, ans, (lo, hi)) =>
-      val truthSrc = if (m == "pq_rot_aniso") anisoTruth else truthAll
-      val truth = truthSrc.filter(col("t_method") === m)
+      val truth = truthAll.filter(col("t_method") === m)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = ans.select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id"))
@@ -1735,12 +1731,6 @@ object AnnOps {
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
        |t_pq AS (${bruteSql(0, 8, l2 = true)}),
-       |e2a AS (SELECT vec_id,
-       |          ${anisoSqlDuck("CAST(embedding AS DOUBLE[])")} AS a
-       |        FROM embeddings),
-       |e2 AS (SELECT vec_id, r AS emb, list_sum(list_transform(r, x -> x * x)) AS na
-       |       FROM (SELECT vec_id, ${rotSqlDuck("a")} AS r FROM e2a) t0),
-       |t_pq_rot_aniso AS (${bruteSql(0, 8, l2 = true, src = "e2")}),
        |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |t_bit AS (${bruteSql(0, 3, l2 = false, minCorpus = 3)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
@@ -1748,7 +1738,6 @@ object AnnOps {
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
        |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
-       |a_pq_rot_aniso AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqRotAnisoSql) q),
        |a_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPrefixSql) q),
        |a_bit AS (SELECT probe_id, neighbor_id FROM ($qEmbedBitSql) q WHERE rn <= 3),
        |hits AS (
@@ -1767,9 +1756,6 @@ object AnnOps {
        |  SELECT 'pq', probe_id, COUNT(*)
        |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
-       |  SELECT 'pq_rot_aniso', probe_id, COUNT(*)
-       |  FROM a_pq_rot_aniso JOIN t_pq_rot_aniso USING (probe_id, neighbor_id) GROUP BY 2
-       |  UNION ALL
        |  SELECT 'prefix', probe_id, COUNT(*)
        |  FROM a_prefix JOIN t_prefix USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
@@ -1785,8 +1771,6 @@ object AnnOps {
        |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
        |  UNION ALL
        |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
-       |  UNION ALL
-       |  SELECT 'pq_rot_aniso', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
        |  UNION ALL
        |  SELECT 'prefix', vec_id FROM e WHERE vec_id >= 20 AND vec_id < 30
        |  UNION ALL

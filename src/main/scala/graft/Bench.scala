@@ -14,6 +14,10 @@ object Bench {
       // shuffle/spill files follow the scratch placement (static conf,
       // must land before the context starts)
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      // managed tables (the ANN index family) are rebuilt per run —
+      // ephemeral, so the warehouse follows the scratch placement too
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -132,7 +136,13 @@ object Bench {
       "q_stream_dedup" -> "batch twin of q_stream_live_dedup (min-survivor)",
       "q_stream_custom_state" -> ("flatMapGroupsWithState (V1 API) twin of " +
         "q_stream_transform_state — same per-user running (count,sum), " +
-        "same oracle, successor API priced"))
+        "same oracle, successor API priced"),
+      "q_dedup_minhash_agg" -> ("HOF-fold implementation twin of " +
+        "q_dedup_minhash_native — same banded-MinHash operator and truth; " +
+        "the native Catalyst-expression form (the scale path) is priced"),
+      "q_join_asof" -> ("window-compose implementation twin of " +
+        "q_join_asof_native — same as-of semantics and truth; the custom " +
+        "SparkPlan form (the scale path) is priced"))
     untimed.foreach { case (k, why) =>
       require(SparkEntry.queries.contains(k),
         s"untimed entry $k is not a declared query")

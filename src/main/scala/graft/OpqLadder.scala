@@ -79,7 +79,12 @@ object OpqLadder {
       // subspace boundaries, the cheap stand-in for a dense rotation
       ("mix3", rot(rot(rot(raw, givens), permSign), givens)))
 
-    println(f"${"variant"}%10s ${"recall"}%9s  secs")
+    // SPARK_GRAFT_PQ_ROUNDS: Lloyd rounds for the variant pipelines
+    // (default the graded 2; 0 = seed codebook only — the knob that
+    // prices training out of a single-consumer scorecard arm)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PQ_ROUNDS",
+      "" + 2).toInt
+    println(f"${"variant"}%10s ${"recall"}%9s  secs  (lloydRounds=$rounds)")
     variants.foreach { case (name, emb0) =>
       // localCheckpoint: the rotation is part of the indexed DATA here,
       // not the measured pipeline — freeze it so every variant times the
@@ -93,16 +98,16 @@ object OpqLadder {
         .select(col("probe_id"), col("neighbor_id"))
         .cache()
       val nTruth = truth.count()
-      val hits = AnnOps.pqSearchOn(spark, emb)
+      val hits = AnnOps.pqSearchOn(spark, emb, lloydRounds = rounds)
         .select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id")).count()
       // raw ADC top-3 (no exact re-rank): the tier where codebook
       // quality — and therefore the rotation — actually shows
-      val adcHits = AnnOps.pqSearchOn(spark, emb, rerank = false)
+      val adcHits = AnnOps.pqSearchOn(spark, emb, rerank = false, lloydRounds = rounds)
         .join(truth, Seq("probe_id", "neighbor_id")).count()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        AnnOps.pqSearchOn(spark, emb).collect()
+        AnnOps.pqSearchOn(spark, emb, lloydRounds = rounds).collect()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%10s $hits%4d/$nTruth%-4d adc=$adcHits%4d/$nTruth%-4d  ${times.map(x => f"$x%.2f").mkString(" ")}")

@@ -150,14 +150,36 @@ object StreamOps {
     * pick up the low partition count. Fine for the sequential
     * Verify/Bench harness (RerunSpec checks the restore); if concurrent
     * use ever appears, scope the change via s.cloneSession() instead. */
-  private def withStreamParts[T](s: SparkSession, parts: Int = 4)(body: => T): T = {
+  private def withStreamParts[T](s: SparkSession, parts: Int = 4,
+      noDataBatches: Boolean = false)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // spark.graft.streamParts: the A/B knob for the state-store count
     // ladder (see the ladder note below) — the graded default stays 4
     val p = s.conf.getOption("spark.graft.streamParts")
       .map(_.toInt).getOrElse(parts)
     s.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // Trailing no-data micro-batches exist to advance the watermark and
+    // flush/evict state when no new data will do it. The bounded
+    // AvailableNow queries here whose OUTPUT doesn't depend on that
+    // flush (complete-mode aggs re-emit full state each batch;
+    // update-mode stateful ops with TimeMode.None have no timers;
+    // inner stream-stream joins emit on match, not on eviction) turn
+    // them off — one full IncrementalExecution + state-commit round
+    // per query for nothing (3-rep TimeQ: −0.8 s across the eight
+    // eligible queries, q_stream_join −0.4 alone). The two queries
+    // whose SEMANTICS need the trailing flush — q_stream_sink and
+    // q_stream_join_outer, whose sentinel design exists exactly to
+    // drive it — pass noDataBatches = true and keep the default.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.getOption(ndKey)
+    if (!noDataBatches) s.conf.set(ndKey, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (!noDataBatches) prevNd match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
+      }
+    }
   }
 
   /** The SAME tumbling aggregation as q_stream_tumbling, but executed
@@ -426,7 +448,8 @@ object StreamOps {
     * a trailing batch ever does. This is exactly how a bounded backfill
     * run of an unbounded pipeline terminates cleanly at 100 TB: a
     * watermark heartbeat past the horizon, not a mode switch. */
-  def qStreamSink(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+  def qStreamSink(s: SparkSession, d: String): DataFrame =
+      withStreamParts(s, noDataBatches = true) { // sentinel NEEDS the trailing flush
     val src = RelOps.stagingDir(s, "stream_sink_src")
     val out = RelOps.stagingDir(s, "stream_sink_out")
     val ckpt = RelOps.stagingDir(s, "stream_sink_ckpt")
@@ -438,9 +461,12 @@ object StreamOps {
     val sentinel = s.range(1)
       .select(to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
         lit("__wm__").as("event_type"), lit(0.0).as("value"))
+    // no coalesce(1): these sources set no maxFilesPerTrigger, so the
+    // single AvailableNow batch sees every file regardless of count —
+    // the one-file form just serialized the staging write for nothing
     events(s, d).select(col("ts"), col("event_type"), col("value"))
       .union(sentinel)
-      .coalesce(1).write.mode("overwrite").parquet(src)
+      .write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema
     val agg = s.readStream.schema(schema).parquet(src)
       .withWatermark("ts", "2 hours")
@@ -609,7 +635,8 @@ object StreamOps {
     * termination story again: a watermark heartbeat, not a mode switch.
     * State stays bounded by the 30-min join range + watermark on BOTH
     * sides. */
-  def qStreamJoinOuter(s: SparkSession, d: String): DataFrame = withStreamParts(s) {
+  def qStreamJoinOuter(s: SparkSession, d: String): DataFrame =
+      withStreamParts(s, noDataBatches = true) { // unmatched-left eviction NEEDS the trailing flush
     val src = RelOps.stagingDir(s, "stream_join_outer_src")
     RelOps.deleteRecursively(src)
     def sentinel(t: String, typ: String): DataFrame = s.range(1)
@@ -619,7 +646,7 @@ object StreamOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .union(sentinel("2100-01-01 00:00:00", "click"))
       .union(sentinel("2100-01-02 00:00:00", "purchase"))
-      .coalesce(1).write.mode("overwrite").parquet(src)
+      .write.mode("overwrite").parquet(src) // no coalesce(1): see qStreamSink
     val schema = s.read.parquet(src).schema
     def srcStream = s.readStream.schema(schema).parquet(src)
     val clicks = srcStream.filter(col("event_type") === "click")
@@ -694,7 +721,7 @@ object StreamOps {
     * idempotent-sink contract. Extracted from the stream so
     * MiniLogSpec can replay a batch and assert nothing double-applies. */
   private[graft] def minilogMergeBatch(s: SparkSession, table: String,
-      delta: DataFrame, batchId: Long): Unit = {
+      delta0: DataFrame, batchId: Long): Unit = {
     import graft.sources.MiniLog
     // ONLY the two empty-log shapes mean "no table yet"; an IO error or
     // corrupt manifest must FAIL the batch (Spark retries it), not
@@ -709,9 +736,13 @@ object StreamOps {
     val meta = Map("batchId" -> batchId.toString)
     val committed =
       if (ver == 0) {
+        // initial load consumes the delta exactly once — no checkpoint
         MiniLog.tryCommit(table, 1,
-          MiniLog.writeBucketFiles(delta, table, s"b$batchId"), meta)
+          MiniLog.writeBucketFiles(delta0, table, s"b$batchId"), meta)
       } else {
+        // merge path reads the delta twice (affected set + combine):
+        // freeze it so the micro-batch aggregation runs once
+        val delta = delta0.localCheckpoint()
         val parent = MiniLog.manifest(table, ver)
         val affected = delta.select(col("bucket")).distinct()
           .collect().map(_.getLong(0)).toSet // ≤8 buckets, metadata-scale
@@ -758,7 +789,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        minilogMergeBatch(s, table, aggOf(batch).localCheckpoint(), batchId)
+        minilogMergeBatch(s, table, aggOf(batch), batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

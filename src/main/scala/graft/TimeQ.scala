@@ -13,6 +13,10 @@ object TimeQ {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      // managed tables (the ANN index family) are rebuilt per run —
+      // ephemeral, so the warehouse follows the scratch placement too
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

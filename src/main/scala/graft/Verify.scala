@@ -11,6 +11,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      // managed tables (the ANN index family) are rebuilt per run —
+      // ephemeral, so the warehouse follows the scratch placement too
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
