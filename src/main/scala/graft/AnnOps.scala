@@ -1680,6 +1680,9 @@ object AnnOps {
 
   /** Brute-force truth CTE body for the oracle (same score expressions
     * as the method oracles). */
+  // `src` is exercised only by the un-armed pq_rot_aniso promote path
+  // (its truth CTE ranks over the transformed view e2, not e) — kept so
+  // re-arming is a two-line change, unused by the current seven arms
   private def bruteSql(lo: Long, hi: Long, l2: Boolean,
       minCorpus: Long = 0L, src: String = "e"): String = {
     val key =

@@ -120,6 +120,15 @@ object PatternMachine {
   def oracleRegex(pattern: Seq[String],
       boundary: Set[String] = Boundary): String = {
     val c = compile(pattern, boundary)
+    // the machine ≡ regex equivalence (and the Java-regex-property ≈
+    // DuckDB-RE2-oracle transfer) is argued ONLY for this restricted
+    // class: literal alphanumeric chars, negated classes, lazy stars.
+    // Reject anything that could smuggle a metacharacter past it —
+    // general regex semantics are NOT portable across engines (the
+    // r12 lesson that moved pattern matching off regexes in the first
+    // place).
+    require((pattern ++ boundary).forall(_.forall(_.isLetterOrDigit)),
+      s"pattern/boundary must be alphanumeric initials: $pattern / $boundary")
     val banned = boundary.toSeq.sorted.mkString
     c.steps.init.map(s => s"$s[^$banned]*?").mkString + c.steps.last
   }

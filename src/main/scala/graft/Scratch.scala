@@ -21,7 +21,20 @@ import java.nio.file.{Files, Paths}
   * (TestSpark) do not call this — they keep /tmp.
   */
 object Scratch {
+  /** The DISK-backed tmp dir as it was before [[init]] re-pointed
+    * `java.io.tmpdir` at tmpfs. Spark's local dirs (shuffle SPILL)
+    * default to java.io.tmpdir, and spill is the one scratch file
+    * class whose size grows exactly when memory is tight — putting it
+    * on RAM-backed /dev/shm would convert spill relief into RAM
+    * demand at the worst moment (and an shm-filling co-tenant would
+    * ENOSPC the run where plain disk absorbs it). The mains therefore
+    * pin `spark.local.dir` HERE while the small, bounded file classes
+    * (staging, checkpoint logs, manifests, RocksDB working dirs)
+    * follow java.io.tmpdir to tmpfs. */
+  @volatile var diskTmp: String = System.getProperty("java.io.tmpdir")
+
   def init(): Unit = {
+    diskTmp = System.getProperty("java.io.tmpdir")
     val conf = sys.env.get("SPARK_GRAFT_SCRATCH")
     if (conf.contains("off")) return
     val base = conf.orElse(

@@ -12,7 +12,7 @@ object TimeQ {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", Scratch.diskTmp) // spill on DISK (see Scratch)
       // managed tables (the ANN index family) are rebuilt per run —
       // ephemeral, so the warehouse follows the scratch placement too
       .config("spark.sql.warehouse.dir",

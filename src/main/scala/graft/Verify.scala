@@ -10,7 +10,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", Scratch.diskTmp) // spill on DISK (see Scratch)
       // managed tables (the ANN index family) are rebuilt per run —
       // ephemeral, so the warehouse follows the scratch placement too
       .config("spark.sql.warehouse.dir",

@@ -110,13 +110,21 @@ object MiniLog {
     val tmp = logDir(table).resolve(
       f".$version%08d.${ProcessHandle.current().pid()}%d" +
         f".${Thread.currentThread().getId}%d.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.SYNC)
-    try { Files.createLink(target, tmp); true }
+    // a stale tmp under OUR pid+tid name is debris from a prior attempt
+    // that died between write and cleanup (e.g. ENOSPC mid-write) — the
+    // same pid+thread cannot be concurrently active, so deleting it is
+    // safe, and NOT deleting it would wedge this slot forever for this
+    // writer (CREATE_NEW would throw on every retry)
+    Files.deleteIfExists(tmp)
+    try {
+      Files.write(tmp, json.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.SYNC)
+      Files.createLink(target, tmp); true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    finally Files.deleteIfExists(tmp) // also cleans up a failed write
   }
 
   /** The string metadata a writer attached to manifest `version` via

@@ -137,40 +137,66 @@ class MiniLogSpec extends AnyFunSuite {
     RelOps.deleteRecursively(table)
   }
 
-  test("vacuum racing committing writers: every committed file survives") {
+  test("vacuum racing committing writers: real deletions, committed files survive") {
+    // The sweep must be given REAL work or the race guarantee is
+    // vacuous (the r15 first cut of this spec swept only young files,
+    // which the retention window protects by construction — every
+    // assertion passed even with the keep-set logic broken). Here each
+    // writer REPLACES its own bucket per iteration and back-dates the
+    // file it just SUPERSEDED (never the live one: aging a file that a
+    // live manifest names would re-create the documented
+    // staging-longer-than-retention hazard as test flake — the
+    // retention window's contract is that it exceeds any
+    // stage-to-commit latency). A superseded, aged file is exactly the
+    // prey vacuum exists to take, and the sweeper keeps only the
+    // LATEST manifest — so deletions genuinely interleave with
+    // commits.
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_minilog_vacrace"
     RelOps.deleteRecursively(table)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60 * 1000)
     val seed = java.nio.file.Paths.get(table, "seed", "bucket=0")
     java.nio.file.Files.createDirectories(seed)
     val f0 = seed.resolve("part-0.parquet")
     java.nio.file.Files.write(f0, Array[Byte](0))
     MiniLog.commit(table, 1, Map(0L -> f0.toString))
+    java.nio.file.Files.setLastModifiedTime(f0, old)
     val nWriters = 4
+    val iters = 5
     val gate = new java.util.concurrent.CountDownLatch(1)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 1)
+    val sweptDuring = new java.util.concurrent.atomic.AtomicInteger(0)
     try {
-      // a vacuum loop sweeps (with the default retention window)
-      // WHILE writers stage files and commit manifests naming them
-      val sweeper = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = {
+      val sweeper = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
           gate.await()
-          var sweeps = 0
-          while (!stop.get()) { MiniLog.vacuum(table, 1); sweeps += 1 }
-          sweeps
+          while (!stop.get()) {
+            // keep only the latest snapshot — superseded, back-dated
+            // files are live prey; in-flight (young) ones are not
+            val (d, _) = MiniLog.vacuum(table, MiniLog.latestVersion(table))
+            sweptDuring.addAndGet(d)
+          }
         }
       })
       val writers = (0 until nWriters).map { w =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
             gate.await()
-            (0 until 5).foreach { i =>
+            var prev: Option[java.nio.file.Path] = None
+            (0 until iters).foreach { i =>
               val d = java.nio.file.Paths.get(table, s"w$w-$i", s"bucket=${w + 1}")
               java.nio.file.Files.createDirectories(d)
               val f = d.resolve("part-0.parquet")
               java.nio.file.Files.write(f, Array[Byte](w.toByte, i.toByte))
               MiniLog.commitNext(table,
                 (_, parent) => parent + ((w + 1).toLong -> f.toString))
+              // the commit superseded prev — age IT past the window
+              // (the live file f stays young until ITS successor lands)
+              prev.foreach(p =>
+                try java.nio.file.Files.setLastModifiedTime(p, old)
+                catch { case _: java.nio.file.NoSuchFileException => () })
+              prev = Some(f)
             }
           }
         })
@@ -180,8 +206,16 @@ class MiniLogSpec extends AnyFunSuite {
       stop.set(true)
       sweeper.get()
     } finally pool.shutdown()
-    // the final snapshot's files ALL exist — no committed file was
-    // swept out from under a manifest that names it
+    // final deterministic sweep catches whatever the racing sweeps
+    // missed; across both, EVERY superseded file (iters-1 per writer)
+    // must die — proof the sweeps were doing real deletions — while
+    // the live snapshot keeps exactly one file per bucket
+    val (dFinal, kept) =
+      MiniLog.vacuum(table, MiniLog.latestVersion(table))
+    assert(sweptDuring.get() + dFinal === nWriters * (iters - 1),
+      s"expected ${nWriters * (iters - 1)} superseded files swept, got " +
+        s"${sweptDuring.get()} during + $dFinal final")
+    assert(kept === nWriters + 1)
     val last = MiniLog.manifest(table, MiniLog.latestVersion(table))
     assert(last.size === nWriters + 1)
     assert(last.values.forall(p =>

@@ -88,6 +88,48 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
+  test("sqlFold (the batch query's executed artifact) equals the machine") {
+    // the third compiled artifact, pinned by EXECUTION: the generated
+    // aggregate() lambda runs through real Catalyst/codegen over random
+    // sequences and must reproduce the machine fold exactly — a bug in
+    // the SQL string (IF-nesting, element_at indexing, quoting) would
+    // otherwise hide until the driver grades fixture data that may not
+    // cover the diverging sequence
+    val spark = TestSpark.spark
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("v", "c", "p", "e", "s", "x")
+    val seqs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(120)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size))))
+    }
+    val patterns = PatternMachine.Graded.map(_._2) ++
+      Seq(Seq("v", "v", "p"), Seq("x", "c"), Seq("c", "x", "v", "p"))
+    val df = spark.createDataFrame(
+      seqs.map { case (id, ts) => org.apache.spark.sql.Row(id, ts.toArray) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_chars",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val folded = patterns.zipWithIndex.foldLeft(df) { case (acc, (pat, i)) =>
+      acc.withColumn(s"n_$i",
+        org.apache.spark.sql.functions.expr(
+          PatternMachine.sqlFold(pat, "ts_chars")))
+    }
+    val got = folded.collect().map(r =>
+      r.getLong(0) -> patterns.indices.map(i => r.getLong(2 + i))).toMap
+    seqs.foreach { case (id, ts) =>
+      patterns.zipWithIndex.foreach { case (pat, i) =>
+        val want = PatternMachine.compile(pat).run((0L, 0L), ts)._2
+        assert(got(id)(i) === want,
+          s"sqlFold diverged from machine: id=$id pattern=$pat " +
+            s"seq=${ts.mkString} sql=${got(id)(i)} machine=$want")
+      }
+    }
+  }
+
   test("compiler rejects mid-pattern boundary types") {
     assertThrows[IllegalArgumentException](
       PatternMachine.compile(Seq("p", "v")))
