@@ -87,7 +87,23 @@ object Bench {
         "the native Catalyst-expression form (the scale path) is priced"),
       "q_join_asof" -> ("window-compose implementation twin of " +
         "q_join_asof_native — same as-of semantics and truth; the custom " +
-        "SparkPlan form (the scale path) is priced"))
+        "SparkPlan form (the scale path) is priced"),
+      "q_text_bpe" -> ("sequential-loop implementation twin of " +
+        "q_text_bpe_batched — same merge table, one shared " +
+        "sequential-replay oracle; the batched trainer (the driver-round " +
+        "scale path) is priced, and q_text_bpe_apply grades its final " +
+        "symbol table too"),
+      "q_window_pattern" -> ("batch twin of q_stream_pattern — the same " +
+        "PatternMachine compile grades the same three patterns against " +
+        "one shared regex oracle; the live-engine form is priced"),
+      "q_sim_ann_prefix" -> ("flat-corpus form of the matryoshka prefix " +
+        "shortlist: priced TWICE already — q_sim_ann_ivf_prefix (the " +
+        "scale composition) and the scorecard's 'prefix' arm both run " +
+        "the same operator inside the timed fleet"),
+      "q_sim_topk" -> ("declared brute-force baseline (the documented " +
+        "cartesian exception): the same corpus-scan + broadcast " +
+        "cross-join + window shape runs timed inside q_sim_ann_recall's " +
+        "single-pass truth builder; the ANN family is the scale path"))
     untimed.foreach { case (k, why) =>
       require(SparkEntry.queries.contains(k),
         s"untimed entry $k is not a declared query")
