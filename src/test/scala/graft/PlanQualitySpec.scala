@@ -12,6 +12,13 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** For the ANN published-answer queries the REGISTERED frame is a
+    * staged-result read (AnnOps.publishedAnswer) — the shape worth
+    * pinning is the inner pipeline that the stage build executes, so
+    * those tests pass the inner frame here. */
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("FLEET-WIDE: no batch query plans a CartesianProduct") {
     // the one guarantee every scale argument rests on: candidate
     // generation is equi-join/broadcast everywhere. Streaming queries
@@ -60,7 +67,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // which form appears depends on whether CosineTopKRewrite has been
     // session-registered by an earlier query in this shared-JVM run —
     // both are the two-phase shape (≤ k rows per group cross the wire)
-    val p = plan("q_sim_ann_lsh")
+    val p = planOf(AnnOps.lshSearchGraded(spark, sf))
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
       "rank-limit two-phase missing")
   }
@@ -140,7 +147,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("PQ encoding is row-local: codebook and ADC table reach it as broadcasts") {
-    val p = plan("q_sim_ann_pq")
+    val p = planOf(AnnOps.pqSearchGraded(spark, sf))
     assert(p.contains("BroadcastExchange"),
       s"codebook/ADC table should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
@@ -148,7 +155,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("IVF-PQ candidates come from the cell equi-join; all small sides broadcast") {
-    val p = plan("q_sim_ann_ivf_pq")
+    val p = planOf(AnnOps.ivfPqSearch(spark, sf))
     assert(!p.contains("CartesianProduct"),
       s"IVF-PQ scoring must never cross vectors with vectors:\n$p")
     assert(p.contains("BroadcastExchange"),
@@ -156,7 +163,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("prefix-inside-IVF joins staged cells to broadcast probes; no cartesian") {
-    val p = plan("q_sim_ann_ivf_prefix")
+    val p = planOf(AnnOps.ivfPrefixSearchGraded(spark, sf))
     assert(!p.contains("CartesianProduct"),
       s"cell-confined prefix scoring must never go all-pairs:\n$p")
     assert(p.contains("BroadcastExchange"),
@@ -292,7 +299,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("prefix ANN broadcasts probes and bounds both rank windows") {
-    val p = plan("q_sim_ann_prefix")
+    val p = planOf(AnnOps.prefixSearchGraded(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe fan-out must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"corpus must never cartesian:\n$p")
@@ -301,7 +308,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("bit quantization broadcasts probes; Hamming sweep never shuffles the corpus") {
-    val p = plan("q_embed_bit")
+    val p = planOf(AnnOps.bitSearch(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe fan-out must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"corpus must never cartesian:\n$p")

@@ -115,7 +115,7 @@ class TopKRewriteSpec extends AnyFunSuite {
     // alone must bring the bounded-heap plan back
     spark.experimental.extraStrategies = Nil
     spark.experimental.extraOptimizations = Nil
-    val p = withRewrite(on = true)(physical(AnnOps.qSimAnnPq(spark, sf)))
+    val p = withRewrite(on = true)(physical(AnnOps.pqSearchGraded(spark, sf)))
     assert(p.contains("TopKPerGroup"),
       s"rerankAdc did not self-register the rewrite:\n$p")
   }
