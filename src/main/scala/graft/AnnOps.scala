@@ -1115,12 +1115,23 @@ object AnnOps {
     * pipelines — the report shape a production store uses (a recall
     * dashboard reads each engine's result table; it does not re-run the
     * engines). Every pipeline still executes exactly once per dataset,
-    * inside its own graded query (the first consumer), so each method's
-    * cost stays priced in the timed fleet; plan-shape audits pin the
-    * INNER pipeline frames (PlanQualitySpec), and the coalesce(1) keeps
-    * the ≤30-row write a single task. Parquet round-trips the
-    * longs/rounded doubles bit-exactly, so every consumer's oracle hash
-    * is unchanged. */
+    * inside its own graded query (the first consumer) — with ONE
+    * deliberate exception: q_sim_ann_prefix is untimed (its operator is
+    * already priced twice, see Bench's untimed rationale), so the
+    * prefix pipeline's first consumer is the timed scorecard itself and
+    * its build cost is paid inside q_sim_ann_recall's arm. Each other
+    * method's cost stays priced in its own timed query; plan-shape
+    * audits pin the INNER pipeline frames (PlanQualitySpec), and the
+    * coalesce(1) keeps the ≤30-row write a single task. Parquet
+    * round-trips the longs/rounded doubles bit-exactly, so every
+    * consumer's oracle hash is unchanged. NOTE (r15 ADVICE): building a
+    * registered frame is therefore side-effectful — the FIRST
+    * construction executes the full pipeline and stages the answer, and
+    * every later construction (TimeQ reps 2+, plan prints) is a trivial
+    * ≤30-row read. Rep-based timing of the published-answer query NAMES
+    * is meaningless after the first call; dev tooling times the inner
+    * *Search frames instead (TimeQ caveat, IvfPrefixLadder), and Bench's
+    * steady-state rep pins these names to their first-pass time. */
   private[graft] def publishedAnswer(s: SparkSession, d: String,
       tag: String)(build: => DataFrame): DataFrame = {
     val dir = SharedStage.memoDir(s, d, tag)(

@@ -1,6 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // UNTIMED-BUT-VERIFIED set: queries Verify still dumps and the DuckDB
+  // oracle still grades every round, but the TIMED fleet omits because
+  // each is the batch-shaped twin of a live streaming query that grades
+  // the SAME operator shape through the real engine (both sides green
+  // since r4-r6). The bench's job is to price each distinct operator
+  // once; pricing the cheap batch shadow of an already-timed live
+  // operator twice buys no signal. The list is printed to stderr and
+  // into the JSON line so the composition is auditable, never silent.
+  // Object-level (not main-local) so PublishedAnswerSpec can pin the
+  // first-consumer invariant against it.
+  private[graft] val untimed = Map(
+    "q_stream_tumbling" -> "batch twin of q_stream_live (1h tumbling agg)",
+    "q_stream_sliding" -> "batch twin of q_stream_live_sliding",
+    "q_stream_session" -> "batch twin of q_stream_live_session (sessionize)",
+    "q_stream_dedup" -> "batch twin of q_stream_live_dedup (min-survivor)",
+    "q_stream_custom_state" -> ("flatMapGroupsWithState (V1 API) twin of " +
+      "q_stream_transform_state — same per-user running (count,sum), " +
+      "same oracle, successor API priced"),
+    "q_dedup_minhash_agg" -> ("HOF-fold implementation twin of " +
+      "q_dedup_minhash_native — same banded-MinHash operator and truth; " +
+      "the native Catalyst-expression form (the scale path) is priced"),
+    "q_join_asof" -> ("window-compose implementation twin of " +
+      "q_join_asof_native — same as-of semantics and truth; the custom " +
+      "SparkPlan form (the scale path) is priced"),
+    "q_text_bpe" -> ("sequential-loop implementation twin of " +
+      "q_text_bpe_batched — same merge table, one shared " +
+      "sequential-replay oracle; the batched trainer (the driver-round " +
+      "scale path) is priced, and q_text_bpe_apply grades its final " +
+      "symbol table too"),
+    "q_window_pattern" -> ("batch twin of q_stream_pattern — the same " +
+      "PatternMachine compile grades the same patterns against " +
+      "one shared oracle; the live-engine form is priced"),
+    "q_sim_ann_prefix" -> ("flat-corpus form of the matryoshka prefix " +
+      "shortlist: priced TWICE already — q_sim_ann_ivf_prefix (the " +
+      "scale composition) and the scorecard's 'prefix' arm both run " +
+      "the same operator inside the timed fleet"),
+    "q_sim_topk" -> ("declared brute-force baseline (the documented " +
+      "cartesian exception): the same corpus-scan + broadcast " +
+      "cross-join + window shape runs timed inside q_sim_ann_recall's " +
+      "single-pass truth builder; the ANN family is the scale path"))
+
   def main(args: Array[String]): Unit = {
     Scratch.init() // RAM-backed staging/checkpoint/spill (SCALE.md)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,44 +107,6 @@ object Bench {
     // warmup runs on a DIFFERENT, 100×-smaller dataset — no graded sf0.1
     // table is read, no graded result is precomputed, and every timed
     // query still does all of its own IO and compute at sf0.1.
-    // UNTIMED-BUT-VERIFIED set: queries Verify still dumps and the DuckDB
-    // oracle still grades every round, but the TIMED fleet omits because
-    // each is the batch-shaped twin of a live streaming query that grades
-    // the SAME operator shape through the real engine (both sides green
-    // since r4-r6). The bench's job is to price each distinct operator
-    // once; pricing the cheap batch shadow of an already-timed live
-    // operator twice buys no signal. The list is printed to stderr and
-    // into the JSON line so the composition is auditable, never silent.
-    val untimed = Map(
-      "q_stream_tumbling" -> "batch twin of q_stream_live (1h tumbling agg)",
-      "q_stream_sliding" -> "batch twin of q_stream_live_sliding",
-      "q_stream_session" -> "batch twin of q_stream_live_session (sessionize)",
-      "q_stream_dedup" -> "batch twin of q_stream_live_dedup (min-survivor)",
-      "q_stream_custom_state" -> ("flatMapGroupsWithState (V1 API) twin of " +
-        "q_stream_transform_state — same per-user running (count,sum), " +
-        "same oracle, successor API priced"),
-      "q_dedup_minhash_agg" -> ("HOF-fold implementation twin of " +
-        "q_dedup_minhash_native — same banded-MinHash operator and truth; " +
-        "the native Catalyst-expression form (the scale path) is priced"),
-      "q_join_asof" -> ("window-compose implementation twin of " +
-        "q_join_asof_native — same as-of semantics and truth; the custom " +
-        "SparkPlan form (the scale path) is priced"),
-      "q_text_bpe" -> ("sequential-loop implementation twin of " +
-        "q_text_bpe_batched — same merge table, one shared " +
-        "sequential-replay oracle; the batched trainer (the driver-round " +
-        "scale path) is priced, and q_text_bpe_apply grades its final " +
-        "symbol table too"),
-      "q_window_pattern" -> ("batch twin of q_stream_pattern — the same " +
-        "PatternMachine compile grades the same three patterns against " +
-        "one shared regex oracle; the live-engine form is priced"),
-      "q_sim_ann_prefix" -> ("flat-corpus form of the matryoshka prefix " +
-        "shortlist: priced TWICE already — q_sim_ann_ivf_prefix (the " +
-        "scale composition) and the scorecard's 'prefix' arm both run " +
-        "the same operator inside the timed fleet"),
-      "q_sim_topk" -> ("declared brute-force baseline (the documented " +
-        "cartesian exception): the same corpus-scan + broadcast " +
-        "cross-join + window shape runs timed inside q_sim_ann_recall's " +
-        "single-pass truth builder; the ANN family is the scale path"))
     untimed.foreach { case (k, why) =>
       require(SparkEntry.queries.contains(k),
         s"untimed entry $k is not a declared query")

@@ -70,6 +70,27 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = planOf(AnnOps.lshSearchGraded(spark, sf))
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
       "rank-limit two-phase missing")
+    // r15 ADVICE: the fleet-wide no-cartesian test now sees the
+    // published-answer parquet scan for this query, so the LSH
+    // pipeline's own plan must carry the audit — band-keyed candidate
+    // equi-join, probe side broadcast, never all-pairs
+    assert(!p.contains("CartesianProduct"),
+      s"LSH candidate generation must stay a band equi-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the probe-signature side should broadcast into the band join:\n$p")
+  }
+
+  test("IVF candidates come from the cell equi-join with broadcast probes; no cartesian") {
+    // r15 ADVICE: q_sim_ann_ivf's registered frame is a staged-answer
+    // read, so the fleet-wide audit no longer sees the pipeline — pin
+    // the inner frame directly (same treatment as the PQ/prefix tests)
+    val p = planOf(ScaleOps.ivfSearch(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"IVF scoring must never cross vectors with vectors:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the nprobe-cell probe fan-out should broadcast into the cell join:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"),
+      s"the per-probe top-3 should stay a two-phase rank limit:\n$p")
   }
 
   test("native as-of join plans AsOfJoinExec with co-partitioned sorted children") {
