@@ -1093,25 +1093,34 @@ object AggWinOps {
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("ev"))).as("evs"))
       .withColumn("ts_chars", expr("transform(evs, e -> e.t)"))
-    val counted = PatternMachine.Graded.foldLeft(evs) {
-      case (df, (name, pat)) =>
-        df.withColumn(s"n_$name",
-          expr(PatternMachine.sqlFold(pat, "ts_chars")))
+    val counted = PatternMachine.GradedAll.foldLeft(evs) {
+      case (df, (name, c)) =>
+        // windowed machines fold over the (tsu, t) structs; time-free
+        // machines keep the plain initial-char fold
+        val fold =
+          if (c.maxSpanUs.isDefined) PatternMachine.sqlFoldSpan(c, "evs")
+          else PatternMachine.sqlFold(c.steps, "ts_chars", c.boundary)
+        df.withColumn(s"n_$name", expr(fold))
     }
-    val stacked = PatternMachine.Graded
+    val stacked = PatternMachine.GradedAll
       .map { case (name, _) => s"'$name', n_$name" }.mkString(", ")
     counted.select(col("user_id"),
-        expr(s"stack(${PatternMachine.Graded.size}, $stacked)")
+        expr(s"stack(${PatternMachine.GradedAll.size}, $stacked)")
           .as(Seq("pattern", "n_matches")))
       .filter(col("n_matches") > 0)
       .orderBy(col("user_id"), col("pattern"))
   }
 
   /** Shared by the batch AND streaming forms (one truth, two engines).
-    * The regexes come from [[PatternMachine.oracleRegex]]: lazy
-    * quantifiers make each non-overlapping match the machine's
-    * earliest completion; the banned class keeps a match inside one
-    * segment. */
+    * The time-free patterns keep their INDEPENDENT regex formulation
+    * ([[PatternMachine.oracleRegex]]: lazy quantifiers make each
+    * non-overlapping match the machine's earliest completion; the
+    * banned class keeps a match inside one segment). The windowed
+    * pattern has no regex form — its arm is the recursive-CTE REPLAY
+    * of the same transition ([[PatternMachine.duckReplaySql]]), the
+    * fold-as-oracle-of-record shape: a different ENGINE re-executes
+    * the machine over the (ts, event_id) order and must converge to
+    * the same counts. */
   val qWindowPatternSql: String = {
     val arms = PatternMachine.Graded.map { case (name, pat) =>
       val re = PatternMachine.oracleRegex(pat)
@@ -1119,12 +1128,30 @@ object AggWinOps {
          |  CAST(len(regexp_extract_all(cs, '$re')) AS BIGINT) AS n_matches
          |FROM s""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH s AS (
+    val windowed = PatternMachine.GradedAll
+      .filter { case (_, c) => c.maxSpanUs.isDefined }
+    val recCtes = windowed.map { case (name, c) =>
+      s"rec_$name AS (\n  ${PatternMachine.duckReplaySql(c, "ev", s"rec_$name")})"
+    }.mkString(",\n")
+    val winArms = windowed.map { case (name, _) =>
+      // cnt is monotone in i, so MAX(cnt) is the converged fold state
+      s"""SELECT user_id, '$name' AS pattern, MAX(cnt) AS n_matches
+         |FROM rec_$name GROUP BY user_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE s AS (
        |  SELECT user_id,
        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS cs
        |  FROM events GROUP BY user_id),
+       |ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+       |    substr(event_type, 1, 1) AS t,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+       |  FROM events),
+       |$recCtes,
        |m AS (
-       |  $arms)
+       |  $arms
+       |  UNION ALL
+       |  $winArms)
        |SELECT user_id, pattern, n_matches FROM m
        |WHERE n_matches > 0 ORDER BY user_id, pattern""".stripMargin
   }

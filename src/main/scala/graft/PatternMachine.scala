@@ -43,32 +43,84 @@ object PatternMachine {
     * the original view→purchase machine, the 3-step funnel
     * view→click→purchase, and click→view — distinct shapes (2- vs
     * 3-step, boundary- vs non-boundary-terminated; the last can
-    * complete several times inside one segment). */
+    * complete several times inside one segment). These three carry a
+    * regex oracle; the WINDOWED pattern below does not (regexes cannot
+    * see time). */
   val Graded: Seq[(String, Seq[String])] = Seq(
     "vp" -> Seq("v", "p"),
     "vcp" -> Seq("v", "c", "p"),
     "cv" -> Seq("c", "v"))
 
-  final case class Compiled(steps: IndexedSeq[String], boundary: Set[String]) {
+  /** The graded within-window span (r15 verdict item 5): a completion
+    * counts only if last − first event ≤ 30 minutes. Strongly
+    * discriminating on the fixture (sf0.01: 480 unwindowed vp matches
+    * → 20 windowed). */
+  val WindowSpanUs: Long = 30L * 60 * 1000000
+
+  /** ALL graded machines — the three regex-oracled patterns plus the
+    * windowed funnel `vp_w30` (view→purchase WITHIN 30 minutes). Both
+    * the batch and the streaming query iterate this list. */
+  val GradedAll: Seq[(String, Compiled)] =
+    Graded.map { case (n, p) => (n, compile(p)) } :+
+      ("vp_w30" -> compile(Seq("v", "p"), maxSpanUs = Some(WindowSpanUs)))
+
+  final case class Compiled(steps: IndexedSeq[String], boundary: Set[String],
+      maxSpanUs: Option[Long] = None) {
     private val m = steps.length
 
-    /** One transition of the machine: state = (progress, matches). */
-    def step(state: (Long, Long), t: String): (Long, Long) = {
-      val (prog, n) = state
+    /** One transition of the machine over (type, event-time µs);
+      * state = (progress, matches, firstTsu of the in-flight partial).
+      *
+      * WITHIN-WINDOW semantics (maxSpanUs): a partial whose span is
+      * already exceeded when the next event arrives is EXPIRED before
+      * that event participates — it can never complete within the
+      * span, and the event may itself start a new attempt. The machine
+      * is deliberately NON-BACKTRACKING: it never revisits older
+      * potential starts (a later first-element occurrence inside a
+      * dead partial is not reconsidered), which is exactly what keeps
+      * state three longs per (key, pattern) at any stream length. The
+      * contract is therefore "leftmost attempt with expiry restart",
+      * pinned identically in all three artifacts (this fold, the SQL
+      * fold, the DuckDB recursive replay) — the fold is the oracle of
+      * record; there is no regex formulation of a time constraint. */
+    def stepT(state: (Long, Long, Long), t: String, tsu: Long)
+        : (Long, Long, Long) = {
+      val expired = maxSpanUs.exists(d => state._1 > 0 && tsu - state._3 > d)
+      val prog = if (expired) 0L else state._1
+      val first = if (expired) 0L else state._3
+      val n = state._2
       val matched = t == steps(prog.toInt)
       val completed = matched && prog + 1 == m
       val prog1 =
         if (completed) 0L else if (matched) prog + 1 else prog
+      val first1 =
+        if (completed) 0L
+        else if (matched && prog == 0) tsu
+        else first
       val n1 = if (completed) n + 1 else n
       // the boundary closes the segment AFTER the event participates:
       // a boundary type may be the pattern's final element, but any
       // partial progress dies with the segment
-      if (boundary(t)) (0L, n1) else (prog1, n1)
+      if (boundary(t)) (0L, n1, 0L) else (prog1, n1, first1)
     }
 
-    /** Fold over a whole ordered sequence (threading state across
-      * arbitrary splits equals one pass — PatternMachineSpec pins the
-      * composition property the micro-batch replay relies on). */
+    /** Fold over a whole ordered (type, tsu) sequence (threading state
+      * across arbitrary splits equals one pass — PatternMachineSpec
+      * pins the composition property the micro-batch replay relies
+      * on). */
+    def runT(state: (Long, Long, Long),
+        evs: IterableOnce[(String, Long)]): (Long, Long, Long) =
+      evs.iterator.foldLeft(state) { case (st, (t, tsu)) => stepT(st, t, tsu) }
+
+    /** Legacy time-free transition (unwindowed machines only):
+      * state = (progress, matches). */
+    def step(state: (Long, Long), t: String): (Long, Long) = {
+      require(maxSpanUs.isEmpty,
+        "a windowed machine needs event times — use stepT/runT")
+      val r = stepT((state._1, state._2, 0L), t, 0L)
+      (r._1, r._2)
+    }
+
     def run(state: (Long, Long), ts: IterableOnce[String]): (Long, Long) =
       ts.iterator.foldLeft(state)(step)
   }
@@ -78,13 +130,15 @@ object PatternMachine {
     * made, a contradiction the compiler rejects rather than silently
     * never-matching. */
   def compile(pattern: Seq[String],
-      boundary: Set[String] = Boundary): Compiled = {
+      boundary: Set[String] = Boundary,
+      maxSpanUs: Option[Long] = None): Compiled = {
     require(pattern.nonEmpty, "empty pattern")
     require(pattern.forall(_.length == 1),
       s"pattern elements are event-type initials, got $pattern")
     require(pattern.init.forall(c => !boundary(c)),
       s"only the final pattern element may be a boundary type: $pattern")
-    Compiled(pattern.toIndexedSeq, boundary)
+    require(maxSpanUs.forall(_ > 0), s"non-positive span: $maxSpanUs")
+    Compiled(pattern.toIndexedSeq, boundary, maxSpanUs)
   }
 
   private def sqlStr(xs: Iterable[String]): String =
@@ -108,6 +162,68 @@ object PatternMachine {
        |      IF($completed, 0L, IF($matched, st.prog + 1L, st.prog))),
        |    'cnt', IF($completed, st.cnt + 1L, st.cnt)),
        |  st -> st.cnt)""".stripMargin
+  }
+
+  /** The batch form of a WINDOWED machine: a Spark SQL `aggregate()`
+    * fold over `arr` — an array column of structs carrying fields
+    * `t` (event-type initial) and `tsu` (event-time µs) in event-time
+    * order — computing exactly [[Compiled.stepT]] from the zero state.
+    * Row-local and whole-stage-codegen'd, no UDF, like [[sqlFold]];
+    * the state struct adds the in-flight partial's first timestamp. */
+  def sqlFoldSpan(c: Compiled, arr: String): String = {
+    val d = c.maxSpanUs.getOrElse(
+      sys.error("sqlFoldSpan needs a windowed machine"))
+    val m = c.steps.length
+    val stepsArr = s"array(${sqlStr(c.steps)})"
+    val isBoundary = s"e.t IN (${sqlStr(c.boundary.toSeq.sorted)})"
+    // no let-bindings in SQL lambdas: the shared subexpressions are
+    // inlined by substitution (codegen CSE's them)
+    val expired = s"(st.prog > 0L AND e.tsu - st.first > ${d}L)"
+    val p0 = s"IF($expired, 0L, st.prog)"
+    val f0 = s"IF($expired, 0L, st.first)"
+    val matched = s"e.t = element_at($stepsArr, CAST($p0 AS INT) + 1)"
+    val completed = s"($matched AND $p0 = ${m - 1}L)"
+    s"""aggregate($arr, named_struct('prog', 0L, 'cnt', 0L, 'first', 0L),
+       |  (st, e) -> named_struct(
+       |    'prog', IF($isBoundary, 0L,
+       |      IF($completed, 0L, IF($matched, $p0 + 1L, $p0))),
+       |    'cnt', IF($completed, st.cnt + 1L, st.cnt),
+       |    'first', IF($isBoundary OR $completed, 0L,
+       |      IF(($matched) AND $p0 = 0L, e.tsu, $f0))),
+       |  st -> st.cnt)""".stripMargin
+  }
+
+  /** The DuckDB oracle formulation of a WINDOWED machine: there is no
+    * regex for a time constraint, so the independent engine REPLAYS the
+    * same transition — a recursive CTE stepping (prog, cnt, first_tsu)
+    * over each user's (ts, event_id)-ordered events (the r15 verdict's
+    * prescribed shape: fold as oracle-of-record, DuckDB replay as the
+    * cross-engine check). Expects a CTE `$ev` with columns (user_id,
+    * tsu, t, i) where i is the per-user 1-based event rank; emits the
+    * recursive CTE body for `$rec`. The final per-user count is
+    * MAX(cnt) over `$rec` (cnt is monotone in i). */
+  def duckReplaySql(c: Compiled, ev: String, rec: String): String = {
+    val d = c.maxSpanUs.getOrElse(
+      sys.error("duckReplaySql is for windowed machines"))
+    val m = c.steps.length
+    val stepsList = s"[${sqlStr(c.steps)}]"
+    val bnd = s"e.t IN (${sqlStr(c.boundary.toSeq.sorted)})"
+    val expired = s"(r.prog > 0 AND e.tsu - r.first_tsu > $d)"
+    val p0 = s"(CASE WHEN $expired THEN 0 ELSE r.prog END)"
+    val f0 = s"(CASE WHEN $expired THEN 0 ELSE r.first_tsu END)"
+    val matched = s"(e.t = list_extract($stepsList, CAST($p0 AS INT) + 1))"
+    val completed = s"($matched AND $p0 = ${m - 1})"
+    s"""SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS prog,
+       |    CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS first_tsu
+       |  FROM (SELECT DISTINCT user_id FROM $ev)
+       |  UNION ALL
+       |  SELECT r.user_id, r.i + 1,
+       |    CASE WHEN $bnd THEN 0 WHEN $completed THEN 0
+       |         WHEN $matched THEN $p0 + 1 ELSE $p0 END,
+       |    r.cnt + CASE WHEN $completed THEN 1 ELSE 0 END,
+       |    CASE WHEN $bnd OR $completed THEN 0
+       |         WHEN $matched AND $p0 = 0 THEN e.tsu ELSE $f0 END
+       |  FROM $rec r JOIN $ev e ON e.user_id = r.user_id AND e.i = r.i + 1""".stripMargin
   }
 
   /** The DuckDB oracle formulation: count non-overlapping

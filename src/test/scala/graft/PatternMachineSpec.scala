@@ -74,18 +74,117 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
-  test("the fold composes across arbitrary batch boundaries, every graded pattern") {
+  /** Timestamped sequences for the WINDOWED machine: inter-event gaps
+    * drawn around the graded 30-minute span so both sides (within /
+    * exceeded) occur; occasional zero gaps exercise timestamp ties. */
+  private val timedSeqGen: Gen[List[(String, Long)]] = for {
+    ts <- seqGen
+    gaps <- Gen.listOfN(ts.length,
+      Gen.frequency(1 -> Gen.const(0L),
+        5 -> Gen.chooseNum(1L, PatternMachine.WindowSpanUs * 2)))
+  } yield ts.zip(gaps.scanLeft(1000000L)(_ + _))
+
+  test("the fold composes across arbitrary batch boundaries, every graded machine") {
     // split-anywhere: running the machine over slices in order,
     // threading state, equals one pass — the exact property the
-    // micro-batch replay relies on
-    check("split-anywhere", Prop.forAll(seqGen, Gen.chooseNum(0, 200)) {
-      (ts, cut) =>
-        val (a, b) = ts.splitAt(cut min ts.length)
-        PatternMachine.Graded.forall { case (_, pat) =>
-          val c = PatternMachine.compile(pat)
-          c.run(c.run((0L, 0L), a), b) == c.run((0L, 0L), ts)
+    // micro-batch replay relies on; the 3-long state must carry the
+    // windowed machine's in-flight first timestamp across the cut too
+    check("split-anywhere", Prop.forAll(timedSeqGen, Gen.chooseNum(0, 200)) {
+      (evs, cut) =>
+        val (a, b) = evs.splitAt(cut min evs.length)
+        PatternMachine.GradedAll.forall { case (_, c) =>
+          c.runT(c.runT((0L, 0L, 0L), a), b) == c.runT((0L, 0L, 0L), evs)
         }
     })
+  }
+
+  test("an effectively-infinite span reduces the windowed machine to the time-free one") {
+    val huge = PatternMachine.compile(Seq("v", "p"),
+      maxSpanUs = Some(Long.MaxValue / 2))
+    check("infinite-span", Prop.forAll(timedSeqGen) { evs =>
+      huge.runT((0L, 0L, 0L), evs)._2 == machine(evs.map(_._1), Seq("v", "p"))
+    })
+  }
+
+  test("windowed count never exceeds the unwindowed count") {
+    val w = PatternMachine.GradedAll.collectFirst {
+      case (_, c) if c.maxSpanUs.isDefined => c }.get
+    check("windowed-bounded", Prop.forAll(timedSeqGen) { evs =>
+      w.runT((0L, 0L, 0L), evs)._2 <= machine(evs.map(_._1), Seq("v", "p"))
+    })
+  }
+
+  test("the micro-batch fold is invariant under any shuffle-arrival permutation") {
+    // the spec-backed justification for the processor's per-batch
+    // buffer (r15 verdict item 6): rows reach the processor through a
+    // user_id shuffle whose read order is NOT a Spark contract, so the
+    // processor sorts the batch by (tsu, event_id) before folding —
+    // cepBatchFold's output must therefore be identical for EVERY
+    // arrival order of the same rows, windowed machine included
+    val rowGen: Gen[List[(Long, Long, Long, String)]] = for {
+      evs <- timedSeqGen
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield {
+      val rows = evs.zipWithIndex.map { case ((t, tsu), i) =>
+        (7L, tsu, i.toLong, t) }
+      new scala.util.Random(seed).shuffle(rows)
+    }
+    check("order-invariant", Prop.forAll(rowGen) { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      PatternMachine.GradedAll.forall { case (_, c) =>
+        StreamOps.cepBatchFold(c, (0L, 0L, 0L), rows) ==
+          StreamOps.cepBatchFold(c, (0L, 0L, 0L), sorted)
+      }
+    })
+  }
+
+  test("sqlFoldSpan (the windowed batch artifact) equals the machine") {
+    // execution-pinned like the sqlFold test below: the generated
+    // aggregate() lambda runs through real Catalyst/codegen over
+    // random timestamped sequences and must reproduce stepT exactly
+    val spark = TestSpark.spark
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = Vector("v", "c", "p", "e", "s", "x")
+    val span = PatternMachine.WindowSpanUs
+    val seqs = (0 until 60).map { i =>
+      var tsu = 1000000L
+      (i.toLong, (0 until rnd.nextInt(120)).map { j =>
+        tsu += (if (rnd.nextInt(6) == 0) 0L else rnd.nextLong(2 * span))
+        (tsu, j.toLong, alphabet(rnd.nextInt(alphabet.size)))
+      })
+    }
+    val machines = Seq(
+      PatternMachine.compile(Seq("v", "p"), maxSpanUs = Some(span)),
+      PatternMachine.compile(Seq("v", "c", "p"), maxSpanUs = Some(span)),
+      PatternMachine.compile(Seq("c", "v"), maxSpanUs = Some(span / 7)))
+    import org.apache.spark.sql.{types => st}
+    val df = spark.createDataFrame(
+      seqs.map { case (id, evs) => org.apache.spark.sql.Row(id,
+        evs.map { case (tsu, eid, t) =>
+          org.apache.spark.sql.Row(tsu, eid, t) }.toArray)
+      }.asJava,
+      st.StructType(Seq(
+        st.StructField("id", st.LongType),
+        st.StructField("evs", st.ArrayType(st.StructType(Seq(
+          st.StructField("tsu", st.LongType),
+          st.StructField("event_id", st.LongType),
+          st.StructField("t", st.StringType))))))))
+    val folded = machines.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"n_$i",
+        org.apache.spark.sql.functions.expr(
+          PatternMachine.sqlFoldSpan(c, "evs")))
+    }
+    val got = folded.collect().map(r =>
+      r.getLong(0) -> machines.indices.map(i => r.getLong(2 + i))).toMap
+    seqs.foreach { case (id, evs) =>
+      machines.zipWithIndex.foreach { case (c, i) =>
+        val want = c.runT((0L, 0L, 0L), evs.map(e => (e._3, e._1)))._2
+        assert(got(id)(i) === want,
+          s"sqlFoldSpan diverged from machine: id=$id steps=${c.steps} " +
+            s"sql=${got(id)(i)} machine=$want")
+      }
+    }
   }
 
   test("sqlFold (the batch query's executed artifact) equals the machine") {
@@ -153,5 +252,26 @@ class PatternMachineSpec extends AnyFunSuite {
     // non-boundary-closed pattern matches repeatedly inside a segment
     assert(machine(Seq("c", "v", "c", "v"), Seq("c", "v")) === 2L)
     assert(machine(Seq("c", "s", "v"), Seq("c", "v")) === 0L)
+  }
+
+  test("windowed vignettes (expiry restarts at the current event; no backtracking)") {
+    val span = PatternMachine.WindowSpanUs
+    val w = PatternMachine.compile(Seq("v", "p"), maxSpanUs = Some(span))
+    def n(evs: (String, Long)*): Long = w.runT((0L, 0L, 0L), evs)._2
+    // within the span → match; exactly at the span → still a match
+    assert(n(("v", 0L), ("p", span)) === 1L)
+    // one microsecond past → the partial expires, p can't complete
+    assert(n(("v", 0L), ("p", span + 1)) === 0L)
+    // expiry happens BEFORE the event participates: a late 'v' starts
+    // a fresh attempt that the next in-span 'p' completes
+    assert(n(("v", 0L), ("v", span + 1), ("p", span + 2)) === 1L)
+    // NON-BACKTRACKING: while a partial is alive, a later 'v' does not
+    // replace its start — the machine keeps the leftmost attempt, so a
+    // 'p' in range of the second 'v' but not the first matches nothing
+    assert(n(("v", 0L), ("v", span / 2), ("p", span + 1)) === 0L)
+    // boundary semantics are unchanged by the window
+    assert(n(("v", 0L), ("e", 1L), ("p", 2L)) === 0L)
+    // two full matches, each within its own span
+    assert(n(("v", 0L), ("p", 1L), ("v", span * 2), ("p", span * 2 + 1)) === 2L)
   }
 }
