@@ -53,6 +53,13 @@ class PublishedAnswerSpec extends AnyFunSuite {
         s"source=$tags map=${owners.keySet}")
   }
 
+  test("AnnOps.publishedAnswerQueries is exactly the owner set") {
+    // Bench's steady-state rep pins these names to their first-pass
+    // time; a drift here would let a staged-read rep time leak into
+    // the steady total
+    assert(AnnOps.publishedAnswerQueries === owners.values.toSet)
+  }
+
   test("every timed owner sorts before the scorecard; ans_prefix is the only untimed owner") {
     owners.values.foreach(o =>
       assert(SparkEntry.queries.contains(o), s"owner $o not declared"))

@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *    the whole point of the operator (rewrite cost scales with the
   *    change set, not the table).
   *  - q_stream_sink's parquet file sink must be exactly-once across a
-  *    checkpoint restart: the second stream start (inside the query)
+  *    checkpoint restart: a second stream start on the same checkpoint
+  *    (StreamOps.streamSinkRestart, driven by this spec since r16)
   *    commits nothing, so the bytes on disk equal what the metadata log
   *    resolves — no orphaned duplicate output.
   */
@@ -105,6 +106,10 @@ class SinkSemanticsSpec extends AnyFunSuite {
   test("streaming file sink is exactly-once: bytes on disk == metadata-resolved rows") {
     val res = StreamOps.qStreamSink(spark, sf).collect()
     assert(res.nonEmpty)
+    // exactly-once RESTART: start the same stream on the same checkpoint
+    // with no new source files — the sink's commit log must re-emit
+    // nothing (since r16 the restart lives here, not in the timed query)
+    StreamOps.streamSinkRestart(spark, sf)
     val out = RelOps.stagingDir(spark, "stream_sink_out")
     // rows resolved through the sink's _spark_metadata commit log
     val resolved = spark.read.parquet(out).count()
