@@ -1096,11 +1096,9 @@ object AggWinOps {
     val counted = PatternMachine.GradedAll.foldLeft(evs) {
       case (df, (name, c)) =>
         // windowed machines fold over the (tsu, t) structs; time-free
-        // machines keep the plain initial-char fold
-        val fold =
-          if (c.maxSpanUs.isDefined) PatternMachine.sqlFoldSpan(c, "evs")
-          else PatternMachine.sqlFold(c.steps, "ts_chars", c.boundary)
-        df.withColumn(s"n_$name", expr(fold))
+        // machines (subsequence and contiguous) fold the initial chars
+        df.withColumn(s"n_$name",
+          expr(PatternMachine.sqlFoldOf(c, "ts_chars", "evs")))
     }
     val stacked = PatternMachine.GradedAll
       .map { case (name, _) => s"'$name', n_$name" }.mkString(", ")
@@ -1122,12 +1120,14 @@ object AggWinOps {
     * the machine over the (ts, event_id) order and must converge to
     * the same counts. */
   val qWindowPatternSql: String = {
-    val arms = PatternMachine.Graded.map { case (name, pat) =>
-      val re = PatternMachine.oracleRegex(pat)
-      s"""SELECT user_id, '$name' AS pattern,
-         |  CAST(len(regexp_extract_all(cs, '$re')) AS BIGINT) AS n_matches
-         |FROM s""".stripMargin
-    }.mkString("\n  UNION ALL\n")
+    val arms = PatternMachine.GradedAll
+      .filter { case (_, c) => c.maxSpanUs.isEmpty }
+      .map { case (name, c) =>
+        val re = PatternMachine.oracleRegexOf(c)
+        s"""SELECT user_id, '$name' AS pattern,
+           |  CAST(len(regexp_extract_all(cs, '$re')) AS BIGINT) AS n_matches
+           |FROM s""".stripMargin
+      }.mkString("\n  UNION ALL\n")
     val windowed = PatternMachine.GradedAll
       .filter { case (_, c) => c.maxSpanUs.isDefined }
     val recCtes = windowed.map { case (name, c) =>

@@ -74,6 +74,42 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
+  test("CONTIGUOUS machine equals the literal regex scan, arbitrary patterns") {
+    // the KMP automaton with non-overlapping reset vs java.util.regex's
+    // non-overlapping leftmost literal scan — the independent
+    // formulation the DuckDB arm runs. Patterns include repeated
+    // elements (self-overlapping borders), the case a naive
+    // restart-at-current machine gets wrong.
+    check("contig-equals-regex", Prop.forAll(seqGen, patternGen) {
+      (ts, pat) =>
+        val c = PatternMachine.compile(pat, contiguous = true)
+        val m = java.util.regex.Pattern.compile(
+          PatternMachine.oracleRegexOf(c)).matcher(ts.mkString)
+        var n = 0L
+        while (m.find()) n += 1
+        c.runT((0L, 0L, 0L), ts.map((_, 0L)))._2 == n
+    })
+  }
+
+  test("contiguous vignettes (KMP border fallback, non-overlapping reset)") {
+    def n(pat: Seq[String], ts: String): Long =
+      PatternMachine.compile(pat, contiguous = true)
+        .runT((0L, 0L, 0L), ts.map(ch => (ch.toString, 0L)))._2
+    // the border case: naive restart after 'vv' mismatch at 'v' would
+    // lose the carried progress and miss the match one step later
+    assert(n(Seq("v", "v", "c"), "vvvc") === 1L)
+    // non-overlapping: 'vvv' holds ONE 'vv', 'vvvv' holds two
+    assert(n(Seq("v", "v"), "vvv") === 1L)
+    assert(n(Seq("v", "v"), "vvvv") === 2L)
+    // adjacency is strict: anything between breaks the match
+    assert(n(Seq("v", "v"), "vcv") === 0L)
+    assert(n(Seq("v", "c"), "vxc") === 0L)
+    // a boundary-final pattern still completes contiguously
+    assert(n(Seq("v", "p"), "vp") === 1L)
+    // subsequence 'vp' would match here; contiguity must not
+    assert(n(Seq("v", "p"), "vcp") === 0L)
+  }
+
   /** Timestamped sequences for the WINDOWED machine: inter-event gaps
     * drawn around the graded 30-minute span so both sides (within /
     * exceeded) occur; occasional zero gaps exercise timestamp ties. */
@@ -229,10 +265,53 @@ class PatternMachineSpec extends AnyFunSuite {
     }
   }
 
+  test("sqlFoldContig (the contiguous batch artifact) equals the machine") {
+    // execution-pinned: the embedded KMP DFA literal runs through real
+    // Catalyst/codegen over random sequences and must reproduce the
+    // automaton exactly (an off-by-one in the 1-based element_at /
+    // array_position indexing would hide until fixture data hit it)
+    val spark = TestSpark.spark
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = Vector("v", "c", "p", "e", "s", "x")
+    val seqs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(120)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size))))
+    }
+    val machines = Seq(Seq("v", "v"), Seq("v", "v", "c"), Seq("c", "v"),
+      Seq("v", "c", "v", "p"))
+      .map(p => PatternMachine.compile(p, contiguous = true))
+    val df = spark.createDataFrame(
+      seqs.map { case (id, ts) => org.apache.spark.sql.Row(id, ts.toArray) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_chars",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val folded = machines.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"n_$i",
+        org.apache.spark.sql.functions.expr(
+          PatternMachine.sqlFoldContig(c, "ts_chars")))
+    }
+    val got = folded.collect().map(r =>
+      r.getLong(0) -> machines.indices.map(i => r.getLong(2 + i))).toMap
+    seqs.foreach { case (id, ts) =>
+      machines.zipWithIndex.foreach { case (c, i) =>
+        val want = c.runT((0L, 0L, 0L), ts.map((_, 0L)))._2
+        assert(got(id)(i) === want,
+          s"sqlFoldContig diverged: id=$id steps=${c.steps} " +
+            s"seq=${ts.mkString} sql=${got(id)(i)} machine=$want")
+      }
+    }
+  }
+
   test("compiler rejects mid-pattern boundary types") {
     assertThrows[IllegalArgumentException](
       PatternMachine.compile(Seq("p", "v")))
     assertThrows[IllegalArgumentException](PatternMachine.compile(Nil))
+    assertThrows[IllegalArgumentException](PatternMachine.compile(
+      Seq("v", "p"), maxSpanUs = Some(1000L), contiguous = true))
   }
 
   test("known vignettes") {
