@@ -1120,24 +1120,29 @@ object AggWinOps {
     * the machine over the (ts, event_id) order and must converge to
     * the same counts. */
   val qWindowPatternSql: String = {
-    val arms = PatternMachine.GradedAll
+    val regexArms = PatternMachine.GradedAll
       .filter { case (_, c) => c.maxSpanUs.isEmpty }
       .map { case (name, c) =>
         val re = PatternMachine.oracleRegexOf(c)
         s"""SELECT user_id, '$name' AS pattern,
            |  CAST(len(regexp_extract_all(cs, '$re')) AS BIGINT) AS n_matches
            |FROM s""".stripMargin
-      }.mkString("\n  UNION ALL\n")
+      }
     val windowed = PatternMachine.GradedAll
       .filter { case (_, c) => c.maxSpanUs.isDefined }
+    // both sections are assembled conditionally so emptying EITHER
+    // subset of GradedAll degrades to valid SQL instead of a dangling
+    // comma / empty UNION ALL branch (r16 self-review finding)
     val recCtes = windowed.map { case (name, c) =>
-      s"rec_$name AS (\n  ${PatternMachine.duckReplaySql(c, "ev", s"rec_$name")})"
-    }.mkString(",\n")
+      s",\nrec_$name AS (\n  ${PatternMachine.duckReplaySql(c, "ev", s"rec_$name")})"
+    }.mkString
     val winArms = windowed.map { case (name, _) =>
       // cnt is monotone in i, so MAX(cnt) is the converged fold state
       s"""SELECT user_id, '$name' AS pattern, MAX(cnt) AS n_matches
          |FROM rec_$name GROUP BY user_id""".stripMargin
-    }.mkString("\n  UNION ALL\n")
+    }
+    val arms = (regexArms ++ winArms).mkString("\n  UNION ALL\n")
+    require(arms.nonEmpty, "GradedAll is empty")
     s"""WITH RECURSIVE s AS (
        |  SELECT user_id,
        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS cs
@@ -1146,12 +1151,9 @@ object AggWinOps {
        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
        |    substr(event_type, 1, 1) AS t,
        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
-       |  FROM events),
-       |$recCtes,
+       |  FROM events)$recCtes,
        |m AS (
-       |  $arms
-       |  UNION ALL
-       |  $winArms)
+       |  $arms)
        |SELECT user_id, pattern, n_matches FROM m
        |WHERE n_matches > 0 ORDER BY user_id, pattern""".stripMargin
   }

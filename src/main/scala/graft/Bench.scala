@@ -220,8 +220,15 @@ object Bench {
       timeFleet().toMap
     }
     val results = fleet.map { case (name, _) => name -> runs.head(name) }
+    // pinned to FIRST-pass time: the published-answer serving queries
+    // (rep 2 reads a staged ≤30-row parquet) AND the recall scorecard —
+    // q_sim_ann_prefix is untimed, so the scorecard's rep 1 is the
+    // prefix pipeline's first consumer and pays its build; letting
+    // min() pick rep 2 would silently drop that pipeline from the
+    // steady total (the exact leak PublishedAnswerSpec polices)
+    val steadyPinned = AnnOps.publishedAnswerQueries + "q_sim_ann_recall"
     val steady = fleet.map { case (name, _) =>
-      name -> (if (AnnOps.publishedAnswerQueries(name)) runs.head(name)
+      name -> (if (steadyPinned(name)) runs.head(name)
                else runs.map(_(name)).min)
     }
     // 3-decimal timings: the full-precision line was ~3.5 KB and the

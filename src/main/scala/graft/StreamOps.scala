@@ -511,6 +511,14 @@ object StreamOps {
     val ckpt = RelOps.stagingDir(s, "stream_sink_ckpt")
     require(new java.io.File(ckpt).isDirectory,
       "streamSinkRestart needs a prior qStreamSink run's checkpoint")
+    // the out/ckpt dirs are not sfDir-keyed — restarting against a
+    // checkpoint produced from a DIFFERENT sfDir would feed the stream
+    // a changed source path (Spark aborts, or worse re-emits); the
+    // sentinel file qStreamSink writes makes the misuse loud instead
+    val sfTag = java.nio.file.Paths.get(ckpt, "_graft_sfdir")
+    require(java.nio.file.Files.exists(sfTag) &&
+      java.nio.file.Files.readString(sfTag) == SharedStage.pathTag(d),
+      s"streamSinkRestart($d) against a checkpoint from a different sfDir")
     withStreamParts(s, noDataBatches = true) {
       streamSinkRun(s, streamSinkSrc(s, d), out, ckpt)
     }
@@ -522,6 +530,9 @@ object StreamOps {
     val out = RelOps.stagingDir(s, "stream_sink_out")
     val ckpt = RelOps.stagingDir(s, "stream_sink_ckpt")
     Seq(out, ckpt).foreach(RelOps.deleteRecursively)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ckpt, "_graft_sfdir"), SharedStage.pathTag(d))
     streamSinkRun(s, src, out, ckpt)
     s.read.parquet(out)
       .filter(col("event_type") =!= "__wm__")
@@ -892,17 +903,23 @@ object StreamOps {
     * order + one slice per trigger keeps the same bound in
     * production). Across batches the time-sliced source delivers
     * oldest-first, so cross-batch order needs no buffer at all. */
+  /** The per-batch ordering step [[PatternProcessor]] executes: sort a
+    * key's batch rows (user_id, tsu, event_id, t) into the batch
+    * engine's (tsu, event_id) total order — ONCE per batch, shared by
+    * every machine's fold. */
+  private[graft] def cepOrder(
+      rows: Seq[(Long, Long, Long, String)]): Seq[(String, Long)] =
+    rows.sortBy(r => (r._2, r._3)).map(r => (r._4, r._2))
+
   /** One micro-batch transition exactly as [[PatternProcessor]] executes
-    * it: buffer the key's batch rows (user_id, tsu, event_id, t), sort
-    * them into the batch engine's (tsu, event_id) total order, fold.
-    * Extracted so PatternMachineSpec can pin the guarantee the buffer
-    * buys — the result is invariant under ANY permutation of the
-    * batch's rows, i.e. under anything Spark's non-contractual shuffle
-    * read order can do. */
+    * it: [[cepOrder]] then fold. Extracted so PatternMachineSpec can
+    * pin the guarantee the buffer buys — the result is invariant under
+    * ANY permutation of the batch's rows, i.e. under anything Spark's
+    * non-contractual shuffle read order can do. */
   private[graft] def cepBatchFold(c: PatternMachine.Compiled,
       st0: (Long, Long, Long),
       rows: Seq[(Long, Long, Long, String)]): (Long, Long, Long) =
-    c.runT(st0, rows.sortBy(r => (r._2, r._3)).map(r => (r._4, r._2)))
+    c.runT(st0, cepOrder(rows))
 
   private class PatternProcessor(patterns: Seq[(String, PatternMachine.Compiled)])
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -920,12 +937,15 @@ object StreamOps {
         rows: Iterator[(Long, Long, Long, String)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Int, Long)] = {
-      val ordered = rows.toSeq
+      // ONE sort per batch (cepOrder), shared by all machines' folds —
+      // per-machine cepBatchFold would re-sort identical rows #patterns
+      // times (r16 self-review finding)
+      val ordered = cepOrder(rows.toSeq)
       // eager: state updates must happen inside this call, not while
       // the engine later drains the returned iterator
       compiled.indices.map { i =>
         val st0 = if (st.containsKey(i)) st.getValue(i) else (0L, 0L, 0L)
-        val st1 = cepBatchFold(compiled(i), st0, ordered)
+        val st1 = compiled(i).runT(st0, ordered)
         st.updateValue(i, st1)
         (user, i, st1._2)
       }.iterator
@@ -960,6 +980,11 @@ object StreamOps {
       // (the dir is hand-assembled by rename, no _SUCCESS).
       val src = SharedStage.memoDir(s, d, "stream_pattern_src")(
         dd => new java.io.File(dd, "_GRAFT_STAGED").exists()) { dd =>
+        // clean slate: a failed prior build leaves moved slices without
+        // the marker, and a retry's Files.move would die on them (the
+        // tryCommit stale-tmp lockout class) — parquet writers overwrite
+        // for free, hand-assembled dirs must do it themselves
+        RelOps.deleteRecursively(dd)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dd))
         // ONE staging job: a 2-way range exchange on ts (sampled cut
         // points, no global sort) writes the slices such that part-file
