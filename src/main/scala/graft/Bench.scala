@@ -215,10 +215,27 @@ object Bench {
     // the build-once/serve-many split, disclosed here, identical to how
     // a warmed production service amortizes offline builds.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val runs = (1 to reps).map { r =>
-      if (r > 1) System.err.println(s"[bench] steady-state rep $r/$reps")
-      timeFleet().toMap
+    // wall budget for the TIMED loops (not warmup): on a hot co-tenant
+    // day a 2-rep run could stretch a driver-side timeout we don't
+    // control — losing the whole BENCH artifact. If the loops have
+    // already burned the budget, skip the remaining steady reps LOUDLY
+    // and report the rep count actually run (the single-pass graded
+    // number is complete after rep 1 either way).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "300").toInt
+    val loopStart = System.nanoTime()
+    val runs = (1 to reps).flatMap { r =>
+      val elapsed = (System.nanoTime() - loopStart) / 1e9
+      if (r > 1 && elapsed > budgetS) {
+        System.err.println(f"[bench] BUDGET: skipping steady rep $r/$reps " +
+          f"($elapsed%.0f s of timed loops > $budgetS s) — " +
+          "steady totals degrade toward the single pass, never silently")
+        None
+      } else {
+        if (r > 1) System.err.println(s"[bench] steady-state rep $r/$reps")
+        Some(timeFleet().toMap)
+      }
     }
+    val repsRun = runs.size
     val results = fleet.map { case (name, _) => name -> runs.head(name) }
     // pinned to FIRST-pass time: the published-answer serving queries
     // (rep 2 reads a staged ≤30-row parquet) AND the recall scorecard —
@@ -281,7 +298,7 @@ object Bench {
         """"total_steady_s":%.3f,"bench_reps":%d,"queries":%s,""" +
         """"queries_steady":%s,"untimed_verified":%s,""" +
         """"ledger":"%s","sf":"%s"}""")
-        .formatLocal(java.util.Locale.ROOT, total, steadyTotal, reps, qs,
+        .formatLocal(java.util.Locale.ROOT, total, steadyTotal, repsRun, qs,
           jmap(steady), untimedJson, ledger, sfDir)
     println(line)
     // second, SHORT total line: the driver's log-tail window clipped the
