@@ -68,6 +68,22 @@ class RerunSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("memoized-source stream queries are rerun-idempotent in one session") {
+    // r16 moved their staged sources under SharedStage (built once per
+    // (application, sfDir)); the second call must serve the SAME staged
+    // files and converge to the same answer — a staging-lifecycle bug
+    // (stale slices, missing marker, reused checkpoint) would show here
+    val pa = StreamOps.qStreamPattern(spark, sf).collect().map(_.toSeq)
+    val pb = StreamOps.qStreamPattern(spark, sf).collect().map(_.toSeq)
+    assert(pa.nonEmpty && pa.sameElements(pb))
+    val ma = StreamOps.qStreamMinilog(spark, sf).collect().map(_.toSeq)
+    val mb = StreamOps.qStreamMinilog(spark, sf).collect().map(_.toSeq)
+    assert(ma.nonEmpty && ma.sameElements(mb))
+    val ja = StreamOps.qStreamJoinOuter(spark, sf).collect().map(_.toSeq)
+    val jb = StreamOps.qStreamJoinOuter(spark, sf).collect().map(_.toSeq)
+    assert(ja.nonEmpty && ja.sameElements(jb))
+  }
+
   test("stream-stream join is rerun-idempotent and restores shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val a = StreamOps.qStreamJoin(spark, sf).collect().map(_.toSeq)
