@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Cross-engine fuzz for the q_window_pattern DuckDB oracle (driver-side
+tooling — duckdb is not on the library classpath).
+
+The Spark-side artifacts (machine fold, SQL folds) are property-pinned to
+each other by PatternMachineSpec, and the DuckDB oracle is strict-hash
+green on the fixture at sf0.001/0.01/0.1. This script removes the
+remaining fixture dependence: it generates RANDOM events tables (random
+types incl. boundaries, random timestamps incl. exact-span ties and
+same-timestamp event_id ties), runs the exact oracle SQL the driver runs
+(read from a Verify dump's oracle_sql.json), and compares every
+(user, pattern) count against an independent Python re-implementation of
+the PatternMachine transition (subsequence / windowed / contiguous-KMP).
+
+Usage: python3 tools/fuzz_cep_oracle.py <verify_out_dir> [rounds=30]
+"""
+import json
+import random
+import sys
+
+import duckdb
+
+BOUNDARY = set("esp")
+SPAN_US = 30 * 60 * 1_000_000
+
+
+def machine_sub(evs, pat):
+    prog = cnt = 0
+    m = len(pat)
+    for t, _ in evs:
+        matched = t == pat[prog]
+        completed = matched and prog + 1 == m
+        if completed:
+            cnt += 1
+            prog = 0
+        elif matched:
+            prog += 1
+        if t in BOUNDARY:
+            prog = 0
+    return cnt
+
+
+def machine_win(evs, pat, span):
+    prog = cnt = first = 0
+    m = len(pat)
+    for t, tsu in evs:
+        if prog > 0 and tsu - first > span:
+            prog, first = 0, 0
+        matched = t == pat[prog]
+        completed = matched and prog + 1 == m
+        if matched and prog == 0:
+            first = tsu
+        if completed:
+            cnt += 1
+            prog, first = 0, 0
+        elif matched:
+            prog += 1
+        if t in BOUNDARY:
+            prog, first = 0, 0
+    return cnt
+
+
+def machine_contig(evs, pat):
+    # KMP automaton with non-overlapping reset (mirror of Compiled.delta)
+    m = len(pat)
+    fail = [0] * (m + 1)
+    k = 0
+    for i in range(1, m):
+        while k > 0 and pat[i] != pat[k]:
+            k = fail[k]
+        if pat[i] == pat[k]:
+            k += 1
+        fail[i + 1] = k
+    prog = cnt = 0
+    for t, _ in evs:
+        s = prog
+        while s > 0 and t != pat[s]:
+            s = fail[s]
+        nxt = s + 1 if t == pat[s] else 0
+        if nxt == m:
+            cnt += 1
+            prog = 0
+        else:
+            prog = nxt
+        if t in BOUNDARY:
+            prog = 0
+    return cnt
+
+
+PATTERNS = {
+    "vp": lambda e: machine_sub(e, "vp"),
+    "vcp": lambda e: machine_sub(e, "vcp"),
+    "cv": lambda e: machine_sub(e, "cv"),
+    "vp_w30": lambda e: machine_win(e, "vp", SPAN_US),
+    "vv_adj": lambda e: machine_contig(e, "vv"),
+}
+
+
+def main():
+    out_dir = sys.argv[1]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_window_pattern"]
+    rnd = random.Random(20260815)
+    alphabet = "vcpesx"
+    fails = 0
+    for r in range(rounds):
+        rows = []
+        for u in range(rnd.randint(1, 12)):
+            tsu = 1_700_000_000_000_000
+            for i in range(rnd.randint(0, 150)):
+                # gaps cluster around the span so both windowed sides
+                # occur; 1-in-6 zero gaps exercise (ts, event_id) ties
+                gap = 0 if rnd.random() < 0.17 else rnd.randint(1, 2 * SPAN_US)
+                # occasionally land EXACTLY on the span boundary
+                if rnd.random() < 0.05:
+                    gap = SPAN_US
+                tsu += gap
+                rows.append((u, i, tsu, rnd.choice(alphabet)))
+        con = duckdb.connect()
+        con.execute("""CREATE TABLE events AS
+          SELECT user_id, event_id, make_timestamp(tsu) AS ts,
+                 t || '___' AS event_type
+          FROM (SELECT * FROM (VALUES {}) v(user_id, event_id, tsu, t))"""
+          .format(",".join(f"({u},{i},{tsu},'{t}')" for u, i, tsu, t in rows))
+          if rows else
+          """CREATE TABLE events (user_id BIGINT, event_id BIGINT,
+             ts TIMESTAMP, event_type VARCHAR)""")
+        got = {(u, p): n for u, p, n in con.execute(sql).fetchall()}
+        # expected from the python machines
+        by_user = {}
+        for u, i, tsu, t in sorted(rows, key=lambda x: (x[0], x[2], x[1])):
+            by_user.setdefault(u, []).append((t, tsu))
+        want = {}
+        for u, evs in by_user.items():
+            for name, fn in PATTERNS.items():
+                n = fn(evs)
+                if n > 0:
+                    want[(u, name)] = n
+        if got != want:
+            fails += 1
+            diff = {k: (want.get(k), got.get(k))
+                    for k in set(want) | set(got) if want.get(k) != got.get(k)}
+            print(f"round {r}: MISMATCH {dict(list(diff.items())[:5])}")
+    print(f"{rounds} rounds, {fails} mismatching" if fails
+          else f"OK: {rounds} random tables, all (user, pattern) counts match")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
