@@ -36,6 +36,11 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     args.foreach { name =>
+      if (AnnOps.publishedAnswerQueries(name))
+        System.err.println(s"[timeq] WARNING: $name serves a staged " +
+          "published answer after its first call - reps 2+ time a " +
+          "<=30-row parquet read, not the pipeline; time the inner " +
+          "*Search frame instead (see AnnOps.publishedAnswer)")
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>
         // number of janino compilations attributable to this run (from
