@@ -218,7 +218,11 @@ object Bench {
     // connected-components labels under q_dedup_components), so their
     // steady entry is mostly the serve path — the single-pass `queries`
     // map remains the full-cost, graded record of every query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // default 3 since r17 (r16 verdict item 2): with 2 reps the min gets
+    // one chance to dodge a co-tenant spike; min-of-3 is meaningfully
+    // more spike-robust and the wall budget below still bounds the cost.
+    // The rep count actually run is disclosed as bench_reps either way.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // wall budget for the TIMED loops (not warmup): on a hot co-tenant
     // day a 2-rep run could stretch a driver-side timeout we don't
     // control — losing the whole BENCH artifact. If the loops have
@@ -246,7 +250,15 @@ object Bench {
     // q_sim_ann_prefix is untimed, so the scorecard's rep 1 is the
     // prefix pipeline's first consumer and pays its build; letting
     // min() pick rep 2 would silently drop that pipeline from the
-    // steady total (the exact leak PublishedAnswerSpec polices)
+    // steady total (the exact leak PublishedAnswerSpec polices).
+    // MAINTENANCE RULE (r16 ADVICE): any NEW SharedStage consumer must be
+    // evaluated here — pin it if its reps 2+ serve a staged ANSWER
+    // (nothing of the operator runs), leave it unpinned if later reps
+    // still execute the operator against staged INPUTS (the disclosed
+    // build-once/serve-many split). Evaluated r17 for the ANN index
+    // family: unpinned — every rep re-clones its table and runs the full
+    // probe (and its maintenance verb); only the base-table WRITE is
+    // first-consumer (TimeQ steady 1.3-1.8 s/query, not a file read).
     val steadyPinned = AnnOps.publishedAnswerQueries + "q_sim_ann_recall"
     val steady = fleet.map { case (name, _) =>
       name -> (if (steadyPinned(name)) runs.head(name)

@@ -798,9 +798,20 @@ object StreamOps {
         val parent = MiniLog.manifest(table, ver)
         val affected = delta.select(col("bucket")).distinct()
           .collect().map(_.getLong(0)).toSet // ≤8 buckets, metadata-scale
-        val current = affected.toSeq.sorted.flatMap(b => parent.get(b).map(b -> _))
-          .map { case (b, f) => s.read.parquet(f).withColumn("bucket", lit(b)) }
-          .reduceOption(_ unionByName _)
+        // ONE multi-path read of every affected bucket file (r16 verdict
+        // item: a per-bucket read.parquet + unionByName chain planned one
+        // job per bucket per micro-batch — real at 100 TB micro-batch
+        // rates). The bucket key is re-derived from each row's source
+        // file path: writeBucketFiles lays files out under bucket=<b>/,
+        // so the partition value rides in _metadata.file_path even though
+        // the files themselves are read as bare paths.
+        val affectedFiles = affected.toSeq.sorted.flatMap(parent.get)
+        val current =
+          if (affectedFiles.isEmpty) None
+          else Some(s.read.parquet(affectedFiles: _*)
+            .withColumn("bucket",
+              regexp_extract(col("_metadata.file_path"), "bucket=(\\d+)", 1)
+                .cast("long")))
         val combined = current match {
           case None => delta
           case Some(cur) => cur.unionByName(delta)
