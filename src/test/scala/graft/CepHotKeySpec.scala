@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r16 verdict's watch-item, MEASURED (item 6): the streaming CEP
+  * processor buffers ONE key's rows for ONE micro-batch (cepOrder's
+  * sort — the spec-justified answer to Spark's non-contractual shuffle
+  * read order). This probe drives a synthetic HOT KEY — a single user
+  * owning an entire 1M-event micro-batch, far beyond anything the
+  * graded fixture produces — through the exact per-batch path the
+  * processor runs (materialize → cepOrder → every graded machine's
+  * fold) and records the retained footprint, so SCALE.md's streaming
+  * section carries a number, not a hand-wave. Strings are freshly
+  * allocated (a real stream deserializes per-row strings; interned
+  * literals would understate).
+  *
+  * The assertions are deliberately loose bounds (regression tripwires,
+  * not benchmarks — GC-delta measurement is approximate); the measured
+  * values print via info() for the SCALE.md record. The 100 TB design
+  * note stays unchanged: a key whose single-batch row count threatens
+  * executor heap moves the buffer to ListState spill (RocksDB) or an
+  * event-time-ordered source contract — this probe quantifies where
+  * that threshold actually sits (~100 bytes/row ⇒ tens of millions of
+  * rows per key per batch before a 4 GiB executor feels it).
+  */
+class CepHotKeySpec extends AnyFunSuite {
+
+  private def usedHeap(): Long = {
+    val rt = Runtime.getRuntime
+    System.gc(); Thread.sleep(100); System.gc(); Thread.sleep(100)
+    rt.totalMemory - rt.freeMemory
+  }
+
+  test("hot-key micro-batch: 1M rows for one key — footprint measured, folds correct") {
+    val n = 1000000
+    val types = Array("v", "c", "p", "e", "s", "x")
+    val h0 = usedHeap()
+    // (user_id, tsu, event_id, t) exactly as PatternProcessor receives
+    // them; tsu deliberately non-monotone so cepOrder really sorts
+    val rows: Seq[(Long, Long, Long, String)] = Vector.tabulate(n) { i =>
+      (7L, 1000000L + ((i * 2654435761L) % 1000000L),
+        i.toLong, new String(types(i % types.length)))
+    }
+    val h1 = usedHeap()
+    val ordered = StreamOps.cepOrder(rows)
+    val h2 = usedHeap()
+    val inputBytes = h1 - h0
+    val orderedBytes = h2 - h1
+    info(f"hot-key batch: $n%,d rows, input buffer ~${inputBytes / 1e6}%.1f MB " +
+      f"(${inputBytes.toDouble / n}%.0f B/row), cepOrder output " +
+      f"~${orderedBytes / 1e6}%.1f MB (${orderedBytes.toDouble / n}%.0f B/row)")
+    // the ordering invariant the buffer exists to provide
+    assert(ordered.length === n)
+    assert(ordered.sliding(2).forall {
+      case Seq(a, b) => a._2 <= b._2
+      case _ => true
+    })
+    // every graded machine folds the hot batch in one pass, state stays
+    // three longs regardless of batch size
+    PatternMachine.GradedAll.foreach { case (name, c) =>
+      val st = c.runT((0L, 0L, 0L), ordered)
+      assert(st._2 >= 0L, s"$name fold diverged on the hot batch")
+    }
+    // loose tripwires: a footprint regression (say, buffering decorated
+    // rows or duplicating the batch per machine) would blow well past
+    // these; GC-delta noise stays well under them
+    assert(inputBytes.toDouble / n < 400,
+      f"input buffer ${inputBytes.toDouble / n}%.0f B/row — expected ~100")
+    assert(orderedBytes.toDouble / n < 400,
+      f"ordered buffer ${orderedBytes.toDouble / n}%.0f B/row — expected ~60")
+  }
+}

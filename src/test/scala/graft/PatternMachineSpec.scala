@@ -91,6 +91,100 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
+  /** Random quantified patterns: 1-3 blocks of non-boundary chars with
+    * random {min,max} bounds (incl. optional min=0 and unbounded max),
+    * at least one block required so the empty match is never generated. */
+  private val quantPatternGen: Gen[List[PatternMachine.Block]] = {
+    val blockGen: Gen[PatternMachine.Block] = for {
+      ch <- Gen.oneOf("v", "c", "x")
+      min <- Gen.chooseNum(0, 3)
+      max <- Gen.oneOf(Gen.const(None),
+        Gen.chooseNum(math.max(min, 1), min + 3).map(Some(_)))
+    } yield PatternMachine.Block(ch, min, max)
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, blockGen))
+      .retryUntil(_.exists(_.min > 0))
+  }
+
+  test("QUANTIFIED contiguous machine equals the lazy-regex scan, arbitrary patterns") {
+    // the subset-constructed DFA's earliest-accept non-overlapping scan
+    // vs java.util.regex's non-overlapping leftmost-shortest scan of
+    // the same pattern with lazy quantifiers — the independent
+    // formulation the DuckDB arm runs (RE2 and java.util.regex agree
+    // on this restricted class: literal chars + lazy repetition)
+    check("quant-equals-regex", Prop.forAll(seqGen, quantPatternGen) {
+      (ts, blocks) =>
+        val c = PatternMachine.compileQuantified(blocks)
+        val m = java.util.regex.Pattern.compile(
+          PatternMachine.oracleRegexOf(c)).matcher(ts.mkString)
+        var n = 0L
+        while (m.find()) n += 1
+        c.runT((0L, 0L, 0L), ts.map((_, 0L)))._2 == n
+    })
+  }
+
+  test("a {1,1}-quantified pattern equals the literal contiguous machine") {
+    // the literal tier is the quantified tier's special case: the
+    // subset DFA of all-{1,1} blocks must count exactly like the KMP
+    // automaton on every sequence
+    check("quant-specializes-to-literal", Prop.forAll(seqGen, patternGen) {
+      (ts, pat) =>
+        val lit = PatternMachine.compile(pat, contiguous = true)
+        val q = PatternMachine.compileQuantified(
+          pat.map(PatternMachine.Block(_, 1, Some(1))))
+        q.runT((0L, 0L, 0L), ts.map((_, 0L)))._2 ==
+          lit.runT((0L, 0L, 0L), ts.map((_, 0L)))._2
+    })
+  }
+
+  test("quantified vignettes (vvc_q: v{2,}c)") {
+    val c = PatternMachine.GradedAll.collectFirst {
+      case ("vvc_q", m) => m }.get
+    def n(ts: String): Long =
+      c.runT((0L, 0L, 0L), ts.map(ch => (ch.toString, 0L)))._2
+    assert(n("vvc") === 1L)     // exactly the minimum
+    assert(n("vvvvc") === 1L)   // the run absorbs into ONE match
+    assert(n("vc") === 0L)      // one view is not enough
+    assert(n("vvxc") === 0L)    // adjacency is strict
+    assert(n("vvcvvc") === 2L)  // non-overlapping repeats
+    assert(n("vvcvc") === 1L)   // the second group lacks a view
+    assert(n("vvecc") === 0L)   // boundary breaks the run like any char
+    // bounded quantifier: v{1,2}c completes on the SHORTEST expansion
+    val b = PatternMachine.compileQuantified(Seq(
+      PatternMachine.Block("v", 1, Some(2)), PatternMachine.Block("c", 1, Some(1))))
+    def nb(ts: String): Long =
+      b.runT((0L, 0L, 0L), ts.map(ch => (ch.toString, 0L)))._2
+    assert(nb("vc") === 1L)
+    assert(nb("vvc") === 1L)
+    assert(nb("vvvc") === 1L)   // v{1,2} can't span 3 v's; match = (v@1,v@2,c)
+    assert(nb("vcvvc") === 2L)
+    // optional mid-block: a c{0,1} bridge
+    val o = PatternMachine.compileQuantified(Seq(
+      PatternMachine.Block("v", 1, Some(1)), PatternMachine.Block("c", 0, Some(1)),
+      PatternMachine.Block("v", 1, Some(1))))
+    def no(ts: String): Long =
+      o.runT((0L, 0L, 0L), ts.map(ch => (ch.toString, 0L)))._2
+    assert(no("vv") === 1L)
+    assert(no("vcv") === 1L)
+    assert(no("vccv") === 0L)
+    assert(no("vvv") === 1L)    // earliest end at v@1; v@2 alone can't re-match
+  }
+
+  test("quantified compiler rejections") {
+    import PatternMachine.Block
+    // empty-match pattern
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("v", 0, Some(1)))))
+    // mid-pattern boundary block
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("p", 1, Some(1)), Block("v", 1, Some(1)))))
+    // boundary-typed final block with min > 1 could never complete
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("v", 1, Some(1)), Block("p", 2, Some(2)))))
+    // max < min
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("v", 3, Some(2)))))
+  }
+
   test("contiguous vignettes (KMP border fallback, non-overlapping reset)") {
     def n(pat: Seq[String], ts: String): Long =
       PatternMachine.compile(pat, contiguous = true)
@@ -131,6 +225,79 @@ class PatternMachineSpec extends AnyFunSuite {
         PatternMachine.GradedAll.forall { case (_, c) =>
           c.runT(c.runT((0L, 0L, 0L), a), b) == c.runT((0L, 0L, 0L), evs)
         }
+    })
+  }
+
+  /** INDEPENDENT windowed reformulation (r16 ADVICE: the DuckDB replay
+    * arm and the fuzz tool's Python machine are direct ports of stepT,
+    * so they validate translation, not semantics). This one is derived
+    * from the DIALECT-TIER PROSE, not from the fold's state arithmetic:
+    * an explicit O(n²) enumeration of attempts —
+    *   split events into segments (a boundary event is the last,
+    *   participating, event of its segment); within a segment,
+    *   repeatedly take the EARLIEST occurrence of the first element at
+    *   or after the scan position as the attempt's start, then walk
+    *   forward matching each next needed element in order while every
+    *   arriving event is within `span` of the attempt's first event;
+    *   a completion counts and scanning resumes AFTER the completing
+    *   event; an arriving event beyond the span kills the attempt
+    *   before participating and scanning resumes AT that event (it may
+    *   itself start the next attempt); a partial still alive at
+    *   segment end simply dies (non-backtracking: no other start in
+    *   the segment is ever revisited). */
+  private def bruteWindowed(steps: Seq[String], span: Long,
+      evs: Seq[(String, Long)]): Long = {
+    val boundary = PatternMachine.Boundary
+    val m = steps.length
+    val segs = {
+      val out = scala.collection.mutable.ArrayBuffer[Vector[(String, Long)]]()
+      var cur = Vector.empty[(String, Long)]
+      evs.foreach { e =>
+        cur :+= e
+        if (boundary(e._1)) { out += cur; cur = Vector.empty }
+      }
+      out += cur
+      out.toSeq
+    }
+    segs.map { seg =>
+      var pos = 0
+      var n = 0L
+      var done = false
+      while (!done && pos < seg.length) {
+        seg.indexWhere(_._1 == steps(0), pos) match {
+          case -1 => done = true
+          case a =>
+            val first = seg(a)._2
+            var k = 1
+            var j = a + 1
+            var completed = m == 1
+            var expired = false
+            while (!completed && !expired && j < seg.length) {
+              if (seg(j)._2 - first > span) expired = true
+              else {
+                if (seg(j)._1 == steps(k)) {
+                  k += 1
+                  if (k == m) completed = true
+                }
+                j += 1
+              }
+            }
+            if (completed) { n += 1; pos = if (m == 1) a + 1 else j }
+            else if (expired) pos = j
+            else done = true // partial alive at segment end: attempt dies
+        }
+      }
+      n
+    }.sum
+  }
+
+  test("the windowed fold equals the prose-derived O(n^2) attempt enumeration") {
+    check("windowed-equals-brute", Prop.forAll(timedSeqGen,
+      Gen.oneOf(Seq("v", "p"), Seq("v", "c", "p"), Seq("c", "v")),
+      Gen.oneOf(PatternMachine.WindowSpanUs, PatternMachine.WindowSpanUs / 7, 1L)) {
+      (evs, pat, span) =>
+        val c = PatternMachine.compile(pat, maxSpanUs = Some(span))
+        c.runT((0L, 0L, 0L), evs)._2 == bruteWindowed(pat, span, evs)
     })
   }
 
@@ -280,7 +447,15 @@ class PatternMachineSpec extends AnyFunSuite {
     }
     val machines = Seq(Seq("v", "v"), Seq("v", "v", "c"), Seq("c", "v"),
       Seq("v", "c", "v", "p"))
-      .map(p => PatternMachine.compile(p, contiguous = true))
+      .map(p => PatternMachine.compile(p, contiguous = true)) ++ Seq(
+      // quantified tier: the graded pattern plus bounded/optional shapes
+      // (their subset-DFA literals must survive Catalyst/codegen too)
+      PatternMachine.GradedAll.collectFirst { case ("vvc_q", c) => c }.get,
+      PatternMachine.compileQuantified(Seq(
+        PatternMachine.Block("v", 1, Some(2)), PatternMachine.Block("c", 1, Some(1)))),
+      PatternMachine.compileQuantified(Seq(
+        PatternMachine.Block("v", 1, Some(1)), PatternMachine.Block("c", 0, Some(1)),
+        PatternMachine.Block("v", 1, Some(1)))))
     val df = spark.createDataFrame(
       seqs.map { case (id, ts) => org.apache.spark.sql.Row(id, ts.toArray) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(

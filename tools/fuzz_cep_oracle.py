@@ -16,6 +16,7 @@ Usage: python3 tools/fuzz_cep_oracle.py <verify_out_dir> [rounds=30]
 """
 import json
 import random
+import re
 import sys
 
 import duckdb
@@ -87,12 +88,72 @@ def machine_contig(evs, pat):
     return cnt
 
 
+def machine_win_brute(evs, pat, span):
+    """INDEPENDENT windowed reformulation (r16 ADVICE: machine_win above
+    is a direct port of stepT, so oracle agreement validated translation
+    only). This is the O(n^2) attempt enumeration derived from the
+    dialect-tier prose: per segment, take the earliest first-element
+    occurrence at/after the scan position as the attempt start; walk
+    forward matching needed elements while each arriving event is within
+    span of the start; completion counts and resumes AFTER it; an event
+    beyond the span kills the attempt BEFORE participating and scanning
+    resumes AT it; a partial alive at segment end dies (non-backtracking:
+    no later start in the segment is revisited)."""
+    m = len(pat)
+    segs, cur = [], []
+    for e in evs:
+        cur.append(e)
+        if e[0] in BOUNDARY:
+            segs.append(cur)
+            cur = []
+    segs.append(cur)
+    total = 0
+    for seg in segs:
+        pos = 0
+        while pos < len(seg):
+            a = next((i for i in range(pos, len(seg)) if seg[i][0] == pat[0]),
+                     None)
+            if a is None:
+                break
+            first = seg[a][1]
+            k, j = 1, a + 1
+            completed = m == 1
+            expired = False
+            while not completed and not expired and j < len(seg):
+                if seg[j][1] - first > span:
+                    expired = True
+                else:
+                    if seg[j][0] == pat[k]:
+                        k += 1
+                        completed = k == m
+                    j += 1
+            if completed:
+                total += 1
+                pos = a + 1 if m == 1 else j
+            elif expired:
+                pos = j
+            else:
+                break  # partial alive at segment end
+    return total
+
+
+def quant_regex(evs, lazy_re):
+    """Quantified-contiguous reference via Python's re engine — an
+    INDEPENDENT formulation (lazy non-overlapping scan), not a port of
+    the Scala subset-DFA. Contiguous matches contain only pattern chars
+    (compile forbids non-final boundary elements), so no segment
+    handling is needed: a boundary char breaks adjacency like any
+    non-pattern char."""
+    return len(re.findall(lazy_re, "".join(t for t, _ in evs)))
+
+
 PATTERNS = {
     "vp": lambda e: machine_sub(e, "vp"),
     "vcp": lambda e: machine_sub(e, "vcp"),
     "cv": lambda e: machine_sub(e, "cv"),
     "vp_w30": lambda e: machine_win(e, "vp", SPAN_US),
     "vv_adj": lambda e: machine_contig(e, "vv"),
+    "vvc_q": lambda e: quant_regex(e, r"v{2,}?c"),
 }
 
 
@@ -132,6 +193,12 @@ def main():
             by_user.setdefault(u, []).append((t, tsu))
         want = {}
         for u, evs in by_user.items():
+            # python-side crosscheck: the stepT port and the independent
+            # prose-derived enumeration must agree before either is used
+            # as the oracle's expectation
+            assert machine_win(evs, "vp", SPAN_US) == \
+                machine_win_brute(evs, "vp", SPAN_US), \
+                f"user {u}: stepT port != brute attempt enumeration"
             for name, fn in PATTERNS.items():
                 n = fn(evs)
                 if n > 0:
