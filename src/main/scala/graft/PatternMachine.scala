@@ -102,10 +102,20 @@ object PatternMachine {
       // repeat through the subset-constructed DFA; rides the existing
       // query pair like the other dialects (zero new timed queries)
       "vvc_q" -> compileQuantified(Seq(
-        Block("v", 2, None), Block("c", 1, Some(1)))))
+        Block("v", 2, None), Block("c", 1, Some(1)))),
+      // r17 stretch: ALTERNATION — exactly two adjacent views then a
+      // click OR a purchase (v{2}[cp]), exercising a character class
+      // through the same subset DFA, including a boundary type ('p')
+      // inside a min==1 final class (any boundary match completes
+      // instantly, so progress never has to survive a segment close)
+      "vva_alt" -> compileQuantified(Seq(
+        Block("v", 2, Some(2)), Block("cp", 1, Some(1)))))
 
   /** One quantified pattern element: `ch{min,max}`; `max = None` is
-    * unbounded. */
+    * unbounded. `ch` of length > 1 is an ALTERNATION CLASS — the
+    * element matches one event whose initial is ANY of the chars
+    * (MATCH_RECOGNIZE's `(a|b)` inside the contiguous dialect); chars
+    * are normalized sorted-distinct at compile. */
   final case class Block(ch: String, min: Int, max: Option[Int])
 
   final case class Compiled(steps: IndexedSeq[String], boundary: Set[String],
@@ -171,6 +181,8 @@ object PatternMachine {
       * table the literal tier embeds — one long of runtime state. */
     private def subsetDfa(bs: Seq[Block])
         : (IndexedSeq[String], Array[Array[Int]]) = {
+      // element = (char-CLASS, optional, looping); a length-1 class is
+      // the plain literal case
       val elems: IndexedSeq[(String, Boolean, Boolean)] = bs.flatMap { b =>
         b.max match {
           case Some(mx) =>
@@ -185,18 +197,19 @@ object PatternMachine {
       // accept(p): every element after position p is optional
       val accept: IndexedSeq[Boolean] =
         (0 to nElem).map(p => (p until nElem).forall(i => elems(i)._2))
-      val a = bs.map(_.ch).distinct.toIndexedSeq
+      // alphabet = every char of every class, one column each
+      val a = bs.flatMap(_.ch.map(_.toString)).distinct.toIndexedSeq
       def move(set: Set[Int], ch: String): Set[Int] = {
         val out = scala.collection.mutable.Set[Int](0)
         set.foreach { p =>
           var q = p + 1 // advance, skipping only optional elements
           var cont = true
           while (cont && q <= nElem) {
-            if (elems(q - 1)._1 == ch) out += q
+            if (elems(q - 1)._1.contains(ch)) out += q
             cont = elems(q - 1)._2
             q += 1
           }
-          if (p >= 1 && elems(p - 1)._3 && elems(p - 1)._1 == ch) out += p
+          if (p >= 1 && elems(p - 1)._3 && elems(p - 1)._1.contains(ch)) out += p
         }
         out.toSet
       }
@@ -323,19 +336,27 @@ object PatternMachine {
     * mid-pattern (or repeated-final) boundary element would need its
     * own progress to survive the segment close it triggers, a
     * contradiction rejected at compile like the literal tiers'. */
-  def compileQuantified(blocks: Seq[Block],
+  def compileQuantified(blocks0: Seq[Block],
       boundary: Set[String] = Boundary): Compiled = {
+    // normalize alternation classes: sorted-distinct chars, so regex
+    // rendering and DFA alphabets are deterministic for equal patterns
+    val blocks = blocks0.map(b => b.copy(ch = b.ch.distinct.sorted))
+    def hasBoundary(b: Block) = b.ch.exists(c => boundary(c.toString))
     require(blocks.nonEmpty, "empty pattern")
-    require(blocks.forall(b => b.ch.length == 1),
-      s"pattern elements are event-type initials, got $blocks")
+    require(blocks.forall(_.ch.nonEmpty),
+      s"pattern elements need at least one initial: $blocks")
     require(blocks.forall(b => b.min >= 0 && b.max.forall(x => x >= b.min && x > 0)),
       s"invalid repetition bounds: $blocks")
     require(blocks.exists(_.min > 0),
       s"pattern must not match the empty sequence: $blocks")
-    require(blocks.init.forall(b => !boundary(b.ch)),
-      s"only the final pattern element may be a boundary type: $blocks")
-    require(!boundary(blocks.last.ch) || blocks.last.min == 1,
-      s"a boundary-typed final block must have min == 1: $blocks")
+    require(blocks.init.forall(b => !hasBoundary(b)),
+      s"only the final pattern element may contain a boundary type: $blocks")
+    // a boundary match must COMPLETE instantly (min == 1 completes on
+    // the first final-class match) — otherwise progress through a
+    // boundary event would have to survive the segment close it
+    // triggers, a contradiction (same rule as the literal tiers)
+    require(!hasBoundary(blocks.last) || blocks.last.min == 1,
+      s"a boundary-containing final block must have min == 1: $blocks")
     // steps = the minimal expansion (informational; the contiguous
     // runtime consults the DFA, never steps)
     val steps = blocks.flatMap(b => Seq.fill(math.max(b.min, 1))(b.ch))
@@ -502,13 +523,17 @@ object PatternMachine {
       s"pattern/boundary must be alphanumeric initials: ${c.steps} / ${c.boundary}")
     c.blocks match {
       case Some(bs) => bs.map { b =>
+        // a multi-char block renders as a literal character class —
+        // portable across java.util.regex / RE2 / Python re for
+        // alphanumeric members (chars are compile-normalized sorted)
+        val atom = if (b.ch.length == 1) b.ch else s"[${b.ch}]"
         (b.min, b.max) match {
-          case (1, Some(1)) => b.ch
-          case (0, None) => s"${b.ch}*?"
-          case (1, None) => s"${b.ch}+?"
-          case (mn, None) => s"${b.ch}{$mn,}?"
-          case (mn, Some(mx)) if mn == mx => s"${b.ch}{$mn}"
-          case (mn, Some(mx)) => s"${b.ch}{$mn,$mx}?"
+          case (1, Some(1)) => atom
+          case (0, None) => s"$atom*?"
+          case (1, None) => s"$atom+?"
+          case (mn, None) => s"$atom{$mn,}?"
+          case (mn, Some(mx)) if mn == mx => s"$atom{$mn}"
+          case (mn, Some(mx)) => s"$atom{$mn,$mx}?"
         }
       }.mkString
       case None =>

@@ -91,12 +91,14 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
-  /** Random quantified patterns: 1-3 blocks of non-boundary chars with
+  /** Random quantified patterns: 1-3 blocks of non-boundary chars —
+    * single initials or ALTERNATION classes ("vc", "cx", "vcx") — with
     * random {min,max} bounds (incl. optional min=0 and unbounded max),
     * at least one block required so the empty match is never generated. */
   private val quantPatternGen: Gen[List[PatternMachine.Block]] = {
     val blockGen: Gen[PatternMachine.Block] = for {
-      ch <- Gen.oneOf("v", "c", "x")
+      ch <- Gen.frequency(4 -> Gen.oneOf("v", "c", "x"),
+        2 -> Gen.oneOf("vc", "cx", "vx", "vcx"))
       min <- Gen.chooseNum(0, 3)
       max <- Gen.oneOf(Gen.const(None),
         Gen.chooseNum(math.max(min, 1), min + 3).map(Some(_)))
@@ -169,6 +171,23 @@ class PatternMachineSpec extends AnyFunSuite {
     assert(no("vvv") === 1L)    // earliest end at v@1; v@2 alone can't re-match
   }
 
+  test("alternation vignettes (vva_alt: v{2}[cp])") {
+    val c = PatternMachine.GradedAll.collectFirst {
+      case ("vva_alt", m) => m }.get
+    def n(ts: String): Long =
+      c.runT((0L, 0L, 0L), ts.map(ch => (ch.toString, 0L)))._2
+    assert(n("vvc") === 1L)     // class matches the click...
+    assert(n("vvp") === 1L)     // ...and the purchase (a boundary type)
+    assert(n("vvx") === 0L)     // anything else, no
+    assert(n("vvvp") === 1L)    // earliest accept uses v@1,v@2
+    assert(n("vvcvvp") === 2L)  // both class members, non-overlapping
+    assert(n("vvpvvc") === 2L)  // boundary completion closes its segment
+    assert(n("vpvc") === 0L)    // one view is never enough
+    // boundary p inside the final class completes instantly — progress
+    // never survives a segment close (the compile-rule's contract)
+    assert(n("vvpp") === 1L)
+  }
+
   test("quantified compiler rejections") {
     import PatternMachine.Block
     // empty-match pattern
@@ -183,6 +202,16 @@ class PatternMachineSpec extends AnyFunSuite {
     // max < min
     assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
       Seq(Block("v", 3, Some(2)))))
+    // a boundary type hiding inside a NON-final alternation class
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("vp", 1, Some(1)), Block("c", 1, Some(1)))))
+    // a boundary-containing final CLASS with min > 1 (progress through
+    // the boundary member could never survive the segment close)
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("v", 1, Some(1)), Block("cp", 2, Some(2)))))
+    // empty class
+    assertThrows[IllegalArgumentException](PatternMachine.compileQuantified(
+      Seq(Block("", 1, Some(1)))))
   }
 
   test("contiguous vignettes (KMP border fallback, non-overlapping reset)") {
@@ -448,9 +477,10 @@ class PatternMachineSpec extends AnyFunSuite {
     val machines = Seq(Seq("v", "v"), Seq("v", "v", "c"), Seq("c", "v"),
       Seq("v", "c", "v", "p"))
       .map(p => PatternMachine.compile(p, contiguous = true)) ++ Seq(
-      // quantified tier: the graded pattern plus bounded/optional shapes
-      // (their subset-DFA literals must survive Catalyst/codegen too)
+      // quantified tier: the graded patterns plus bounded/optional
+      // shapes (their subset-DFA literals must survive Catalyst/codegen)
       PatternMachine.GradedAll.collectFirst { case ("vvc_q", c) => c }.get,
+      PatternMachine.GradedAll.collectFirst { case ("vva_alt", c) => c }.get,
       PatternMachine.compileQuantified(Seq(
         PatternMachine.Block("v", 1, Some(2)), PatternMachine.Block("c", 1, Some(1)))),
       PatternMachine.compileQuantified(Seq(

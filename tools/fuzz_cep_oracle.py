@@ -154,6 +154,7 @@ PATTERNS = {
     "vp_w30": lambda e: machine_win(e, "vp", SPAN_US),
     "vv_adj": lambda e: machine_contig(e, "vv"),
     "vvc_q": lambda e: quant_regex(e, r"v{2,}?c"),
+    "vva_alt": lambda e: quant_regex(e, r"v{2}[cp]"),
 }
 
 
