@@ -19,6 +19,9 @@ ROOT=$(git rev-parse --show-toplevel)
 CTRL_DIR=${GRAFT_AB_CTRL_DIR:-/tmp/graft_ab_control}
 OUT=${GRAFT_AB_OUT:-/tmp/graft_ab_out}
 mkdir -p "$OUT"
+# the out dir is reused across invocations — stale jsons from a prior
+# session read as live progress (bit this on 2026-08-15); start clean
+rm -f "$OUT"/ctrl_*.json "$OUT"/cur_*.json "$OUT"/*.json.err
 CTRL_SHA=$(git -C "$ROOT" rev-parse "$CTRL_REF")
 
 # control worktree (reused across invocations; re-pointed on ref change)
