@@ -309,9 +309,9 @@ object Bench {
         "store + file clones (kills 3 of the 4 partitioned-write jobs " +
         "r16 driver spikes landed on; family steady 3.2s same-box vs " +
         "5.1 driver-r16), minilog one-job merge (0.76 on the A/B), " +
-        "min-of-3 steady reps; same-box full bench 93.5-110.9s " +
-        "single-pass / 68.5-74.3s steady across 3 runs vs r16 band " +
-        "89.6-105.2 / 77.2-85.9; " +
+        "min-of-3 steady reps, zorder rewrite staged; same-box full " +
+        "bench 92.0-110.9s single-pass / 67.2-74.3s steady across 4 " +
+        "runs vs r16 band 89.6-105.2 / 77.2-85.9; " +
         "total_steady_s is the per-query min across reps, single-pass " +
         "value unchanged as the graded number; see SCALE.md"
     val line =

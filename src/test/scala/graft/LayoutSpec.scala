@@ -12,7 +12,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("z-clustered files cover narrow x AND y rectangles; a 1-D sort does not") {
     ScaleOps.qLayoutZorder(s, TestSpark.sf).collect() // builds the layout
-    val t = s.read.parquet(ScaleOps.zorderPath(s))
+    val t = s.read.parquet(ScaleOps.zorderPath(s, TestSpark.sf))
       .select(col("x"), col("y"), input_file_name().as("f"))
 
     val spans = t.groupBy(col("f"))
