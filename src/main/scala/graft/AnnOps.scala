@@ -1248,51 +1248,19 @@ object AnnOps {
     }
 
   /** Materialize a fresh catalog table `default.$name` from the staged
-    * store by hard-linking its files (copy fallback for cross-device
-    * scratch layouts) into the table's warehouse location and
-    * registering the partitions via MSCK REPAIR. `includeDelta=false`
-    * clones only the seg=m files — the incremental query's initial 3/4
-    * state. Linked files are renamed `<seg>-<part…>` so the two segs of
-    * one cell can never collide in the flattened cell directory. */
+    * store ([[RelOps.clonePartitionedTable]] — hard links + MSCK).
+    * `includeDelta=false` clones only the seg=m files — the incremental
+    * query's initial 3/4 state. */
   private def cloneIndexTable(s: SparkSession, d: String, name: String,
       includeDelta: Boolean): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val store = Paths.get(stagedIndexStore(s, d))
-    RelOps.dropManaged(s, name)
-    s.sql(s"CREATE TABLE default.$name (vec_id BIGINT, codes ARRAY<INT>, " +
-      "cell_id BIGINT) USING parquet PARTITIONED BY (cell_id)")
-    val locUri = s.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(name, Some("default")))
-      .location
-    val loc = Paths.get(
-      if (locUri.getScheme == null) locUri.getPath else new java.io.File(locUri).getPath)
-    val segs = if (includeDelta) Seq("m", "d") else Seq("m")
-    segs.foreach { seg =>
-      val segDir = store.resolve(s"seg=$seg")
-      if (Files.isDirectory(segDir)) {
-        val cells = Files.list(segDir)
-        try cells.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("cell_id=")).foreach { cd =>
-            val tgt = loc.resolve(cd.getFileName.toString)
-            Files.createDirectories(tgt)
-            val fs = Files.list(cd)
-            try fs.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-                val t = tgt.resolve(s"$seg-${f.getFileName}")
-                try Files.createLink(t, f)
-                catch { case _: UnsupportedOperationException
-                             | _: java.nio.file.FileSystemException =>
-                  Files.copy(f, t)
-                }
-              }
-            finally fs.close()
-          }
-        finally cells.close()
-      }
+    val store = java.nio.file.Paths.get(stagedIndexStore(s, d))
+    RelOps.clonePartitionedTable(s, name,
+      "vec_id BIGINT, codes ARRAY<INT>, cell_id BIGINT", "cell_id", store) { f =>
+      val rel = store.relativize(f).toString
+        .replace(java.io.File.separatorChar, '/')
+      val segOk = includeDelta || rel.startsWith("seg=m/")
+      if (segOk) rel.split('/').find(_.startsWith("cell_id=")) else None
     }
-    s.sql(s"MSCK REPAIR TABLE default.$name")
-    s"default.$name"
   }
 
   /** Probe fan-out for the probe vectors [10, 20): CellAssign.rank is
