@@ -255,10 +255,13 @@ object Bench {
     // evaluated here — pin it if its reps 2+ serve a staged ANSWER
     // (nothing of the operator runs), leave it unpinned if later reps
     // still execute the operator against staged INPUTS (the disclosed
-    // build-once/serve-many split). Evaluated r17 for the ANN index
-    // family: unpinned — every rep re-clones its table and runs the full
-    // probe (and its maintenance verb); only the base-table WRITE is
-    // first-consumer (TimeQ steady 1.3-1.8 s/query, not a file read).
+    // build-once/serve-many split). Evaluated r17 for every new
+    // SharedStage consumer: ANN index family UNPINNED (every rep
+    // re-clones its table and runs the full probe + maintenance verb;
+    // only the base-table write is first-consumer); zorder UNPINNED
+    // (reps run the real stats-pruned scan + aggregation — the layout's
+    // serving half); merge_overwrite / maintenance_compact / merge_scd2
+    // UNPINNED (reps re-clone and run their full mutation verbs).
     val steadyPinned = AnnOps.publishedAnswerQueries + "q_sim_ann_recall"
     val steady = fleet.map { case (name, _) =>
       name -> (if (steadyPinned(name)) runs.head(name)
