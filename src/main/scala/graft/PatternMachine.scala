@@ -86,12 +86,13 @@ object PatternMachine {
     * → 20 windowed). */
   val WindowSpanUs: Long = 30L * 60 * 1000000
 
-  /** ALL graded machines — the three regex-oracled subsequence
-    * patterns, the windowed funnel `vp_w30` (view→purchase WITHIN 30
-    * minutes), and the CONTIGUOUS pair `vv_adj` (two ADJACENT views —
-    * MATCH_RECOGNIZE's default contiguity, deliberately a
-    * self-overlapping pattern so the KMP border fallback is graded).
-    * Both the batch and the streaming query iterate this list. */
+  /** ALL graded machines — seven patterns across the four dialect
+    * tiers: the three regex-oracled subsequence patterns, the windowed
+    * funnel `vp_w30` (view→purchase WITHIN 30 minutes), the literal
+    * CONTIGUOUS `vv_adj` (two ADJACENT views — deliberately
+    * self-overlapping so the KMP border fallback is graded), and the
+    * r17 quantified/alternation pair `vvc_q` / `vva_alt`. Both the
+    * batch and the streaming query iterate this list. */
   val GradedAll: Seq[(String, Compiled)] =
     Graded.map { case (n, p) => (n, compile(p)) } ++ Seq(
       "vp_w30" -> compile(Seq("v", "p"), maxSpanUs = Some(WindowSpanUs)),
@@ -329,13 +330,15 @@ object PatternMachine {
 
   /** Compile a QUANTIFIED contiguous pattern (the MATCH_RECOGNIZE
     * `(a b+ c)` class): each block is `ch{min,max}` with `max = None`
-    * unbounded. Quantifiers only exist in the contiguous dialect —
-    * under skip-till-next-match they are absorbed (see the tier doc) —
-    * so the result is always `contiguous = true`. Boundary types may
-    * appear only as the FINAL block and only with `min == 1`: a
-    * mid-pattern (or repeated-final) boundary element would need its
-    * own progress to survive the segment close it triggers, a
-    * contradiction rejected at compile like the literal tiers'. */
+    * unbounded, and a multi-char `ch` is an alternation class (`(a|b)`
+    * — see [[Block]]). Quantifiers only exist in the contiguous
+    * dialect — under skip-till-next-match they are absorbed (see the
+    * tier doc) — so the result is always `contiguous = true`.
+    * Boundary types may appear only in the FINAL block and only with
+    * `min == 1`: a mid-pattern (or repeated-final) boundary element
+    * would need its own progress to survive the segment close it
+    * triggers, a contradiction rejected at compile like the literal
+    * tiers'. */
   def compileQuantified(blocks0: Seq[Block],
       boundary: Set[String] = Boundary): Compiled = {
     // normalize alternation classes: sorted-distinct chars, so regex
@@ -416,13 +419,15 @@ object PatternMachine {
        |  st -> st.cnt)""".stripMargin
   }
 
-  /** The batch form of a CONTIGUOUS machine: the precomputed KMP DFA
-    * embedded as a nested array literal, indexed by (state, char) —
-    * loop-free (the border-fallback loop is unrolled into the table at
-    * compile time), row-local, codegen'd. `array_position` maps the
-    * event initial to its alphabet column (1-based; NULL → the "other"
-    * column, which always transitions to 0). A transition value of m
-    * encodes completion. */
+  /** The batch form of a CONTIGUOUS machine (literal KMP or
+    * quantified/alternation subset DFA — same artifact): the
+    * precomputed transition table embedded as a nested array literal,
+    * indexed by (state, char) — loop-free (border fallback / NFA
+    * simulation is unrolled into the table at compile time),
+    * row-local, codegen'd. `array_position` maps the event initial to
+    * its alphabet column (1-based; NULL → the "other" column, which
+    * always transitions to 0). A transition value of the state COUNT
+    * (== pattern length for literal machines) encodes completion. */
   def sqlFoldContig(c: Compiled, arr: String): String = {
     require(c.contiguous, "sqlFoldContig needs a contiguous machine")
     val alphaArr = s"array(${sqlStr(c.alpha)})"
