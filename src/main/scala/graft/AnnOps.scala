@@ -1717,28 +1717,27 @@ object AnnOps {
     // cosine-descending orders collapse into one ascending key by
     // negating the rounded cosine (orderings are identical: distinct
     // rounded values keep their relative order, ties still break on
-    // vec_id). Lazily checkpointed — six consumers, one computation.
+    // vec_id). Lazily checkpointed — seven consumers, one computation
+    // (pq_rot_aniso ranks its own truth over the transformed view).
     val truthAll = recallTruthAll(s, e, specs).localCheckpoint(eager = false)
-    // The rotated-anisotropic PQ tier (r15) is deliberately NOT an arm
-    // here: graded for one 3-rep interleaved A/B, its fresh Lloyd
-    // train + own truth measured +1.88 s on the scorecard (1.95 →
-    // 3.82 s medians) — 6× the estimate, against the one red gate
-    // (the bench ceiling). The flip it demonstrates is pinned by the
-    // always-run AnisoRotSpec at sf0.001 instead, the full ladder
-    // table lives in SCALE.md, and the complete graded-form oracle
-    // (qSimAnnPqRotAnisoSql — hash-green at sf0.01 while armed) is
-    // retained below, ready to promote the round the ceiling has
-    // slack.
-    // CEILING NOTE RENEWED r17 (the r16 verdict's item-4 alternative):
-    // the scorecard is steady-PINNED to its first pass, so this arm's
-    // +1.88 s lands undamped in BOTH the single-pass value and
-    // total_steady_s — and total_steady_s < 91 on the driver is
-    // exactly r17's green gate, expected to clear by only a few
-    // seconds after this round's cuts (index staging −2.6 s steady,
-    // minilog batching, min-of-3 reps). Spending half that margin on
-    // an optional arm before the driver has confirmed ONE green round
-    // is the wrong trade after four red ones; promote in the first
-    // round the DRIVER's steady number is green, as ordered.
+    // The rotated-anisotropic PQ arm (r15): full PQ pipeline over the
+    // rotated variance-decay view, graded at the RAW-ADC tier (no
+    // exact re-rank — the tier where codebook quality shows; the
+    // re-ranked tier saturates 24/24 under every rotation on both
+    // fixtures). Un-armed r15–r17 against the red bench gate (+1.88 s,
+    // measured, 3-rep interleaved A/B); PROMOTED r18 per the standing
+    // order "promote the first round the DRIVER's number is green" —
+    // r17 read 85.1 s single-pass / 65.8 s steady vs the 91 s ceiling.
+    // Its truth is exact L2 over the SAME transformed vectors (the
+    // rotation is orthogonal, but truth-on-own-vectors keeps the
+    // rounding boundary identical in both engines).
+    val e2 = embeddings(s, d)
+      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
+      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
+      .localCheckpoint(eager = false)
+    val anisoTruth = recallTruthAll(s,
+      e2.withColumn("na", expr("graft_norm_sq(embedding)")),
+      Seq(("pq_rot_aniso", 0L, 8L, true, 0L)))
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       // same truth row as ivf (same probes, same cosine metric): the
@@ -1747,19 +1746,22 @@ object AnnOps {
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
       ("pq", qSimAnnPq(s, d), (0L, 8L)),
+      ("pq_rot_aniso", pqSearchOn(s, e2, rerank = false), (0L, 8L)),
       ("prefix", qSimAnnPrefix(s, d), (20L, 30L)),
       // bit's re-rank metric is cosine; its top-3 (of the emitted top-5)
       // is what recall@3 grades, over its own corpus (vec_id >= 3)
       ("bit", qEmbedBit(s, d).filter(col("rn") <= 3), (0L, 3L)))
     methods.map { case (m, ans, (lo, hi)) =>
-      val truth = truthAll.filter(col("t_method") === m)
+      val truthSrc = if (m == "pq_rot_aniso") anisoTruth else truthAll
+      val truth = truthSrc.filter(col("t_method") === m)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = ans.select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id"))
         .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
       // probe spine: a probe whose method found 0 true neighbors (or no
       // candidates at all — possible for a sparse LSH bucket) must still
-      // report hits=0, not vanish
+      // report hits=0, not vanish (e and e2 share vec_ids, so the spine
+      // reads e for every method)
       e.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .select(col("vec_id").as("probe_id"))
         .join(hits, Seq("probe_id"), "left_outer")
@@ -1769,8 +1771,8 @@ object AnnOps {
   }
 
   def qSimAnnRecall(s: SparkSession, d: String): DataFrame = {
-    // serial union of the per-method scorecards. Concurrent materialization of
-    // the six pipelines was MEASURED (r11, 3-rep interleaved A/B) at
+    // serial union of the per-method scorecards (eight arms since r18).
+    // Concurrent materialization was MEASURED (r11, six arms, 3-rep A/B) at
     // 2.07 s → 2.69 s — each pipeline's shuffle stages already fan out to
     // all 32 slots, so 6-way job concurrency only adds scheduler and
     // checkpoint contention. Do not re-try it without new numbers.
@@ -1779,10 +1781,9 @@ object AnnOps {
   }
 
   /** Brute-force truth CTE body for the oracle (same score expressions
-    * as the method oracles). */
-  // `src` is exercised only by the un-armed pq_rot_aniso promote path
-  // (its truth CTE ranks over the transformed view e2, not e) — kept so
-  // re-arming is a two-line change, unused by the current seven arms
+    * as the method oracles). `src` selects the embedding view the truth
+    * ranks over — `e` for the seven raw-fixture arms, `e2` (the rotated
+    * anisotropic view) for pq_rot_aniso. */
   private def bruteSql(lo: Long, hi: Long, l2: Boolean,
       minCorpus: Long = 0L, src: String = "e"): String = {
     val key =
@@ -1834,6 +1835,12 @@ object AnnOps {
        |t_ivf_pq AS (${bruteSql(10, 20, l2 = true)}),
        |t_lsh AS (${bruteSql(0, 10, l2 = false)}),
        |t_pq AS (${bruteSql(0, 8, l2 = true)}),
+       |e2a AS (SELECT vec_id,
+       |          ${anisoSqlDuck("CAST(embedding AS DOUBLE[])")} AS a
+       |        FROM embeddings),
+       |e2 AS (SELECT vec_id, r AS emb, list_sum(list_transform(r, x -> x * x)) AS na
+       |       FROM (SELECT vec_id, ${rotSqlDuck("a")} AS r FROM e2a) t0),
+       |t_pq_rot_aniso AS (${bruteSql(0, 8, l2 = true, src = "e2")}),
        |t_prefix AS (${bruteSql(20, 30, l2 = false)}),
        |t_bit AS (${bruteSql(0, 3, l2 = false, minCorpus = 3)}),
        |a_ivf AS (SELECT probe_id, neighbor_id FROM (${ScaleOps.qSimAnnIvfSql}) q),
@@ -1841,6 +1848,7 @@ object AnnOps {
        |a_ivf_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnIvfPqSql) q),
        |a_lsh AS (SELECT probe_id, neighbor_id FROM ($qSimAnnLshSql) q),
        |a_pq AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqSql) q),
+       |a_pq_rot_aniso AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPqRotAnisoSql) q),
        |a_prefix AS (SELECT probe_id, neighbor_id FROM ($qSimAnnPrefixSql) q),
        |a_bit AS (SELECT probe_id, neighbor_id FROM ($qEmbedBitSql) q WHERE rn <= 3),
        |hits AS (
@@ -1859,6 +1867,9 @@ object AnnOps {
        |  SELECT 'pq', probe_id, COUNT(*)
        |  FROM a_pq JOIN t_pq USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
+       |  SELECT 'pq_rot_aniso', probe_id, COUNT(*)
+       |  FROM a_pq_rot_aniso JOIN t_pq_rot_aniso USING (probe_id, neighbor_id) GROUP BY 2
+       |  UNION ALL
        |  SELECT 'prefix', probe_id, COUNT(*)
        |  FROM a_prefix JOIN t_prefix USING (probe_id, neighbor_id) GROUP BY 2
        |  UNION ALL
@@ -1874,6 +1885,8 @@ object AnnOps {
        |  SELECT 'lsh', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 10
        |  UNION ALL
        |  SELECT 'pq', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
+       |  UNION ALL
+       |  SELECT 'pq_rot_aniso', vec_id FROM e WHERE vec_id >= 0 AND vec_id < 8
        |  UNION ALL
        |  SELECT 'prefix', vec_id FROM e WHERE vec_id >= 20 AND vec_id < 30
        |  UNION ALL

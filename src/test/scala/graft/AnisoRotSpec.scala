@@ -14,11 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Ladder numbers (deterministic): sf0.001 identity 3/24 vs rot 9/24;
   * sf0.01 4 vs 9; sf0.1 2 vs 6. This spec asserts the sf0.001 flip.
-  * The corresponding graded-form oracle (qSimAnnPqRotAnisoSql) is
-  * retained in AnnOps, hash-green at sf0.01 while it was an arm of
-  * q_sim_ann_recall; it was un-armed because its fresh Lloyd train
-  * measured +1.88 s on the scorecard in a 3-rep interleaved A/B —
-  * promote it back the round the bench ceiling has slack. */
+  * The graded form (qSimAnnPqRotAnisoSql) was un-armed r15–r17 against
+  * the red bench gate (+1.88 s fresh Lloyd train, 3-rep interleaved
+  * A/B) and PROMOTED r18 as the eighth q_sim_ann_recall arm, per the
+  * standing first-green-round order; this spec stays as the
+  * fixture-flip pin (the scorecard grades only the aniso side). */
 class AnisoRotSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
