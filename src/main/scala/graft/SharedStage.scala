@@ -48,6 +48,21 @@ object SharedStage {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
 
+  /** First-consumer build ledger (r17 verdict item 3 — disclosure, not
+    * methodology): (sfDir, stage name) → (build seconds, consumer label).
+    * A stage's build cost lands inside whichever timed query happens to
+    * run first — e.g. q_timetravel pays the minilog staging, so its
+    * pass-1 reading is the stage build plus its own work. Bench reports
+    * this map (filtered to the timed sfDir) as a `staging` entry in
+    * bench.json so cross-round per-query diffs can subtract the
+    * surcharge instead of discovering phantom regressions. */
+  private[graft] val buildLog =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Double, String)]()
+
+  /** Set by the harness (Bench/TimeQ) around each query invocation so a
+    * build can name the query it landed in; empty outside the harness. */
+  @volatile private[graft] var consumerLabel: String = ""
+
   /** Collision-free directory tag for an arbitrary path (r13 ADVICE:
     * `hashCode` tags let two distinct sfDirs silently share — and
     * clobber — one staging dir): lowercase hex of the UTF-8 bytes for
@@ -61,6 +76,15 @@ object SharedStage {
     else java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map(b => f"$b%02x").mkString
   }
+
+  /** The deterministic staged-dir path for (application, sfDir, name) —
+    * computable WITHOUT building. The single naming authority (r17
+    * ADVICE): memoDir stages here, and any code that needs the path
+    * independently (ScaleOps.zorderPath, IndexCloneIsolationSpec) calls
+    * this instead of re-deriving the string. */
+  private[graft] def stagedPath(s: SparkSession, sfDir: String,
+      name: String): String =
+    RelOps.stagingDir(s, s"shared_${name}_${pathTag(sfDir)}")
 
   /** Memoize a staged directory keyed by (applicationId, sfDir, name).
     * `valid` re-checks a published dir (e.g. a _SUCCESS or manifest
@@ -78,8 +102,14 @@ object SharedStage {
         val again = cache.get(key)
         if (ok(again)) again
         else {
-          val dir = RelOps.stagingDir(s, s"shared_${name}_${pathTag(sfDir)}")
+          val dir = stagedPath(s, sfDir, name)
+          val t0 = System.nanoTime()
           buildTo(dir)
+          // nested stages double-book by design: the outer entry reports
+          // the consumer-visible surcharge (what the timed query paid),
+          // inner entries itemize it — sum outer-only to total the cost
+          buildLog.put((sfDir, name),
+            ((System.nanoTime() - t0) / 1e9, consumerLabel))
           cache.put(key, dir)
           dir
         }

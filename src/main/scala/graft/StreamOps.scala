@@ -809,9 +809,14 @@ object StreamOps {
         val current =
           if (affectedFiles.isEmpty) None
           else Some(s.read.parquet(affectedFiles: _*)
+            // anchored to the file's PARENT directory segment (r17
+            // ADVICE): an unanchored 'bucket=\d+' would match the first
+            // occurrence anywhere in the path, silently mis-keying rows
+            // if a staging/table path component upstream of the
+            // partition dir ever contained that substring
             .withColumn("bucket",
-              regexp_extract(col("_metadata.file_path"), "bucket=(\\d+)", 1)
-                .cast("long")))
+              regexp_extract(col("_metadata.file_path"),
+                "/bucket=(\\d+)/[^/]*$", 1).cast("long")))
         val combined = current match {
           case None => delta
           case Some(cur) => cur.unionByName(delta)

@@ -61,12 +61,19 @@ class CepHotKeySpec extends AnyFunSuite {
       val st = c.runT((0L, 0L, 0L), ordered)
       assert(st._2 >= 0L, s"$name fold diverged on the hot batch")
     }
-    // loose tripwires: a footprint regression (say, buffering decorated
-    // rows or duplicating the batch per machine) would blow well past
-    // these; GC-delta noise stays well under them
-    assert(inputBytes.toDouble / n < 400,
-      f"input buffer ${inputBytes.toDouble / n}%.0f B/row — expected ~100")
-    assert(orderedBytes.toDouble / n < 400,
-      f"ordered buffer ${orderedBytes.toDouble / n}%.0f B/row — expected ~60")
+    // loose tripwires (r17 ADVICE: System.gc()+sleep heap deltas are
+    // collector- and co-tenant-sensitive, so these are deliberately
+    // COARSE — an order-of-magnitude guard against buffering decorated
+    // rows, not a ±50% benchmark; the info() line above is the measured
+    // record). A delta the GC noise made non-positive is unusable —
+    // skip the bound rather than assert on garbage.
+    if (inputBytes > 0)
+      assert(inputBytes.toDouble / n < 1000,
+        f"input buffer ${inputBytes.toDouble / n}%.0f B/row — expected ~100")
+    else info("input-delta non-positive (GC noise) — bound skipped")
+    if (orderedBytes > 0)
+      assert(orderedBytes.toDouble / n < 1000,
+        f"ordered buffer ${orderedBytes.toDouble / n}%.0f B/row — expected ~60")
+    else info("ordered-delta non-positive (GC noise) — bound skipped")
   }
 }

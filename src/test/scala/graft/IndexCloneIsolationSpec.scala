@@ -34,9 +34,8 @@ class IndexCloneIsolationSpec extends AnyFunSuite {
     // first consumer builds the store
     val probeBefore = AnnOps.qSimAnnIndex(spark, sf).collect().map(_.toSeq)
     assert(probeBefore.nonEmpty)
-    val store = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_shared_ann_index_store_${SharedStage.pathTag(sf)}_" +
-        spark.sparkContext.applicationId)
+    // the naming authority, not a re-derived string (r17 ADVICE)
+    val store = Paths.get(AnnOps.indexStorePath(spark, sf))
     assert(Files.isDirectory(store), s"staged store missing at $store")
     val before = fileHashes(store)
     assert(before.nonEmpty)

@@ -94,7 +94,12 @@ class PatternMachineSpec extends AnyFunSuite {
   /** Random quantified patterns: 1-3 blocks of non-boundary chars —
     * single initials or ALTERNATION classes ("vc", "cx", "vcx") — with
     * random {min,max} bounds (incl. optional min=0 and unbounded max),
-    * at least one block required so the empty match is never generated. */
+    * at least one block required so the empty match is never generated.
+    * A BOUNDARY-containing {1,1} final class ("p", "vp", "cp") is
+    * appended ~1/3 of the time (r17 ADVICE: the boundary-in-final-class
+    * interaction vva_alt ships with must be property-pinned, not only
+    * vignette-pinned; the regex side stays segment-consistent because a
+    * boundary char can only ever be a match's LAST char). */
   private val quantPatternGen: Gen[List[PatternMachine.Block]] = {
     val blockGen: Gen[PatternMachine.Block] = for {
       ch <- Gen.frequency(4 -> Gen.oneOf("v", "c", "x"),
@@ -103,8 +108,14 @@ class PatternMachineSpec extends AnyFunSuite {
       max <- Gen.oneOf(Gen.const(None),
         Gen.chooseNum(math.max(min, 1), min + 3).map(Some(_)))
     } yield PatternMachine.Block(ch, min, max)
-    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, blockGen))
+    val bodyGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, blockGen))
       .retryUntil(_.exists(_.min > 0))
+    for {
+      body <- bodyGen
+      bfinal <- Gen.frequency(2 -> Gen.const(None),
+        1 -> Gen.oneOf("p", "vp", "cp")
+          .map(ch => Some(PatternMachine.Block(ch, 1, Some(1)))))
+    } yield body ++ bfinal.toList
   }
 
   test("QUANTIFIED contiguous machine equals the lazy-regex scan, arbitrary patterns") {
@@ -330,6 +341,136 @@ class PatternMachineSpec extends AnyFunSuite {
     })
   }
 
+  /** INDEPENDENT windowed-QUANTIFIED reformulation (r18): like
+    * [[bruteWindowed]], derived from the dialect-tier prose, not from
+    * the fold/DFA — attempts are tracked as a set of (block index,
+    * count-in-block) DP states over the BLOCKS themselves (closing a
+    * block needs count ≥ min; min-0 blocks may be skipped; an
+    * unbounded max never saturates), a representation deliberately
+    * different from the positional NFA/subset-DFA the machine
+    * compiles. Scan rules from the prose: the machine goes ACTIVE on
+    * the first event that starts any attempt (its time is the span
+    * anchor); while active, every event may also start a NEW attempt
+    * but the anchor never moves (leftmost attempt); an event arriving
+    * past the span kills ALL attempts before participating and may
+    * itself re-start; ANY accepting attempt counts at its earliest
+    * completion and resets everything (non-overlapping); a boundary
+    * event participates, then closes the segment. */
+  private def bruteWindowedQuant(blocks: Seq[PatternMachine.Block],
+      span: Long, evs: Seq[(String, Long)]): Long = {
+    val boundary = PatternMachine.Boundary
+    val nB = blocks.length
+    def maxOf(bi: Int): Int = blocks(bi).max.getOrElse(Int.MaxValue)
+    // consume one char from DP state (bi, cnt): stay in the current
+    // block if it has room, or close it (cnt ≥ min) and consume into a
+    // later block, skipping only min-0 blocks
+    def consume(st: (Int, Int), ch: String): Set[(Int, Int)] = {
+      val (bi, cnt) = st
+      val out = scala.collection.mutable.Set[(Int, Int)]()
+      if (bi < nB && cnt < maxOf(bi) && blocks(bi).ch.contains(ch))
+        out += ((bi, cnt + 1))
+      if (bi < nB && cnt >= blocks(bi).min) {
+        var j = bi + 1
+        var cont = true
+        while (cont && j < nB) {
+          if (blocks(j).ch.contains(ch) && maxOf(j) > 0) out += ((j, 1))
+          cont = blocks(j).min == 0
+          j += 1
+        }
+      }
+      out.toSet
+    }
+    def accepts(st: (Int, Int)): Boolean =
+      st._2 >= blocks(st._1).min &&
+        (st._1 + 1 until nB).forall(blocks(_).min == 0)
+    val segs = {
+      val out = scala.collection.mutable.ArrayBuffer[Vector[(String, Long)]]()
+      var cur = Vector.empty[(String, Long)]
+      evs.foreach { e =>
+        cur :+= e
+        if (boundary(e._1)) { out += cur; cur = Vector.empty }
+      }
+      out += cur
+      out.toSeq
+    }
+    segs.map { seg =>
+      var n = 0L
+      var anchor = -1L // active attempt-set's first event time; -1 = idle
+      var states = Set.empty[(Int, Int)]
+      seg.foreach { case (ch, tsu) =>
+        if (anchor >= 0 && tsu - anchor > span) { // expire BEFORE the event
+          anchor = -1L; states = Set.empty
+        }
+        val next = (states + ((0, 0))).flatMap(consume(_, ch))
+        if (next.exists(accepts)) { n += 1; anchor = -1L; states = Set.empty }
+        else if (next.isEmpty) { anchor = -1L; states = Set.empty }
+        else { if (anchor < 0) anchor = tsu; states = next }
+      }
+      n
+    }.sum
+  }
+
+  test("the windowed-QUANTIFIED fold equals the prose-derived block-DP enumeration") {
+    check("windowed-quant-equals-brute", Prop.forAll(timedSeqGen, quantPatternGen,
+      Gen.oneOf(PatternMachine.WindowSpanUs, PatternMachine.WindowSpanUs / 7, 1L)) {
+      (evs, blocks, span) =>
+        val c = PatternMachine.compileQuantified(blocks, maxSpanUs = Some(span))
+        c.runT((0L, 0L, 0L), evs)._2 == bruteWindowedQuant(blocks, span, evs)
+    })
+  }
+
+  test("an effectively-infinite span reduces the windowed-quantified machine to the time-free one") {
+    check("quant-infinite-span", Prop.forAll(timedSeqGen, quantPatternGen) {
+      (evs, blocks) =>
+        val w = PatternMachine.compileQuantified(blocks,
+          maxSpanUs = Some(Long.MaxValue / 2))
+        val tf = PatternMachine.compileQuantified(blocks)
+        w.runT((0L, 0L, 0L), evs)._2 == tf.runT((0L, 0L, 0L), evs)._2
+    })
+  }
+
+  test("the windowed-quantified count never exceeds the time-free quantified count") {
+    check("windowed-quant-bounded", Prop.forAll(timedSeqGen, quantPatternGen,
+      Gen.chooseNum(1L, PatternMachine.WindowSpanUs * 2)) {
+      (evs, blocks, span) =>
+        val w = PatternMachine.compileQuantified(blocks, maxSpanUs = Some(span))
+        val tf = PatternMachine.compileQuantified(blocks)
+        w.runT((0L, 0L, 0L), evs)._2 <= tf.runT((0L, 0L, 0L), evs)._2
+    })
+  }
+
+  test("windowed-quantified vignettes (vvc_qw: v{2,}c within 24h)") {
+    val c = PatternMachine.GradedAll.collectFirst {
+      case ("vvc_qw", m) => m }.get
+    val span = PatternMachine.QuantWindowSpanUs
+    def n(evs: (String, Long)*): Long = c.runT((0L, 0L, 0L), evs)._2
+    // two adjacent views then click, inside the span
+    assert(n(("v", 0L), ("v", 1L), ("c", 2L)) === 1L)
+    // exactly at the span boundary still counts
+    assert(n(("v", 0L), ("v", 1L), ("c", span)) === 1L)
+    // one microsecond past: the partial expires before c participates
+    assert(n(("v", 0L), ("v", 1L), ("c", span + 1)) === 0L)
+    // a longer view run absorbs into ONE match (v{2,} is lazy/earliest)
+    assert(n(("v", 0L), ("v", 1L), ("v", 2L), ("c", 3L)) === 1L)
+    // adjacency is strict: an interloper breaks the run
+    assert(n(("v", 0L), ("x", 1L), ("v", 2L), ("c", 3L)) === 0L)
+    // one view is never enough
+    assert(n(("v", 0L), ("c", 1L)) === 0L)
+    // expiry restarts at the current event: the late v pair completes
+    assert(n(("v", 0L), ("v", span + 1), ("v", span + 2), ("c", span + 3)) === 1L)
+    // NON-BACKTRACKING (the disclosed undercount): the leftmost anchor
+    // expires the whole subset, including the still-viable later pair
+    assert(n(("v", 0L), ("v", 1L), ("v", span - 1), ("v", span),
+      ("c", span + 2)) === 0L)
+    // boundary semantics unchanged: a boundary event closes the segment
+    // (and, being a non-pattern char, breaks adjacency anyway)
+    assert(n(("v", 0L), ("e", 1L), ("v", 2L), ("v", 3L), ("c", 4L)) === 1L)
+    assert(n(("v", 0L), ("v", 1L), ("e", 2L), ("c", 3L)) === 0L)
+    // two full matches, each within its own span
+    assert(n(("v", 0L), ("v", 1L), ("c", 2L),
+      ("v", span * 2), ("v", span * 2 + 1), ("c", span * 2 + 2)) === 2L)
+  }
+
   test("an effectively-infinite span reduces the windowed machine to the time-free one") {
     val huge = PatternMachine.compile(Seq("v", "p"),
       maxSpanUs = Some(Long.MaxValue / 2))
@@ -414,6 +555,59 @@ class PatternMachineSpec extends AnyFunSuite {
         val want = c.runT((0L, 0L, 0L), evs.map(e => (e._3, e._1)))._2
         assert(got(id)(i) === want,
           s"sqlFoldSpan diverged from machine: id=$id steps=${c.steps} " +
+            s"sql=${got(id)(i)} machine=$want")
+      }
+    }
+  }
+
+  test("sqlFoldContigSpan (the windowed-quantified batch artifact) equals the machine") {
+    // execution-pinned: the embedded DFA literal + expiry/first logic
+    // runs through real Catalyst/codegen over random timestamped
+    // sequences and must reproduce stepT's contiguous-windowed branch
+    val spark = TestSpark.spark
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(20260818L)
+    val alphabet = Vector("v", "c", "p", "e", "s", "x")
+    val span = PatternMachine.WindowSpanUs
+    val seqs = (0 until 60).map { i =>
+      var tsu = 1000000L
+      (i.toLong, (0 until rnd.nextInt(120)).map { j =>
+        tsu += (if (rnd.nextInt(6) == 0) 0L else rnd.nextLong(2 * span))
+        (tsu, j.toLong, alphabet(rnd.nextInt(alphabet.size)))
+      })
+    }
+    val machines = Seq(
+      PatternMachine.GradedAll.collectFirst { case ("vvc_qw", c) => c }.get,
+      PatternMachine.compileQuantified(Seq(
+        PatternMachine.Block("v", 1, Some(2)), PatternMachine.Block("c", 1, Some(1))),
+        maxSpanUs = Some(span / 7)),
+      PatternMachine.compileQuantified(Seq(
+        PatternMachine.Block("v", 1, Some(1)), PatternMachine.Block("c", 0, Some(1)),
+        PatternMachine.Block("v", 1, Some(1))), maxSpanUs = Some(span)))
+    import org.apache.spark.sql.{types => st}
+    val df = spark.createDataFrame(
+      seqs.map { case (id, evs) => org.apache.spark.sql.Row(id,
+        evs.map { case (tsu, eid, t) =>
+          org.apache.spark.sql.Row(tsu, eid, t) }.toArray)
+      }.asJava,
+      st.StructType(Seq(
+        st.StructField("id", st.LongType),
+        st.StructField("evs", st.ArrayType(st.StructType(Seq(
+          st.StructField("tsu", st.LongType),
+          st.StructField("event_id", st.LongType),
+          st.StructField("t", st.StringType))))))))
+    val folded = machines.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"n_$i",
+        org.apache.spark.sql.functions.expr(
+          PatternMachine.sqlFoldContigSpan(c, "evs")))
+    }
+    val got = folded.collect().map(r =>
+      r.getLong(0) -> machines.indices.map(i => r.getLong(2 + i))).toMap
+    seqs.foreach { case (id, evs) =>
+      machines.zipWithIndex.foreach { case (c, i) =>
+        val want = c.runT((0L, 0L, 0L), evs.map(e => (e._3, e._1)))._2
+        assert(got(id)(i) === want,
+          s"sqlFoldContigSpan diverged from machine: id=$id steps=${c.steps} " +
             s"sql=${got(id)(i)} machine=$want")
       }
     }

@@ -23,6 +23,7 @@ import duckdb
 
 BOUNDARY = set("esp")
 SPAN_US = 30 * 60 * 1_000_000
+QSPAN_US = 24 * 3600 * 1_000_000  # the windowed-quantified arm's 24h span
 
 
 def machine_sub(evs, pat):
@@ -137,6 +138,67 @@ def machine_win_brute(evs, pat, span):
     return total
 
 
+def machine_win_quant(evs, blocks, span):
+    """Windowed x quantified (r18): the block-DP prose enumeration —
+    attempts tracked as (block index, count-in-block) states, the
+    leftmost-attempt anchor as the span clock, expiry before the event
+    participates — mirroring the Scala spec's bruteWindowedQuant (the
+    prose-derived form, independent of the subset DFA the engine
+    compiles). blocks: list of (chars, min, max|None)."""
+    n_b = len(blocks)
+
+    def max_of(bi):
+        mx = blocks[bi][2]
+        return 10 ** 9 if mx is None else mx
+
+    def consume(st, ch):
+        bi, cnt = st
+        out = set()
+        if cnt < max_of(bi) and ch in blocks[bi][0]:
+            out.add((bi, cnt + 1))
+        if cnt >= blocks[bi][1]:
+            j = bi + 1
+            while j < n_b:
+                if ch in blocks[j][0] and max_of(j) > 0:
+                    out.add((j, 1))
+                if blocks[j][1] != 0:
+                    break
+                j += 1
+        return out
+
+    def accepts(st):
+        bi, cnt = st
+        return (cnt >= blocks[bi][1]
+                and all(blocks[k][1] == 0 for k in range(bi + 1, n_b)))
+
+    segs, cur = [], []
+    for e in evs:
+        cur.append(e)
+        if e[0] in BOUNDARY:
+            segs.append(cur)
+            cur = []
+    segs.append(cur)
+    total = 0
+    for seg in segs:
+        anchor, states = None, set()
+        for ch, tsu in seg:
+            if anchor is not None and tsu - anchor > span:
+                anchor, states = None, set()
+            nxt = set()
+            for st in states | {(0, 0)}:
+                nxt |= consume(st, ch)
+            if any(accepts(s) for s in nxt):
+                total += 1
+                anchor, states = None, set()
+            elif not nxt:
+                anchor, states = None, set()
+            else:
+                if anchor is None:
+                    anchor = tsu
+                states = nxt
+    return total
+
+
 def quant_regex(evs, lazy_re):
     """Quantified-contiguous reference via Python's re engine — an
     INDEPENDENT formulation (lazy non-overlapping scan), not a port of
@@ -155,6 +217,8 @@ PATTERNS = {
     "vv_adj": lambda e: machine_contig(e, "vv"),
     "vvc_q": lambda e: quant_regex(e, r"v{2,}?c"),
     "vva_alt": lambda e: quant_regex(e, r"v{2}[cp]"),
+    "vvc_qw": lambda e: machine_win_quant(
+        e, [("v", 2, None), ("c", 1, 1)], QSPAN_US),
 }
 
 
@@ -173,9 +237,15 @@ def main():
                 # gaps cluster around the span so both windowed sides
                 # occur; 1-in-6 zero gaps exercise (ts, event_id) ties
                 gap = 0 if rnd.random() < 0.17 else rnd.randint(1, 2 * SPAN_US)
-                # occasionally land EXACTLY on the span boundary
+                # a fifth of gaps stretch toward the LONG quantified span
+                # so vvc_qw's 24h window sees both sides too (r18)
+                if rnd.random() < 0.20:
+                    gap = rnd.randint(SPAN_US, 2 * QSPAN_US)
+                # occasionally land EXACTLY on a span boundary
                 if rnd.random() < 0.05:
                     gap = SPAN_US
+                if rnd.random() < 0.05:
+                    gap = QSPAN_US
                 tsu += gap
                 rows.append((u, i, tsu, rnd.choice(alphabet)))
         con = duckdb.connect()
