@@ -570,20 +570,23 @@ object AnnOps {
         .select(col("vec_id"), col("embedding"),
           posexplode(expr(s"graft_pq_encode(embedding, cbarr, $PqM)"))
             .as(Seq("m", "c_id")))
+      // r19: one (c_id, m) exchange of PqSub fixed-point partials instead
+      // of the former (c_id, m, sd) explode (PqSub× more rows through the
+      // shuffle) followed by a second collect_list regroup. Each element's
+      // BIGINT sum is the same order-independent Σ FLOOR(x·10⁶ + 0.5), so
+      // every trained centroid is bit-identical to the previous form (and
+      // to the oracle's replay) — only the exchange count changes.
       val means = assigned
-        .select(col("c_id"), col("m"),
-          posexplode(slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)))
-            .as(Seq("sd", "x")))
-        .groupBy(col("c_id"), col("m"), col("sd"))
-        .agg(sum(expr("FLOOR(x * 1000000.0 + 0.5)")).as("sx"),
-          count(lit(1)).as("n"))
-        .select(col("c_id"), col("m"), col("sd"),
-          (col("sx").cast(DoubleType) /
-            (col("n").cast(DoubleType) * lit(1000000.0))).as("mx"))
+        .select(col("c_id") +: col("m") +: (0 until PqSub).map(i =>
+          expr(s"FLOOR(element_at(embedding, m * $PqSub + ${i + 1})" +
+            " * 1000000.0 + 0.5)").as(s"x$i")): _*)
         .groupBy(col("c_id"), col("m"))
-        .agg(array_sort(collect_list(struct(col("sd"), col("mx")))).as("ps"))
+        .agg(sum(col("x0")).as("sx0"),
+          (1 until PqSub).map(i => sum(col(s"x$i")).as(s"sx$i")) :+
+            count(lit(1)).as("n"): _*)
         .select(col("c_id"), col("m"),
-          transform(col("ps"), p => p.getField("mx")).as("sv"))
+          array((0 until PqSub).map(i => col(s"sx$i").cast(DoubleType) /
+            (col("n").cast(DoubleType) * lit(1000000.0))): _*).as("sv"))
       val prevSub = cb.select(col("c_id"),
         posexplode(array((0 until PqM).map(mi =>
           slice(col("cv"), mi * PqSub + 1, PqSub)
@@ -1169,6 +1172,56 @@ object AnnOps {
         sharedPqCb(s, d))
     }
 
+  /** The rot∘aniso embedding view (vec_id, embedding) — the pq_rot_aniso
+    * arm's input, row-local IEEE-exact transforms of the raw corpus. */
+  private[graft] def rotAnisoEmb(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    embeddings(s, d)
+      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
+      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
+  }
+
+  /** Trained ROTATED-view PQ codebook — one Lloyd training per
+    * (application, sfDir) for the pq_rot_aniso scorecard arm (r19: the
+    * arm re-ran the full training + corpus encode inside EVERY
+    * q_sim_ann_recall pass; staged like ann_pqcb, the cost lands once in
+    * the disclosed staging map and the per-pass arm plan collapses to
+    * the same staged-read ADC shapes the pq arm compiles). */
+  private def sharedRotCb(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_rotcb") {
+      pqCbRows(rotAnisoEmb(s, d))
+    }
+
+  /** Rotated-view PQ code arrays against the rotated codebook. */
+  private def sharedRotCodes(s: SparkSession, d: String): DataFrame =
+    SharedStage(s, d, "ann_rotcodes") {
+      pqCodeArrWith(rotAnisoEmb(s, d), sharedRotCb(s, d))
+    }
+
+  /** The pq_rot_aniso arm at the RAW-ADC tier over the STAGED rotated
+    * codebook/codes — arithmetic, rounding, and ties verbatim
+    * [[pqSearchOn]](rerank = false), so the arm's rows are unchanged;
+    * parquet round-trips the trained doubles bit-exactly. */
+  private[graft] def rotPqSearchStaged(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val enc = sharedRotCodes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    val adc = pqAdc(
+      rotAnisoEmb(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+      sharedRotCb(s, d))
+    val scored = enc.join(broadcast(adc),
+        col("m") === col("pm") && col("code") === col("c_id") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("pd").cast(DecimalType(38, 12))).cast(DoubleType), 4)
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Corpus residuals (vec_id, embedding = v − centroid(owning cell)) —
     * the residual-PQ build input, derived from the shared assignment. */
   private def residVectors(s: SparkSession, d: String): DataFrame = {
@@ -1201,22 +1254,21 @@ object AnnOps {
   /** The four q_sim_ann_index* queries grade four different maintenance
     * verbs (build / append / delete+compact / rebalance) over the SAME
     * deterministic base index — frozen quantizers trained on the full
-    * corpus. The base rows (assignment + codes) stage once per
-    * (application, sfDir) like every other trained midpoint; each query
-    * then pays only for its own verb and its own table write — the
-    * build-once / maintain-many topology a production vector store has. */
+    * corpus. The base rows (assignment + codes) derive from the staged
+    * trained midpoints; each query then pays only for its own verb and
+    * its own table write — the build-once / maintain-many topology a
+    * production vector store has. r19: the former separate `ann_base`
+    * staged parquet is gone — its ONLY consumers were the store build
+    * (which now derives the rows inline, one staged write instead of
+    * two back-to-back) and the incremental query's delta (which reads
+    * the store's seg=d files — the same rows at FILE level, see
+    * qSimAnnIndexIncr). */
   private def annIndexShared(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     VectorFunctions.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cb = sharedPqCb(s, d)
-    val base = SharedStage(s, d, "ann_base") {
-      sharedRanked(s, d).filter(col("arn") === 1)
-        .join(sharedPqCodes(s, d), Seq("vec_id"))
-        .select(col("vec_id"), col("codes"), col("cell_id"))
-        .repartition(col("cell_id"))
-    }
-    (emb, cb, base)
+    (emb, cb)
   }
 
   /** The WRITTEN base index, staged once per (application, sfDir) — r16
@@ -1245,8 +1297,10 @@ object AnnOps {
   private def stagedIndexStore(s: SparkSession, d: String): String =
     SharedStage.memoDir(s, d, "ann_index_store")(
       dir => new java.io.File(dir, "_SUCCESS").exists()) { dir =>
-      val (_, _, base) = annIndexShared(s, d)
-      base.withColumn("seg",
+      sharedRanked(s, d).filter(col("arn") === 1)
+        .join(sharedPqCodes(s, d), Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("cell_id"))
+        .withColumn("seg",
           when(col("vec_id") % 4 === 3, lit("d")).otherwise(lit("m")))
         .repartition(col("cell_id"), col("seg"))
         .write.mode("overwrite").partitionBy("seg", "cell_id").parquet(dir)
@@ -1318,7 +1372,7 @@ object AnnOps {
   }
 
   def qSimAnnIndex(s: SparkSession, d: String): DataFrame = {
-    val (emb, cb, _) = annIndexShared(s, d)
+    val (emb, cb) = annIndexShared(s, d)
     val t = cloneIndexTable(s, d, "graft_ann_index", includeDelta = true)
     probeIndex(s, emb, cb, t)
   }
@@ -1337,17 +1391,23 @@ object AnnOps {
     * absorbs a daily crawl: delta-sized work, partition-local appends,
     * no rebuild. */
   def qSimAnnIndexIncr(s: SparkSession, d: String): DataFrame = {
-    val (emb, cb, base) = annIndexShared(s, d)
-    // indexRows(pred) ≡ base.filter(pred) because the quantizers are
-    // frozen on the full corpus: a subset's assignment + codes equal the
-    // full build's rows filtered to the subset (the property incremental
-    // ingest relies on). The initial 3/4 state arrives as a file-level
-    // clone of the store's seg=m files; the graded verb — encoding and
-    // appending ONLY the delta into the same cell-partitioned layout —
-    // stays a real write, delta-sized.
+    val (emb, cb) = annIndexShared(s, d)
+    // The delta rows ARE the store's seg=d files (vec_id % 4 == 3 by the
+    // store build's seg rule) because the quantizers are frozen on the
+    // full corpus: a subset's assignment + codes equal the full build's
+    // rows filtered to the subset (the property incremental ingest
+    // relies on). The initial 3/4 state arrives as a file-level clone of
+    // the store's seg=m files; the graded verb — appending ONLY the
+    // delta into the same cell-partitioned layout — stays a real write,
+    // delta-sized (r19: read from the store's seg=d subtree instead of
+    // the former separate ann_base parquet, which this fold removed).
+    val store = stagedIndexStore(s, d)
     val t = cloneIndexTable(s, d, "graft_ann_index_i", includeDelta = false)
-    base.filter(col("vec_id") % 4 === 3)
-      .select(col("vec_id"), col("codes"), col("cell_id"))
+    s.read.parquet(s"$store/seg=d")
+      // cell_id comes back as a DISCOVERED partition column here (its
+      // values are directory names) — pin the original LongType so the
+      // append's schema matches the cloned table exactly
+      .select(col("vec_id"), col("codes"), col("cell_id").cast(LongType))
       .repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id").saveAsTable(t)
     probeIndex(s, emb, cb, t)
@@ -1371,7 +1431,7 @@ object AnnOps {
     * corpus (frozen quantizers, as between incremental ingests), which
     * is what the parameterized inline oracle grades. */
   def qSimAnnIndexDelete(s: SparkSession, d: String): DataFrame = {
-    val (emb, cb, _) = annIndexShared(s, d)
+    val (emb, cb) = annIndexShared(s, d)
     val t = cloneIndexTable(s, d, "graft_ann_index_d", includeDelta = true)
     val deleted = col("vec_id") % 5 === 2
     // tombstones resolved FROM THE INDEX; affected-cell list is bounded
@@ -1420,7 +1480,7 @@ object AnnOps {
     * between build and compaction. */
   private[graft] def rebalanceBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long) = {
-    val (emb, cb, _) = annIndexShared(s, d)
+    val (emb, cb) = annIndexShared(s, d)
     cloneIndexTable(s, d, "graft_ann_index_r", includeDelta = true)
     // the most crowded cell (count desc, cell_id asc) — metadata-scale
     val bigCell = s.table(RebalanceTable).groupBy(col("cell_id")).count()
@@ -1695,6 +1755,45 @@ object AnnOps {
       .withColumn("na", expr("graft_norm_sq(embedding)"))
   }
 
+  /** The single-pass truth frame over a corpus carrying BOTH views —
+    * `embedding`/`na` (raw) and `emb2`/`na2` (rot∘aniso) — so the
+    * pq_rot_aniso arm's exact-L2 truth rides the SAME broadcast
+    * cross-join + window as the seven raw-fixture truths instead of a
+    * second corpus pass (r19, guide §2.4: two ops keyed the same way
+    * share one pass). Per (method, probe) the score expression, 4-dp
+    * rounding, and vec_id tie-break are verbatim those of
+    * [[recallTruthAll]], so every emitted (t_method, probe_id,
+    * neighbor_id) row is unchanged. */
+  private[graft] def recallTruthBoth(s: SparkSession, eb: DataFrame,
+      rawSpecs: Seq[(String, Long, Long, Boolean, Long)],
+      rotSpecs: Seq[(String, Long, Long, Boolean, Long)]): DataFrame = {
+    def probeSet(specs: Seq[(String, Long, Long, Boolean, Long)],
+        vec: String, nrm: String, rot: Boolean) =
+      specs.map { case (m, lo, hi, l2, minC) =>
+        eb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(lit(m).as("t_method"), col("vec_id").as("probe_id"),
+            col(vec).as("pvec"), col(nrm).as("pna"),
+            lit(l2).as("l2"), lit(rot).as("rot"), lit(minC).as("min_corpus"))
+      }
+    val probesAll = (probeSet(rawSpecs, "embedding", "na", rot = false) ++
+      probeSet(rotSpecs, "emb2", "na2", rot = true)).reduce(_ union _)
+    eb.crossJoin(broadcast(probesAll))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        col("vec_id") >= col("min_corpus"))
+      .withColumn("cvec", when(col("rot"), col("emb2")).otherwise(col("embedding")))
+      .withColumn("cna", when(col("rot"), col("na2")).otherwise(col("na")))
+      .withColumn("okey", when(col("l2"),
+          round(col("cna") - lit(2.0) * expr("graft_dot(cvec, pvec)") +
+            col("pna"), 4))
+        .otherwise(-round(expr("graft_dot(cvec, pvec)") /
+          sqrt(col("cna") * col("pna")), 4)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("t_method"), col("probe_id"))
+          .orderBy(col("okey"), col("vec_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("t_method"), col("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
   private[graft] val recallSpecs: Seq[(String, Long, Long, Boolean, Long)] = Seq(
     ("ivf", 10L, 20L, false, 0L),
     ("ivf_prefix", 10L, 20L, false, 0L),
@@ -1713,36 +1812,39 @@ object AnnOps {
     // excludes the probe ids from the corpus, so its truth must too —
     // otherwise a probe-only neighbor would be an unreachable "miss").
     val specs = recallSpecs
-    // SINGLE-PASS brute-force truths (r11, verdict item 3): the six truth
-    // pipelines each cost a corpus scan + broadcast cross-join + window —
-    // tag the probe sets by method, cross-join the corpus ONCE against
-    // their union, and rank per (method, probe). Score expressions are
-    // copied verbatim from the graded method queries so ranking ties
-    // break identically in both engines; the l2-ascending and
-    // cosine-descending orders collapse into one ascending key by
+    // SINGLE-PASS brute-force truths (r11, verdict item 3): the eight
+    // truth pipelines each cost a corpus scan + broadcast cross-join +
+    // window — tag the probe sets by method, cross-join the corpus ONCE
+    // against their union, and rank per (method, probe). Score
+    // expressions are copied verbatim from the graded method queries so
+    // ranking ties break identically in both engines; the l2-ascending
+    // and cosine-descending orders collapse into one ascending key by
     // negating the rounded cosine (orderings are identical: distinct
     // rounded values keep their relative order, ties still break on
-    // vec_id). Lazily checkpointed — seven consumers, one computation
-    // (pq_rot_aniso ranks its own truth over the transformed view).
-    val truthAll = recallTruthAll(s, e, specs).localCheckpoint(eager = false)
+    // vec_id). Lazily checkpointed — eight consumers, one computation.
+    // r19: the pq_rot_aniso exact-L2 truth now rides THIS pass too — the
+    // corpus row carries the row-local rot∘aniso view (emb2/na2) and the
+    // rot probes select it, so the arm's former second cross-join +
+    // window over e2 is gone (recallTruthBoth's scaladoc pins the
+    // row-identity argument).
     // The rotated-anisotropic PQ arm (r15): full PQ pipeline over the
     // rotated variance-decay view, graded at the RAW-ADC tier (no
     // exact re-rank — the tier where codebook quality shows; the
     // re-ranked tier saturates 24/24 under every rotation on both
     // fixtures). Un-armed r15–r17 against the red bench gate (+1.88 s,
     // measured, 3-rep interleaved A/B); PROMOTED r18 per the standing
-    // order "promote the first round the DRIVER's number is green" —
-    // r17 read 85.1 s single-pass / 65.8 s steady vs the 91 s ceiling.
+    // order "promote the first round the DRIVER's number is green".
     // Its truth is exact L2 over the SAME transformed vectors (the
     // rotation is orthogonal, but truth-on-own-vectors keeps the
-    // rounding boundary identical in both engines).
-    val e2 = embeddings(s, d)
-      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
-      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
-      .localCheckpoint(eager = false)
-    val anisoTruth = recallTruthAll(s,
-      e2.withColumn("na", expr("graft_norm_sq(embedding)")),
-      Seq(("pq_rot_aniso", 0L, 8L, true, 0L)))
+    // rounding boundary identical in both engines). r19: its training +
+    // corpus encode are STAGED (sharedRotCb/sharedRotCodes — the same
+    // build-once discipline as ann_pqcb) instead of re-run every pass.
+    val eb = e
+      .withColumn("embA", expr(anisoSql("embedding")))
+      .withColumn("emb2", expr(rotSql("embA"))).drop("embA")
+      .withColumn("na2", expr("graft_norm_sq(emb2)"))
+    val truthAll = recallTruthBoth(s, eb, specs,
+      Seq(("pq_rot_aniso", 0L, 8L, true, 0L))).localCheckpoint(eager = false)
     val methods: Seq[(String, DataFrame, (Long, Long))] = Seq(
       ("ivf", ScaleOps.qSimAnnIvf(s, d), (10L, 20L)),
       // same truth row as ivf (same probes, same cosine metric): the
@@ -1751,14 +1853,13 @@ object AnnOps {
       ("ivf_pq", qSimAnnIvfPq(s, d), (10L, 20L)),
       ("lsh", qSimAnnLsh(s, d), (0L, 10L)),
       ("pq", qSimAnnPq(s, d), (0L, 8L)),
-      ("pq_rot_aniso", pqSearchOn(s, e2, rerank = false), (0L, 8L)),
+      ("pq_rot_aniso", rotPqSearchStaged(s, d), (0L, 8L)),
       ("prefix", qSimAnnPrefix(s, d), (20L, 30L)),
       // bit's re-rank metric is cosine; its top-3 (of the emitted top-5)
       // is what recall@3 grades, over its own corpus (vec_id >= 3)
       ("bit", qEmbedBit(s, d).filter(col("rn") <= 3), (0L, 3L)))
     methods.map { case (m, ans, (lo, hi)) =>
-      val truthSrc = if (m == "pq_rot_aniso") anisoTruth else truthAll
-      val truth = truthSrc.filter(col("t_method") === m)
+      val truth = truthAll.filter(col("t_method") === m)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = ans.select(col("probe_id"), col("neighbor_id"))
         .join(truth, Seq("probe_id", "neighbor_id"))

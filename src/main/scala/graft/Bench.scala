@@ -264,7 +264,10 @@ object Bench {
     // serving half); merge_overwrite / maintenance_compact / merge_scd2
     // UNPINNED (reps re-clone and run their full mutation verbs);
     // join_bucketed UNPINNED (reps run the real shuffle-free bucket
-    // join — the amortized layout's whole point).
+    // join — the amortized layout's whole point). Evaluated r19 for the
+    // new rot-arm stages (ann_rotcb / ann_rotcodes): their consumer
+    // q_sim_ann_recall is ALREADY pinned to its first pass, which is
+    // exactly where the build lands — nothing new to pin.
     val steadyPinned = AnnOps.publishedAnswerQueries + "q_sim_ann_recall"
     val steady = fleet.map { case (name, _) =>
       name -> (if (steadyPinned(name)) runs.head(name)

@@ -308,9 +308,19 @@ object LlmOps {
     // and the distinct shingle multiset are identical and the CC/
     // triangle family's staged pairs are exactly this query's
     // candidates); the distinct shingle set feeds the exact
-    // intersection and both size branches off one exchange
-    val ds = shingles(s, d).distinct().localCheckpoint(eager = false)
+    // intersection and both size branches off one exchange.
+    // r19 (guide §3.2 — reduce the big side before shuffling it): every
+    // downstream use of ds is keyed by a CANDIDATE doc (sa on va, sb on
+    // vb, sizes joined back to va/vb), so non-candidate docs' shingles
+    // are dead weight through the distinct exchange — a broadcast
+    // semi-join against the pairs' tiny doc set drops them BEFORE the
+    // shuffle. n_inter/sza/szb for candidate docs are unchanged.
     val pairs = bandPairs(s, d)
+    val candDocs = pairs.select(col("va").as("doc_id"))
+      .union(pairs.select(col("vb").as("doc_id"))).distinct()
+    val ds = shingles(s, d)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct().localCheckpoint(eager = false)
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     pairs
       .join(ds.as("sa"), col("va") === col("sa.doc_id"))

@@ -593,6 +593,11 @@ object ScaleOps {
     val dir = SharedStage.memoDir(s, d, "orders_zorder")(
       dd => new java.io.File(dd, "_SUCCESS").exists()) { dd =>
       ordersXY(s, d)
+        // o_orderkey is dead downstream (the graded box read and
+        // LayoutSpec touch only x/y/z + the 3 payload columns) — r19:
+        // drop it from the rewrite, fewer bytes through the range
+        // exchange and the files (guide §2.3)
+        .drop("o_orderkey")
         .withColumn("z", expr(zInterleaveSpark))
         .repartitionByRange(8, col("z"))
         .sortWithinPartitions(col("z"))
