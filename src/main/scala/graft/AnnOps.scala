@@ -553,6 +553,23 @@ object AnnOps {
       s"(CASE WHEN (i * 2654435761) // 65536 % 4 < 2 THEN 1.0 ELSE -1.0 END)" +
       s" * $c[CAST(i * 37 AS INT) % 64 + 1])"
 
+  /** rot∘aniso FUSED into one transform (r19): out[i] =
+    * sign(i) · (x[perm(i)] · 8.0 / (8.0 + perm(i))), perm(i) = 37·i mod
+    * 64. BIT-IDENTICAL to rotSql(anisoSql(x)) — the sign multiply by
+    * ±1.0 is IEEE-exact and the inner (x[p] · 8.0) / (8.0 + p) is the
+    * aniso element verbatim — but evaluates each input element ONCE.
+    * The nested composition re-evaluates the ENTIRE inner 64-element
+    * transform per element_at call when Catalyst collapses the two
+    * projections (higher-order functions run interpreted, so that is
+    * 64×64 lambda invocations + 64 array allocations per row — measured
+    * r19 as a 2.3× q_sim_ann_recall regression before this fusion;
+    * RotFusionSpec pins the bit-equality). */
+  private[graft] def rotAnisoSql(c: String): String =
+    s"""transform(sequence(0, 63), i ->
+       |  CASE WHEN ((i * 2654435761) DIV 65536) % 4 < 2 THEN 1.0D ELSE -1.0D END *
+       |  (element_at($c, CAST((i * 37) % 64 AS INT) + 1) * 8.0D
+       |   / (8.0D + CAST((i * 37) % 64 AS DOUBLE))))""".stripMargin
+
   private def pqCbRows(emb: DataFrame, seedLo: Long = 0L,
       rounds: Int = PqLloydRounds): DataFrame = {
     var cb = emb.filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
@@ -1173,12 +1190,12 @@ object AnnOps {
     }
 
   /** The rot∘aniso embedding view (vec_id, embedding) — the pq_rot_aniso
-    * arm's input, row-local IEEE-exact transforms of the raw corpus. */
+    * arm's input, the FUSED row-local IEEE-exact transform of the raw
+    * corpus (see [[rotAnisoSql]] for why not the nested composition). */
   private[graft] def rotAnisoEmb(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     embeddings(s, d)
-      .select(col("vec_id"), expr(anisoSql("embedding")).as("embedding"))
-      .select(col("vec_id"), expr(rotSql("embedding")).as("embedding"))
+      .select(col("vec_id"), expr(rotAnisoSql("embedding")).as("embedding"))
   }
 
   /** Trained ROTATED-view PQ codebook — one Lloyd training per
@@ -1840,8 +1857,7 @@ object AnnOps {
     // corpus encode are STAGED (sharedRotCb/sharedRotCodes — the same
     // build-once discipline as ann_pqcb) instead of re-run every pass.
     val eb = e
-      .withColumn("embA", expr(anisoSql("embedding")))
-      .withColumn("emb2", expr(rotSql("embA"))).drop("embA")
+      .withColumn("emb2", expr(rotAnisoSql("embedding")))
       .withColumn("na2", expr("graft_norm_sq(emb2)"))
     val truthAll = recallTruthBoth(s, eb, specs,
       Seq(("pq_rot_aniso", 0L, 8L, true, 0L))).localCheckpoint(eager = false)
