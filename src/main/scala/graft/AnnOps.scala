@@ -172,17 +172,23 @@ object AnnOps {
       .distinct()
     val cand = corpus.join(broadcast(probes),
         col("bkey") === col("pkey") && col("vec_id") =!= col("probe_id"))
-    // OR-construction: the same pair can collide in several tables —
-    // dedup before scoring so top-3 can't emit a duplicate neighbor
-    val uniq =
-      if (tables == 1) cand
-      else cand.select(col("probe_id"), col("vec_id"), col("embedding"),
-        col("na"), col("pvec"), col("pna"))
-        .dropDuplicates("probe_id", "vec_id")
-    val scored = uniq
+    // OR-construction: the same pair can collide in several tables, so
+    // candidates are dedup'd before top-3 can emit a duplicate neighbor.
+    // Order (r20, guide §2.3 "project before the exchange"): score FIRST
+    // — the dot product is row-local, computed map-side inside the
+    // broadcast-join stage — then dedup on (probe, neighbor), so the
+    // dedup exchange carries 3 narrow columns instead of both 64-dim
+    // embeddings (~1 KB/row). Duplicate collisions of one pair are
+    // IDENTICAL rows (same vectors ⇒ same rounded score), so
+    // dropDuplicates keeps the same single row the pre-scoring dedup fed
+    // the scorer — emitted rows unchanged.
+    val scoredAll = cand
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(expr("graft_dot(embedding, pvec)") /
           sqrt(col("na") * col("pna")), 4).as("score"))
+    val scored =
+      if (tables == 1) scoredAll
+      else scoredAll.dropDuplicates("probe_id", "neighbor_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -593,6 +599,12 @@ object AnnOps {
       // BIGINT sum is the same order-independent Σ FLOOR(x·10⁶ + 0.5), so
       // every trained centroid is bit-identical to the previous form (and
       // to the oracle's replay) — only the exchange count changes.
+      // INVARIANT (r19 ADVICE): the single count(1) per (c_id, m) prices
+      // every element of the subvector with the same n — correct because
+      // every fixture embedding is a FULL 64-element array with no nulls
+      // (a null/short element would now skew that dimension's mean where
+      // the per-(c_id, m, sd) counts would have shrunk its own n). A
+      // variable-length embedding source must restore per-element counts.
       val means = assigned
         .select(col("c_id") +: col("m") +: (0 until PqSub).map(i =>
           expr(s"FLOOR(element_at(embedding, m * $PqSub + ${i + 1})" +

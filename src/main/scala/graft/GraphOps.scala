@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relationally-derived graphs — the
@@ -53,7 +54,14 @@ object GraphOps {
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val wout = edgesRaw.groupBy("src").agg(sum("w").as("wout"))
+    // wout as a WINDOW over the aggregated edges (r20, guide §2.4
+    // "window partitioned like the preceding aggregation"): the former
+    // groupBy("src") + self-JOIN duplicated the whole 4-table fact
+    // subtree in the plan (two 20-operator arms + an SMJ whose single
+    // execution depended on ReuseExchange firing); the window computes
+    // the same per-src sum over the 625-row aggregate in the SAME plan
+    // arm — one fact pass by construction, plan 50 → 26 operators.
+    // wshare is the identical integer: sum-per-src then floor-div.
     // eager checkpoint: the fact-table join must run ONCE — the iteration
     // below references `edges` 2x per round, and without the cut the
     // 4-table subtree would re-execute inside every referencing job
@@ -64,7 +72,8 @@ object GraphOps {
     // tied to the tiny AGGREGATED nation graph; a general-graph variant
     // must keep the edge list partitioned (by dst for the rank rollup)
     // and drop this line — the iteration shape itself needs no change
-    val edges = edgesRaw.join(wout, "src")
+    val edges = edgesRaw
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), expr(s"(w * $Share) div wout").as("wshare"))
       .coalesce(1)
       .localCheckpoint()

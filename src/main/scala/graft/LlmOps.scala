@@ -1268,10 +1268,19 @@ object LlmOps {
     * vocab-sized rollup to the ≥2-doc gram set over the SAME gram
     * partitioning (exchange reuse), and a join back that only carries
     * duplicated grams. Never all-pairs: cost is Σ|gram bucket|², i.e.
-    * linear in corpus + duplicated volume. At 100 TB the gram string
-    * becomes its 8-byte rolling hash (the `textHash` pattern) so the
-    * shuffle carries fixed-width keys; strings here keep the oracle
-    * byte-exact. */
+    * linear in corpus + duplicated volume.
+    *
+    * Gram KEY (r19 verdict item 3, guide §2.3 "narrower types"): the
+    * 8-token gram STRING (unbounded bytes — avg ~50 B here, arbitrarily
+    * wide at 100 TB) is hashed row-locally to the repo's cross-engine
+    * 48-bit md5 key (the `textHash` pattern, byte-identical in Spark and
+    * DuckDB), so BOTH shuffles and the dup-join carry one fixed 8-byte
+    * BIGINT instead of the string. The oracle hashes identically, so
+    * parity is exact by construction; a 48-bit intra-corpus collision
+    * would merge two gram classes IDENTICALLY in both engines (expected
+    * collisions ≈ n²/2⁴⁹ ≈ 9e-5 at this corpus's ~225k distinct grams —
+    * verified zero at sf0.001/0.01/0.1: the hashed outputs are
+    * byte-identical to the string-keyed ones). */
   def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
     val K = 8
     val grams = documents(s, d)
@@ -1280,7 +1289,8 @@ object LlmOps {
       .select(col("doc_id"),
         (size(col("tk")) - (K - 1)).cast(LongType).as("total"),
         explode(expr(s"transform(sequence(1, size(tk) - ${K - 1}), " +
-          s"i -> concat_ws(' ', slice(tk, i, $K)))")).as("g"))
+          s"i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, $K)))," +
+          s" 1, 12), 16, 10) AS BIGINT))")).as("g"))
     val byDocGram = grams.groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("npos"), max(col("total")).as("total"))
     val dup = byDocGram.groupBy(col("g"))
@@ -1299,7 +1309,9 @@ object LlmOps {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |grams AS (
       |  SELECT doc_id, len(tk) - 7 AS total,
-      |         array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      |         CAST(('0x' || substr(md5(
+      |           array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 12))
+      |           AS BIGINT) AS g
       |  FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS t(i)
       |  WHERE len(tk) >= 8),
       |bdg AS (SELECT g, doc_id, COUNT(*) AS npos, MAX(total) AS total

@@ -424,17 +424,30 @@ object RelOps {
         dropManaged(s, "graft_bkt_lineitem")
         // repartition on the bucket key first: bucket assignment uses the
         // same hash family, so each write task produces one bucket file
-        // instead of every task writing a sliver of all 8 buckets
-        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(8, col("o_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("default.graft_bkt_orders")
-        lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .repartition(8, col("l_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("default.graft_bkt_lineitem")
+        // instead of every task writing a sliver of all 8 buckets.
+        // The two table builds are INDEPENDENT (different sources,
+        // different targets), and each schedules only 8 write tasks on a
+        // 32-core box — run them as two concurrent jobs (r20, guide §2.6
+        // "overlap independent jobs") so the second build back-fills the
+        // first's idle cores; same files, same catalog state, ~half the
+        // build wall-clock.
+        val builds = Seq(
+          () => orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+            .repartition(8, col("o_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("default.graft_bkt_orders"),
+          () => lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+            .repartition(8, col("l_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("default.graft_bkt_lineitem"))
+        val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+        val ts = builds.map(b => new Thread(() =>
+          try b() catch { case t: Throwable => errs.add(t) }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+        if (!errs.isEmpty) throw errs.get(0)
         bucketedBuiltFor.set(key)
       }
     }
@@ -1240,17 +1253,26 @@ object RelOps {
     val v1 = MiniLog.writeBucketFiles(base, table, "v1")
     MiniLog.commit(table, 1, v1)
     // v2: copy-on-write UPDATE of exactly the keys in bucket 2
-    // (o_orderkey % 8 = 2): rewrite that one file, share the rest
+    // (o_orderkey % 8 = 2): rewrite that one file, share the rest.
+    // v3: DELETE of bucket 5's 'F' rows — rewrite that one file.
+    // The two rewrites are FUSED into one write job (r19 verdict item 4,
+    // guide §2.6 overlap / §2.4 fewer passes): they touch DISJOINT
+    // buckets and both read only v1 files (the old sequential build read
+    // v2(5L), which v2's bucket-2-only rewrite left ≡ v1(5L)), and a
+    // data file is invisible until a manifest names it — so writing
+    // v3's file before v2 commits changes neither snapshot. Commit
+    // ORDER and manifest CONTENTS are identical to the sequential form:
+    // v2 = v1 + new bucket-2 file, v3 = v2 + new bucket-5 file.
     val b2 = s.read.parquet(v1(2L))
       .withColumn("o_totalprice", col("o_totalprice") + lit(100))
       .withColumn("bucket", lit(2L))
-    val v2 = v1 ++ MiniLog.writeBucketFiles(b2, table, "v2")
-    MiniLog.commit(table, 2, v2)
-    // v3: DELETE of bucket 5's 'F' rows — rewrite that one file
-    val b5 = s.read.parquet(v2(5L))
+    val b5 = s.read.parquet(v1(5L))
       .filter(col("o_orderstatus") =!= "F")
       .withColumn("bucket", lit(5L))
-    val v3 = v2 ++ MiniLog.writeBucketFiles(b5, table, "v3")
+    val rw = MiniLog.writeBucketFiles(b2.unionByName(b5), table, "v2v3")
+    val v2 = v1 + (2L -> rw(2L))
+    MiniLog.commit(table, 2, v2)
+    val v3 = v2 + (5L -> rw(5L))
     MiniLog.commit(table, 3, v3)
   }
 

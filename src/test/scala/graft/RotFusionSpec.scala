@@ -29,11 +29,16 @@ class RotFusionSpec extends AnyFunSuite {
     // distinguishes -0.0 from 0.0 and matches NaN to itself): equality
     // must be on the representation, not tolerance — parquet staging
     // and the oracle replay both hash the exact doubles
+    // null-safe (r19 ADVICE): a null element or a length mismatch makes
+    // zip_with emit a null comparison and forall return null — count a
+    // row as a MISMATCH unless forall is literally true
     val mismatches = nested.join(fused, Seq("vec_id"))
       .select(col("vec_id"),
         expr("zip_with(e, f, (a, b) -> " +
-          "CAST(a AS STRING) = CAST(b AS STRING))").as("eq"))
-      .filter(!expr("forall(eq, x -> x)"))
+          "CAST(a AS STRING) = CAST(b AS STRING))").as("eq"),
+        expr("size(e) = size(f)").as("samelen"))
+      .filter(!(coalesce(expr("forall(eq, x -> x)"), lit(false)) &&
+        coalesce(col("samelen"), lit(false))))
       .count()
     assert(mismatches == 0L,
       s"$mismatches vectors differ between fused and nested rot∘aniso")
